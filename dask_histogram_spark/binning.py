@@ -1,0 +1,141 @@
+"""Axis -> bin-index expression generation.
+
+Two generators per axis kind, guaranteed consistent because both are
+derived from the same spec and the same closed-form arithmetic:
+
+* :func:`bin_column` — a PySpark ``Column`` (pure built-in functions,
+  stays inside whole-stage codegen; no Python UDF in the hot path).
+* :func:`bin_sql` — the equivalent ANSI-SQL text (DuckDB-compatible),
+  used to build differential-test oracles.
+
+Semantics (boost-histogram axis contract, SURVEY.md §1.2):
+  * Regular/Variable: half-open bins [e_i, e_{i+1}); x < lo -> underflow
+    (index -1); x >= hi, NULL and NaN -> overflow (index n).
+  * Category axes group on the raw value; with ``growth`` the bin space
+    is discovered by the aggregation itself.
+
+The floating-point expression is written identically on both sides
+(``floor((x - lo) * scale)`` with ``scale`` precomputed in Python) so
+Spark and the SQL oracle produce bit-identical bin indices.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .spec import (
+    Axis,
+    Boolean,
+    Integer,
+    IntCategory,
+    Regular,
+    StrCategory,
+    Variable,
+    _CategoryAxis,
+)
+
+__all__ = ["bin_column", "bin_sql", "CATEGORY_OVERFLOW"]
+
+# Sentinel dense-index for out-of-set values on a pinned (growth=False)
+# category axis.
+CATEGORY_OVERFLOW = -2
+
+
+def _dbl(col: Column) -> Column:
+    return col.cast("double")
+
+
+def bin_column(axis: Axis, col: Column) -> Column:
+    """Return the bin-index Column (LongType; category axes: raw value)."""
+    if isinstance(axis, Regular):
+        x = _dbl(col)
+        n, lo, hi = axis.n, float(axis.lo), float(axis.hi)
+        scale = n / (hi - lo)
+        idx = F.floor((x - F.lit(lo)) * F.lit(scale)).cast("long")
+        return (
+            F.when(col.isNull() | F.isnan(x), F.lit(n).cast("long"))
+            .when(x < F.lit(lo), F.lit(-1).cast("long"))
+            .when(x >= F.lit(hi), F.lit(n).cast("long"))
+            .otherwise(F.least(idx, F.lit(n - 1).cast("long")))
+        )
+    if isinstance(axis, Variable):
+        x = _dbl(col)
+        edges = axis.edge_list
+        n = axis.nbins
+        # Chained half-open comparisons; <= ~hundreds of edges this stays
+        # in codegen.  (Scale note: for huge edge lists a searchsorted
+        # pandas_udf would be the fallback; histogram axes are small.)
+        expr = F.lit(n - 1).cast("long")  # last in-range bin
+        for i in range(n - 1, -1, -1):
+            expr = F.when(x < F.lit(float(edges[i + 1])), F.lit(i).cast("long")).otherwise(expr)
+        expr = F.when(x < F.lit(float(edges[0])), F.lit(-1).cast("long")).otherwise(expr)
+        return (
+            F.when(col.isNull() | F.isnan(x), F.lit(n).cast("long"))
+            .when(x >= F.lit(float(edges[-1])), F.lit(n).cast("long"))
+            .otherwise(expr)
+        )
+    if isinstance(axis, Integer):
+        x = _dbl(col)
+        lo, hi = axis.lo, axis.hi
+        n = axis.nbins
+        return (
+            F.when(col.isNull() | F.isnan(x), F.lit(n).cast("long"))
+            .when(x < F.lit(float(lo)), F.lit(-1).cast("long"))
+            .when(x >= F.lit(float(hi)), F.lit(n).cast("long"))
+            .otherwise(F.floor(x).cast("long") - F.lit(lo))
+        )
+    if isinstance(axis, Boolean):
+        return F.when(col.cast("boolean"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    if isinstance(axis, _CategoryAxis):
+        # Group on the raw value; growth falls out of groupBy for free.
+        if isinstance(axis, IntCategory):
+            return col.cast("long")
+        return col.cast("string")
+    raise TypeError(f"unsupported axis type: {type(axis).__name__}")
+
+
+def bin_sql(axis: Axis, col: str) -> str:
+    """ANSI-SQL (DuckDB-compatible) twin of :func:`bin_column`."""
+    if isinstance(axis, Regular):
+        n, lo, hi = axis.n, float(axis.lo), float(axis.hi)
+        scale = n / (hi - lo)
+        x = f"CAST({col} AS DOUBLE)"
+        return (
+            f"CASE WHEN {col} IS NULL OR isnan({x}) THEN {n} "
+            f"WHEN {x} < {lo!r} THEN -1 "
+            f"WHEN {x} >= {hi!r} THEN {n} "
+            f"ELSE LEAST(CAST(FLOOR(({x} - {lo!r}) * {scale!r}) AS BIGINT), {n - 1}) END"
+        )
+    if isinstance(axis, Variable):
+        edges = axis.edge_list
+        n = axis.nbins
+        x = f"CAST({col} AS DOUBLE)"
+        whens = " ".join(
+            f"WHEN {x} < {float(edges[i + 1])!r} THEN {i}" for i in range(n)
+        )
+        return (
+            f"CASE WHEN {col} IS NULL OR isnan({x}) THEN {n} "
+            f"WHEN {x} >= {float(edges[-1])!r} THEN {n} "
+            f"WHEN {x} < {float(edges[0])!r} THEN -1 "
+            f"{whens} ELSE {n - 1} END"
+        )
+    if isinstance(axis, Integer):
+        n, lo, hi = axis.nbins, axis.lo, axis.hi
+        x = f"CAST({col} AS DOUBLE)"
+        return (
+            f"CASE WHEN {col} IS NULL OR isnan({x}) THEN {n} "
+            f"WHEN {x} < {float(lo)!r} THEN -1 "
+            f"WHEN {x} >= {float(hi)!r} THEN {n} "
+            f"ELSE CAST(FLOOR({x}) AS BIGINT) - {lo} END"
+        )
+    if isinstance(axis, Boolean):
+        return f"CASE WHEN CAST({col} AS BOOLEAN) THEN 1 ELSE 0 END"
+    if isinstance(axis, IntCategory):
+        return f"CAST({col} AS BIGINT)"
+    if isinstance(axis, StrCategory):
+        return f"CAST({col} AS VARCHAR)"
+    raise TypeError(f"unsupported axis type: {type(axis).__name__}")

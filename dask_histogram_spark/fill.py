@@ -1,0 +1,262 @@
+"""Fill: the core dataflow operator — partitioned histogram aggregation.
+
+Reference parity map (SURVEY.md §2.1):
+
+* ``fill``               -> reference ``factory`` (core.py:1190-1310):
+  the whole partitioned-fill + tree-reduce pipeline collapses into one
+  declarative ``df.select(binExprs).groupBy(bins).agg(storageAggs)``.
+  Spark's hash aggregate runs the per-partition partial phase (the
+  reference's ``_blocked_*`` kernels, core.py:63-257) and the exchange +
+  final phase (the reference's ``_reduction`` tree, core.py:856-885)
+  natively; the shuffle payload is <= nbins rows per partition.
+* ``fill_multi``         -> ``_partitioned_histogram_multifill``
+  (core.py:978-1005): staged fills become a ``unionByName`` of per-fill
+  bin projections ahead of a single aggregation, preserving the
+  one-pass-per-partition property.
+* ``fill_partitioned``   -> ``partitioned_factory`` (core.py:1313-1344):
+  keeps ``spark_partition_id()`` as an extra group key.
+* ``collapse``           -> ``PartitionedHistogram.collapse``
+  (core.py:841-843): re-aggregates partials over the bin keys.
+
+Everything is built-in Column expressions — no Python UDFs — so the
+whole fill stays inside whole-stage codegen and Catalyst is free to
+push filters/pruning into the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from numbers import Number
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .binning import bin_column, bin_sql
+from .spec import HistogramSpec, Storage
+
+__all__ = ["fill", "fill_multi", "fill_partitioned", "collapse", "FillSpec", "fill_sql"]
+
+ColumnLike = Union[str, Column]
+WeightLike = Union[str, Column, float, int, None]
+
+
+def _as_col(c: ColumnLike) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _weight_col(weight: WeightLike) -> Column:
+    """Normalize weight argument; scalars broadcast to all rows
+    (reference: tests/test_core.py:350-359)."""
+    if weight is None:
+        return F.lit(1.0)
+    if isinstance(weight, Number):
+        return F.lit(float(weight))
+    return _as_col(weight).cast("double")
+
+
+def _storage_aggs(spec: HistogramSpec, weighted: bool) -> list[Column]:
+    """Aggregation expressions per storage type (SURVEY.md §2.4)."""
+    st = spec.storage
+    w = F.col("__w")
+    s = F.col("__s")
+    if st is Storage.DOUBLE:
+        if weighted:
+            return [F.sum(w).alias("value")]
+        return [F.count(F.lit(1)).cast("double").alias("value")]
+    if st in (Storage.INT64, Storage.ATOMIC_INT64):
+        return [F.count(F.lit(1)).alias("value")]
+    if st is Storage.WEIGHT:
+        if weighted:
+            return [F.sum(w).alias("value"), F.sum(w * w).alias("sumw2")]
+        return [
+            F.count(F.lit(1)).cast("double").alias("value"),
+            F.count(F.lit(1)).cast("double").alias("sumw2"),
+        ]
+    if st is Storage.MEAN:
+        return [
+            F.count(F.lit(1)).alias("count"),
+            F.sum(s).alias("sum_s"),
+            F.sum(s * s).alias("sum_s2"),
+        ]
+    if st is Storage.WEIGHTED_MEAN:
+        return [
+            F.sum(w).alias("sum_w"),
+            F.sum(w * w).alias("sum_w2"),
+            F.sum(w * s).alias("sum_ws"),
+            F.sum(w * s * s).alias("sum_ws2"),
+        ]
+    raise AssertionError(st)
+
+
+def _merge_aggs(spec: HistogramSpec) -> list[Column]:
+    """Re-aggregation of already-partial accumulators (the monoid merge,
+    reference ``hist_safe_sum`` core.py:37-38): every accumulator column
+    is summed."""
+    return [F.sum(F.col(c)).alias(c) for c in spec.value_cols]
+
+
+@dataclass(frozen=True)
+class FillSpec:
+    """One staged fill: data columns (one per axis) + weight/sample."""
+
+    df: DataFrame
+    cols: tuple
+    weight: WeightLike = None
+    sample: ColumnLike | None = None
+
+
+def _projection(spec: HistogramSpec, f: FillSpec) -> DataFrame:
+    if len(f.cols) != spec.ndim:
+        raise ValueError(
+            f"fill needs one column per axis ({spec.ndim}); got {len(f.cols)}"
+        )
+    if spec.storage.needs_sample and f.sample is None:
+        raise ValueError(f"storage {spec.storage.value} requires a sample")
+    proj = [
+        bin_column(ax, _as_col(c)).alias(name)
+        for ax, c, name in zip(spec.axes, f.cols, spec.bin_cols)
+    ]
+    proj.append(_weight_col(f.weight).alias("__w"))
+    if f.sample is not None:
+        proj.append(_as_col(f.sample).cast("double").alias("__s"))
+    else:
+        proj.append(F.lit(None).cast("double").alias("__s"))
+    return f.df.select(*proj)
+
+
+def fill(
+    df: DataFrame,
+    cols: Sequence[ColumnLike],
+    spec: HistogramSpec,
+    weight: WeightLike = None,
+    sample: ColumnLike | None = None,
+) -> DataFrame:
+    """Fill a histogram: returns the sparse aggregated DataFrame
+    ``(bin_0..bin_{k-1}, <accumulators>)``.
+
+    The plan is a single scan -> project(bin exprs) -> hash aggregate;
+    partial aggregation per input partition and the final merge are
+    Spark's native two-phase agg (SURVEY.md §3, lifecycle A).
+    """
+    return fill_multi([FillSpec(df, tuple(cols), weight, sample)], spec)
+
+
+def fill_multi(fills: Sequence[FillSpec], spec: HistogramSpec) -> DataFrame:
+    """Multiple staged fills -> one aggregation (reference multifill,
+    core.py:978-1005): union the per-fill bin projections, then a single
+    groupBy over the bin keys."""
+    if not fills:
+        raise ValueError("need at least one fill")
+    weighted = any(f.weight is not None for f in fills) or spec.storage.needs_weight
+    parts = [_projection(spec, f) for f in fills]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    out = unioned.groupBy(*[F.col(c) for c in spec.bin_cols]).agg(
+        *_storage_aggs(spec, weighted)
+    )
+    return out
+
+
+def fill_partitioned(
+    df: DataFrame,
+    cols: Sequence[ColumnLike],
+    spec: HistogramSpec,
+    weight: WeightLike = None,
+    sample: ColumnLike | None = None,
+) -> DataFrame:
+    """Explicit partitioned form: one partial histogram per input
+    partition, keyed by ``part_id`` (reference ``partitioned_factory``,
+    core.py:1313-1344).  ``collapse`` re-aggregates to the final form."""
+    f = FillSpec(df, tuple(cols), weight, sample)
+    weighted = weight is not None or spec.storage.needs_weight
+    proj = _projection(spec, f).withColumn("part_id", F.spark_partition_id())
+    return proj.groupBy("part_id", *spec.bin_cols).agg(
+        *_storage_aggs(spec, weighted)
+    )
+
+
+def collapse(partials: DataFrame, spec: HistogramSpec) -> DataFrame:
+    """Merge partial histograms into the final aggregate (reference
+    ``collapse``/``_reduction``, core.py:841-885).  ``split_every`` has
+    no analog: the exchange distributes the merge by bin key."""
+    return partials.groupBy(*spec.bin_cols).agg(*_merge_aggs(spec))
+
+
+# ---------------------------------------------------------------------------
+# SQL twin (oracle generation)
+# ---------------------------------------------------------------------------
+
+def _storage_aggs_sql(spec: HistogramSpec, weighted: bool) -> list[str]:
+    st = spec.storage
+    if st is Storage.DOUBLE:
+        if weighted:
+            return ["SUM(__w) AS value"]
+        return ["CAST(COUNT(*) AS DOUBLE) AS value"]
+    if st in (Storage.INT64, Storage.ATOMIC_INT64):
+        return ["COUNT(*) AS value"]
+    if st is Storage.WEIGHT:
+        if weighted:
+            return ["SUM(__w) AS value", "SUM(__w * __w) AS sumw2"]
+        return [
+            "CAST(COUNT(*) AS DOUBLE) AS value",
+            "CAST(COUNT(*) AS DOUBLE) AS sumw2",
+        ]
+    if st is Storage.MEAN:
+        return [
+            "COUNT(*) AS count",
+            "SUM(__s) AS sum_s",
+            "SUM(__s * __s) AS sum_s2",
+        ]
+    if st is Storage.WEIGHTED_MEAN:
+        return [
+            "SUM(__w) AS sum_w",
+            "SUM(__w * __w) AS sum_w2",
+            "SUM(__w * __s) AS sum_ws",
+            "SUM(__w * __s * __s) AS sum_ws2",
+        ]
+    raise AssertionError(st)
+
+
+def fill_sql(
+    table: str,
+    cols: Sequence[str],
+    spec: HistogramSpec,
+    weight_sql: str | None = None,
+    sample_sql: str | None = None,
+    where: str | None = None,
+    round_digits: int | None = 6,
+) -> str:
+    """DuckDB-compatible SQL computing the same sparse histogram as
+    :func:`fill` — generated from the same spec so binning arithmetic is
+    textually identical.  Float accumulators are ROUNDed (default 6 dp)
+    to absorb summation-order differences; pair with
+    :func:`dask_histogram_spark.result.round_values` on the Spark side.
+    """
+    weighted = weight_sql is not None or spec.storage.needs_weight
+    binexprs = [
+        f"{bin_sql(ax, c)} AS {name}"
+        for ax, c, name in zip(spec.axes, cols, spec.bin_cols)
+    ]
+    inner_cols = list(binexprs)
+    inner_cols.append(f"CAST({weight_sql or '1.0'} AS DOUBLE) AS __w")
+    if sample_sql is not None:
+        inner_cols.append(f"CAST({sample_sql} AS DOUBLE) AS __s")
+    else:
+        inner_cols.append("CAST(NULL AS DOUBLE) AS __s")
+    inner = f"SELECT {', '.join(inner_cols)} FROM {table}"
+    if where:
+        inner += f" WHERE {where}"
+    aggs = _storage_aggs_sql(spec, weighted)
+    if round_digits is not None:
+        rounded = []
+        for a in aggs:
+            expr, alias = a.rsplit(" AS ", 1)
+            if alias == "count" or spec.storage.int_valued:
+                rounded.append(a)
+            else:
+                rounded.append(f"ROUND({expr}, {round_digits}) AS {alias}")
+        aggs = rounded
+    keys = ", ".join(spec.bin_cols)
+    return f"SELECT {keys}, {', '.join(aggs)} FROM ({inner}) GROUP BY {keys}"

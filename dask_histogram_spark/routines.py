@@ -1,0 +1,127 @@
+"""NumPy-style entry points: ``histogram``, ``histogram2d``, ``histogramdd``.
+
+Reference parity: ``routines.py:29-128`` (histogram), ``:131-253``
+(histogram2d), ``:256-463`` (histogramdd), with the same argument
+contract: ``normed`` is rejected (routines.py:413-416), ``threads`` is
+accepted-and-ignored with a warning (routines.py:422-426), integer bins
+require an explicit range because data is lazy (routines.py:299-307).
+
+Spark-native signature difference (by design, SURVEY.md §1.1): instead
+of dask collections the inputs are a ``pyspark.sql.DataFrame`` plus
+column names/Columns — co-partitioning constraints of the reference
+(core.py:901-918) disappear because all participating columns live in
+one DataFrame.
+
+All three return a lazy :class:`AggHistogram`; ``.to_numpy()`` yields
+the eager ``(counts, edges...)`` form.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+
+from .bins import normalize_bins_range
+from .fill import ColumnLike, WeightLike, fill
+from .result import AggHistogram
+from .spec import HistogramSpec, Regular, Storage, Variable
+
+__all__ = ["histogram", "histogram2d", "histogramdd", "axes_from_bins_range"]
+
+
+def axes_from_bins_range(ndim: int, bins: Any, range: Any) -> tuple:
+    """bins/range -> axis objects (reference routines.py:444-450)."""
+    bins_pd, range_pd = normalize_bins_range(ndim, bins, range)
+    axes = []
+    for b, r in zip(bins_pd, range_pd):
+        if isinstance(b, (int, np.integer)):
+            if r is None:
+                raise ValueError(
+                    "integer bins requires range to be defined (data is "
+                    "lazy; ranges are not inferred from min/max)"
+                )
+            axes.append(Regular(int(b), float(r[0]), float(r[1])))
+        else:
+            axes.append(Variable(np.asarray(b, dtype=np.float64)))
+    return tuple(axes)
+
+
+def _common_checks(normed: Any, threads: Any) -> None:
+    if normed is not None:
+        raise KeyError(
+            "normed is not supported; use density (reference parity: "
+            "routines.py:413-416)"
+        )
+    if threads is not None:
+        warnings.warn(
+            "threads is ignored: parallelism is governed by Spark "
+            "(reference parity: routines.py:422-426)",
+            stacklevel=3,
+        )
+
+
+def histogramdd(
+    df: DataFrame,
+    cols: Sequence[ColumnLike],
+    bins: Any = 10,
+    range: Any = None,
+    normed: Any = None,
+    weights: WeightLike = None,
+    density: bool = False,
+    *,
+    sample: ColumnLike | None = None,
+    storage: Storage | None = None,
+    threads: Any = None,
+) -> AggHistogram:
+    """N-dimensional histogram over DataFrame columns."""
+    _common_checks(normed, threads)
+    cols = list(cols)
+    if storage is None:
+        if weights is not None and sample is not None:
+            storage = Storage.WEIGHTED_MEAN
+        elif sample is not None:
+            storage = Storage.MEAN
+        elif weights is not None:
+            storage = Storage.WEIGHT
+        else:
+            storage = Storage.DOUBLE
+    axes = axes_from_bins_range(len(cols), bins, range)
+    spec = HistogramSpec(axes=axes, storage=storage)
+    sparse = fill(df, cols, spec, weight=weights, sample=sample)
+    h = AggHistogram(sparse, spec)
+    h._density_requested = bool(density)  # applied in .to_numpy(density=...) path
+    return h
+
+
+def histogram(
+    df: DataFrame,
+    col: ColumnLike,
+    bins: Any = 10,
+    range: Any = None,
+    normed: Any = None,
+    weights: WeightLike = None,
+    density: bool = False,
+    **kwargs: Any,
+) -> AggHistogram:
+    """1D histogram (np.histogram-style; reference routines.py:29-128)."""
+    return histogramdd(df, [col], bins=bins, range=range, normed=normed,
+                       weights=weights, density=density, **kwargs)
+
+
+def histogram2d(
+    df: DataFrame,
+    x: ColumnLike,
+    y: ColumnLike,
+    bins: Any = 10,
+    range: Any = None,
+    normed: Any = None,
+    weights: WeightLike = None,
+    density: bool = False,
+    **kwargs: Any,
+) -> AggHistogram:
+    """2D histogram (reference routines.py:131-253)."""
+    return histogramdd(df, [x, y], bins=bins, range=range, normed=normed,
+                       weights=weights, density=density, **kwargs)

@@ -1,0 +1,81 @@
+"""SparkSession helper tuned for this engine.
+
+Defaults chosen for aggregation-heavy plans that must survive a 100x
+scale-up: AQE on (runtime coalescing + skew-join splitting), a
+shuffle-partition count sized to the local harness (on a real cluster
+AQE re-coalesces it), and Arrow enabled for the few Pandas-UDF paths
+(similarity/multimodal operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "load_tables"]
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The test/bench parquet carries TIMESTAMP(NANOS) which vanilla
+        # Spark rejects (PARQUET_TYPE_ILLEGAL); read as long + convert
+        # in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (Spark reads them as long
+    under ``nanosAsLong``; we restore proper TimestampType)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        return []
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
+    """Read the driver's parquet tables and register temp views.
+
+    timestamp[ns] columns are converted back to TimestampType at
+    microsecond precision (Spark's native resolution) so date/window
+    functions work and results line up with SQL oracles.
+    """
+    from pyspark.sql import functions as F
+
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for c in _nanos_timestamp_cols(path):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+                )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
