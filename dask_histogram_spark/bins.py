@@ -62,7 +62,12 @@ def bins_style(ndim: int, bins: Any) -> BinsStyle:
                 f"bins must have length equal to the number of dimensions "
                 f"({ndim}); got {len(seq)}"
             )
-        if all(isinstance(b, (list, tuple, np.ndarray)) for b in seq):
+        if all(
+            isinstance(b, (list, tuple, np.ndarray)) or _is_scalar_int(b)
+            for b in seq
+        ):
+            # sequences (or a numpy-style mix of per-dim counts and edge
+            # arrays), one entry per dimension
             if len(seq) != ndim:
                 raise ValueError(
                     f"bins must have length equal to the number of dimensions "
@@ -81,7 +86,10 @@ def _range_style(ndim: int, range: Any) -> RangeStyle:
     seq = list(range)
     if len(seq) == 2 and all(isinstance(r, (int, float, np.floating, np.integer)) for r in seq):
         return RangeStyle.SinglePair
-    if all(isinstance(r, (list, tuple, np.ndarray)) and len(list(r)) == 2 for r in seq):
+    if all(
+        r is None or (isinstance(r, (list, tuple, np.ndarray)) and len(list(r)) == 2)
+        for r in seq
+    ):
         if len(seq) != ndim:
             raise ValueError(
                 f"range must have one (lo, hi) pair per dimension ({ndim}); "
@@ -115,10 +123,13 @@ def normalize_bins_range(
                 "a single edges sequence is only valid for 1D histograms"
             )
         bins_pd = (np.asarray(bins, dtype=np.float64),)
-    else:  # MultiSequence
-        bins_pd = tuple(np.asarray(b, dtype=np.float64) for b in bins)
+    else:  # MultiSequence (possibly mixed int/edges per dim)
+        bins_pd = tuple(
+            int(b) if _is_scalar_int(b) else np.asarray(b, dtype=np.float64)
+            for b in bins
+        )
 
-    scalar_bins = bstyle in (BinsStyle.SingleScalar, BinsStyle.MultiScalar)
+    scalar_bins = any(isinstance(b, int) for b in bins_pd)
 
     if rstyle is RangeStyle.IsNone:
         if scalar_bins:
@@ -133,9 +144,8 @@ def normalize_bins_range(
         else:
             range_pd = ((float(range[0]), float(range[1])),) * ndim
     else:  # MultiPair
-        if not scalar_bins:
-            range_pd = (None,) * ndim
-        else:
-            range_pd = tuple((float(r[0]), float(r[1])) for r in range)
+        range_pd = tuple(
+            None if r is None else (float(r[0]), float(r[1])) for r in range
+        )
 
     return bins_pd, range_pd

@@ -1,0 +1,37 @@
+"""LLM-training-data pipeline operators (engine extensions beyond the
+reference's histogram surface; BASELINE.json north star).
+
+Every operator is a plain DataFrame -> DataFrame transform built from
+built-in functions (JVM-side, codegen-friendly) so it inherits 100 TB
+scaling from Spark's shuffle/AQE machinery; Python appears only in
+Arrow-batched Pandas UDFs where vector math genuinely needs it.
+"""
+
+from .dedup import (
+    dedup_exact,
+    exact_dup_stats,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    simhash_candidates,
+)
+from .similarity import brute_force_topk, ivf_topk, embedding_norms
+from .text import language_id, text_stats, token_counts, fingerprint
+
+__all__ = [
+    "brute_force_topk",
+    "dedup_exact",
+    "embedding_norms",
+    "exact_dup_stats",
+    "fingerprint",
+    "ivf_topk",
+    "language_id",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_candidates",
+    "simhash_signatures",
+    "text_stats",
+    "token_counts",
+]

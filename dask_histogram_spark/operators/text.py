@@ -1,0 +1,128 @@
+"""Text-analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+All pure Column expressions (JVM, codegen) — designed so the identical
+logic is expressible in ANSI SQL for DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["token_counts", "text_stats", "language_id", "fingerprint",
+           "STOPWORDS"]
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "de", "un", "una", "por", "para"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_chars, avg_token_len) per document.
+
+    Whitespace tokenization; a BPE-ish proxy for subword count is the
+    character count / 4 heuristic exposed as ``approx_subwords``.
+    """
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("avg_token_len"),
+        F.ceil(n_chars / F.lit(4)).alias("approx_subwords"),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features per document: length, punctuation /
+    digit / whitespace / uppercase ratios, English-stopword ratio."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    toks = _tokens(t)
+    n_tok = F.size(toks).cast("double")
+
+    def ratio_removed(pattern: str) -> Column:
+        return F.round(
+            (n - F.length(F.regexp_replace(t, pattern, ""))) /
+            F.greatest(n, F.lit(1.0)),
+            6,
+        )
+
+    en = list(STOPWORDS["en"])
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(en)))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        ratio_removed(r"[^\x20-\x7E]").alias("non_ascii_ratio"),
+        ratio_removed(r"[^0-9]").alias("digit_ratio"),
+        ratio_removed(r"[^\.,;:!\?]").alias("punct_ratio"),
+        ratio_removed(r"[^A-Z]").alias("upper_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1.0)), 6).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits over
+    whitespace tokens, argmax with deterministic tie-break ('unknown'
+    when no list scores).  A real deployment would swap in a trained
+    n-gram model; the operator shape (narrow map, no shuffle) is what
+    matters at scale."""
+    toks = _tokens(F.col(text_col))
+    def stop_score(ws: tuple[str, ...]) -> Column:
+        wl = list(ws)
+        return F.size(F.filter(toks, lambda w: w.isin(wl)))
+
+    scores = [
+        stop_score(ws).alias(f"s_{lang}") for lang, ws in STOPWORDS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.lit("unknown")
+    # deterministic priority order on ties: en > de > fr > es
+    for l in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"s_{l}") == best), F.lit(l)
+        ).otherwise(pred)
+    return scored.select(
+        id_col,
+        pred.alias("pred_lang"),
+        *[F.col(f"s_{l}") for l in langs],
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", mod: int = (1 << 31) - 1) -> DataFrame:
+    """Order-insensitive document fingerprint over normalized tokens.
+
+    Combines per-token xxhash64 values with sum/xor-free modular
+    addition of squares (content + multiplicity sensitive, order
+    insensitive after normalization).  Narrow map; 8-byte output —
+    the cheap key for incremental re-dedup across pipeline runs."""
+    toks = _tokens(F.col(text_col))
+    th = F.transform(
+        F.array_sort(toks), lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32))
+    )
+    fp = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(1000003) + h, F.lit(mod)),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

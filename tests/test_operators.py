@@ -1,0 +1,213 @@
+"""LLM-data operator tests over the driver's documents/embeddings tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_histogram_spark.operators import (
+    brute_force_topk,
+    dedup_exact,
+    embedding_norms,
+    exact_dup_stats,
+    fingerprint,
+    ivf_topk,
+    language_id,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    simhash_signatures,
+    text_stats,
+    token_counts,
+)
+from dask_histogram_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_tables(spark, SF_DIR, names=("documents", "embeddings", "events"))
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, tables):
+    """documents unioned with a shifted copy of itself -> every doc has
+    exactly one exact duplicate."""
+    d = tables["documents"]
+    n = d.count()
+    dup = d.withColumn("doc_id", F.col("doc_id") + F.lit(n))
+    return d.unionByName(dup), n
+
+
+def test_dedup_exact(spark, docs_with_dups):
+    df, n = docs_with_dups
+    out = dedup_exact(df).collect()
+    assert len(out) == n
+    assert all(r.n_copies == 2 for r in out)
+    # min-id winner: all survivors from the original half
+    assert all(r.doc_id < n for r in out)
+
+
+def test_exact_dup_stats(spark, docs_with_dups):
+    df, n = docs_with_dups
+    row = exact_dup_stats(df).collect()[0]
+    assert row.n_distinct == n
+    assert row.n_dup_groups == n
+    assert row.n_removable == n
+
+
+def test_minhash_identical_docs_always_candidates(spark, docs_with_dups):
+    df, n = docs_with_dups
+    cands = minhash_lsh_candidates(df, num_perm=32, bands=8).collect()
+    got = {(r.id_a, r.id_b) for r in cands}
+    # identical texts share every band -> must all be candidate pairs
+    for i in range(n):
+        assert (i, i + n) in got
+    full_band = {p for p in cands if p.n_bands == 8}
+    assert len(full_band) >= n
+
+
+def test_minhash_signature_properties(spark, tables):
+    d = tables["documents"]
+    sigs = minhash_signatures(d, num_perm=16).collect()
+    assert all(len(r.sig) == 16 for r in sigs)
+    # deterministic across runs
+    sigs2 = minhash_signatures(d, num_perm=16).collect()
+    assert {r.doc_id: r.sig for r in sigs} == {r.doc_id: r.sig for r in sigs2}
+
+
+def test_ngram_jaccard_exact_dups_score_one(spark, docs_with_dups):
+    df, n = docs_with_dups
+    pairs = ngram_jaccard_pairs(df, k=8, threshold=0.99).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    for i in range(n):
+        assert got.get((i, i + n)) == pytest.approx(1.0)
+
+
+def test_simhash_dups_distance_zero(spark, docs_with_dups):
+    df, n = docs_with_dups
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    for i in range(n):
+        assert sigs[i] == sigs[i + n]
+    cands = simhash_candidates(df, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in cands}
+    for i in range(n):
+        assert (i, i + n) in got
+
+
+def test_brute_force_topk_matches_numpy(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, k=5).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in range(3):
+        sims = Mn @ Mn[ids.index(q)]
+        order = [
+            ids[j]
+            for j in sorted(
+                range(len(ids)),
+                key=lambda j: (-round(sims[j], 6), ids[j]),
+            )
+            if ids[j] != q
+        ][:5]
+        got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)
+               if r.query_id == q]
+        assert got == order
+
+
+def test_ivf_topk_recall(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 3)
+    rng = np.random.default_rng(0)
+    vecs = np.stack([np.array(r.embedding) for r in emb.collect()])
+    centroids = vecs[rng.choice(len(vecs), size=4, replace=False)]
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+    # sanity: right shape, sane scores; recall>0 vs exact
+    by_q_exact = {q: {r.neighbor_id for r in exact if r.query_id == q} for q in range(3)}
+    by_q_approx = {q: {r.neighbor_id for r in approx if r.query_id == q} for q in range(3)}
+    for q in range(3):
+        assert len(by_q_approx[q]) <= 5
+        assert len(by_q_exact[q] & by_q_approx[q]) >= 1
+
+
+def test_embedding_norms(spark, tables):
+    emb = tables["embeddings"]
+    out = embedding_norms(emb).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for r in out[:10]:
+        assert r.dim == 64
+        assert r.l2_norm == pytest.approx(np.linalg.norm(vecs[r.vec_id]), abs=1e-5)
+
+
+def test_token_counts_and_stats(spark, tables):
+    d = tables["documents"]
+    tc = {r.doc_id: r for r in token_counts(d).collect()}
+    raw = {r.doc_id: r.text for r in d.collect()}
+    for i, text in list(raw.items())[:10]:
+        assert tc[i].n_tokens == len(text.split())
+        assert tc[i].n_chars == len(text)
+    st = text_stats(d).collect()
+    for r in st:
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.punct_ratio <= 1
+
+
+def test_language_id_deterministic(spark, tables):
+    d = tables["documents"]
+    out1 = {r.doc_id: r.pred_lang for r in language_id(d).collect()}
+    out2 = {r.doc_id: r.pred_lang for r in language_id(d).collect()}
+    assert out1 == out2
+    assert set(out1.values()) <= {"en", "de", "fr", "es", "unknown"}
+
+
+def test_fingerprint_order_insensitive(spark, tables):
+    d = tables["documents"]
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(d).collect()}
+    # shuffled-token copy has the same fingerprint (sorted-token hash)
+    shuffled = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))).alias("text"),
+    )
+    fp2 = {r.doc_id: r.fingerprint for r in fingerprint(shuffled).collect()}
+    assert fp == fp2
+
+
+def test_multimodal_plumbing(spark, tables):
+    from dask_histogram_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_image_features,
+        sample_audio_frames,
+    )
+
+    d = tables["documents"].limit(20)
+    m = attach_fake_media(d)
+    feats = decode_image_features(m).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.feat) == 12
+        assert 0 <= r.mean_r <= 255
+    frames = sample_audio_frames(m.limit(5)).collect()
+    assert {r.doc_id for r in frames} == {r.doc_id for r in m.limit(5).collect()}
+    assert all(0 <= r.rms <= 1 for r in frames)
+
+
+def test_windowed_histogram_batch(spark, tables):
+    from dask_histogram_spark.spec import HistogramSpec, Regular
+    from dask_histogram_spark.streaming import windowed_histogram
+
+    ev = tables["events"]
+    spec = HistogramSpec(axes=(Regular(10, 0, 100),))
+    out = windowed_histogram(ev, "ts", ["value"], spec, window="1 day")
+    rows = out.collect()
+    assert rows
+    total = sum(r.value for r in rows)
+    assert total == ev.count()
