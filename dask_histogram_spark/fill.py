@@ -226,14 +226,17 @@ def fill_sql(
     weight_sql: str | None = None,
     sample_sql: str | None = None,
     where: str | None = None,
-    round_digits: int | None = 6,
+    round_digits: int | None = 9,
 ) -> str:
     """DuckDB-compatible SQL computing the same sparse histogram as
     :func:`fill` — generated from the same spec so binning arithmetic is
-    textually identical.  Float accumulators are ROUNDed (default 6 dp)
-    to absorb summation-order differences; pair with
-    :func:`dask_histogram_spark.result.round_values` on the Spark side.
+    textually identical.  Float accumulators are rounded to significant
+    digits (oracle.py) to absorb summation-order ULP differences; pair
+    with :func:`dask_histogram_spark.oracle.sig_rounded` on the Spark
+    side.  ``round_digits=None`` disables rounding.
     """
+    from .oracle import sig_round_sql
+
     weighted = weight_sql is not None or spec.storage.needs_weight
     binexprs = [
         f"{bin_sql(ax, c)} AS {name}"
@@ -256,7 +259,9 @@ def fill_sql(
             if alias == "count" or spec.storage.int_valued:
                 rounded.append(a)
             else:
-                rounded.append(f"ROUND({expr}, {round_digits}) AS {alias}")
+                # significant-digit rounding (see oracle.py) so engine
+                # and oracle agree despite summation-order ULP noise
+                rounded.append(f"{sig_round_sql(expr)} AS {alias}")
         aggs = rounded
     keys = ", ".join(spec.bin_cols)
     return f"SELECT {keys}, {', '.join(aggs)} FROM ({inner}) GROUP BY {keys}"

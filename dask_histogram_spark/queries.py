@@ -1,0 +1,651 @@
+"""The driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the LLM-data extensions) as a (Spark callable,
+DuckDB oracle SQL) pair.
+
+Design rule: wherever the operator is SQL-expressible, BOTH sides are
+generated from the same spec (``fill_sql`` / ``bin_sql`` twins and the
+``sig_round`` pair) so the binning and rounding arithmetic is textually
+identical — the differential gate then checks the *engine*, not the
+query author's transcription.
+
+Non-SQL-expressible ops (xxhash64-based signatures, pandas_udf folds,
+event-time windows with streaming semantics) have no oracle entry and
+get the driver's rows-only check, as allowed by the contract.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fill import FillSpec, collapse, fill, fill_multi, fill_partitioned, fill_sql
+from .oracle import sig_round_col, sig_round_sql, sig_rounded
+from .result import AggHistogram
+from .spec import (
+    HistogramSpec,
+    IntCategory,
+    Regular,
+    Storage,
+    StrCategory,
+    Variable,
+)
+
+__all__ = ["QUERIES", "ORACLES", "get_tables", "flagship"]
+
+_TABLE_CACHE: dict = {}
+
+
+def get_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load + cache the driver tables for a (session, sf_dir) pair.
+
+    Handles the testdata's TIMESTAMP(NANOS) parquet under sessions we
+    did not configure: try the runtime conf, fall back to a
+    pyarrow -> pandas read for the affected tables.
+    """
+    key = (id(spark), sf_dir)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    from .session import load_tables
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        tables = load_tables(spark, sf_dir)
+        # force schema resolution now so a nanos failure surfaces here
+        for df in tables.values():
+            df.schema
+    except Exception:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .session import TABLES
+
+        tables = {}
+        for name in TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                pdf = pq.read_table(path).to_pandas()
+                df = spark.createDataFrame(pdf)
+                df.createOrReplaceTempView(name)
+                tables[name] = df
+    _TABLE_CACHE[key] = tables
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame],
+              sql: Optional[str] = None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+def _hist_query(name: str, table: str, cols: list[str],
+                spec: HistogramSpec, weight_sql: str | None = None,
+                sample_sql: str | None = None,
+                where_sql: str | None = None) -> None:
+    """Histogram query pair generated from one spec.
+
+    ``weight_sql``/``sample_sql``/``where_sql`` are simple SQL
+    expressions valid in BOTH Spark SQL and DuckDB — the single source
+    for both sides (Spark side via ``F.expr``, built lazily because
+    Columns need an active SparkContext).
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = get_tables(spark, sf_dir)[table]
+        if where_sql is not None:
+            df = df.where(F.expr(where_sql))
+        w = F.expr(weight_sql) if weight_sql is not None else None
+        s = F.expr(sample_sql) if sample_sql is not None else None
+        return sig_rounded(fill(df, cols, spec, weight=w, sample=s))
+
+    _register(
+        name,
+        run,
+        fill_sql(table, cols, spec, weight_sql=weight_sql,
+                 sample_sql=sample_sql, where=where_sql),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. histogram operator family (reference parity, SURVEY.md §2.1-2.4)
+# ---------------------------------------------------------------------------
+
+_hist_query(
+    "hist1d_double", "lineitem", ["l_extendedprice"],
+    HistogramSpec(axes=(Regular(50, 0.0, 100000.0),), storage=Storage.DOUBLE),
+)
+
+_hist_query(
+    "hist1d_weight", "lineitem", ["l_extendedprice"],
+    HistogramSpec(axes=(Regular(50, 0.0, 100000.0),), storage=Storage.WEIGHT),
+    weight_sql="1.0 - l_discount",
+)
+
+_hist_query(
+    "hist1d_int64", "lineitem", ["l_quantity"],
+    HistogramSpec(axes=(Regular(25, 0.0, 50.0),), storage=Storage.INT64),
+)
+
+_hist_query(
+    "hist1d_variable", "lineitem", ["l_quantity"],
+    HistogramSpec(axes=(Variable([0, 1, 5, 10, 20, 30, 40, 50]),),
+                  storage=Storage.WEIGHT),
+    weight_sql="l_extendedprice",
+)
+
+_hist_query(
+    "hist2d", "lineitem", ["l_quantity", "l_discount"],
+    HistogramSpec(axes=(Regular(10, 0.0, 50.0), Regular(11, 0.0, 0.11)),
+                  storage=Storage.WEIGHT),
+    weight_sql="1.0 - l_discount",
+)
+
+_hist_query(
+    "hist3d", "lineitem",
+    ["l_quantity", "l_extendedprice", "l_tax"],
+    HistogramSpec(
+        axes=(Regular(5, 0.0, 50.0), Regular(8, 0.0, 80000.0),
+              Regular(4, 0.0, 0.08)),
+        storage=Storage.DOUBLE,
+    ),
+)
+
+_hist_query(
+    "hist_strcat", "lineitem", ["l_returnflag", "l_quantity"],
+    HistogramSpec(axes=(StrCategory(growth=True), Regular(10, 0.0, 50.0)),
+                  storage=Storage.WEIGHT),
+    weight_sql="l_extendedprice",
+)
+
+_hist_query(
+    "hist_intcat", "lineitem", ["l_linenumber", "l_extendedprice"],
+    HistogramSpec(axes=(IntCategory(growth=True), Regular(20, 0.0, 100000.0)),
+                  storage=Storage.DOUBLE),
+)
+
+_hist_query(
+    "hist_mean", "lineitem", ["l_quantity"],
+    HistogramSpec(axes=(Regular(10, 0.0, 50.0),), storage=Storage.MEAN),
+    sample_sql="l_extendedprice",
+)
+
+_hist_query(
+    "hist_weighted_mean", "lineitem", ["l_quantity"],
+    HistogramSpec(axes=(Regular(10, 0.0, 50.0),), storage=Storage.WEIGHTED_MEAN),
+    weight_sql="1.0 - l_discount",
+    sample_sql="l_extendedprice",
+)
+
+_hist_query(
+    "hist_customer2d", "customer", ["c_acctbal", "c_nationkey"],
+    HistogramSpec(axes=(Regular(12, -1000.0, 10000.0), IntCategory(growth=True)),
+                  storage=Storage.DOUBLE),
+)
+
+_hist_query(
+    "hist_orders_status", "orders", ["o_orderstatus", "o_totalprice"],
+    HistogramSpec(axes=(StrCategory(growth=True), Regular(20, 0.0, 500000.0)),
+                  storage=Storage.DOUBLE),
+)
+
+_hist_query(
+    "hist_filtered", "lineitem", ["l_extendedprice"],
+    HistogramSpec(axes=(Regular(40, 0.0, 100000.0),), storage=Storage.WEIGHT),
+    weight_sql="1.0 - l_discount",
+    where_sql="l_returnflag = 'R'",
+)
+
+# -- multifill: two staged fills -> one aggregation (SURVEY §2.1 #9-10)
+
+_MULTIFILL_SPEC = HistogramSpec(axes=(Regular(25, 0.0, 50.0),),
+                                storage=Storage.DOUBLE)
+
+
+def _q_multifill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = get_tables(spark, sf_dir)["lineitem"]
+    fills = [
+        FillSpec(li, ("l_quantity",)),
+        FillSpec(li, (F.col("l_tax") * 500,)),
+    ]
+    return sig_rounded(fill_multi(fills, _MULTIFILL_SPEC))
+
+
+_register(
+    "hist_multifill",
+    _q_multifill,
+    fill_sql(
+        "(SELECT l_quantity AS x FROM lineitem "
+        "UNION ALL SELECT l_tax * 500 AS x FROM lineitem)",
+        ["x"], _MULTIFILL_SPEC,
+    ),
+)
+
+# -- partitioned fill + collapse (SURVEY §2.1 #2, #13)
+
+_PART_SPEC = HistogramSpec(axes=(Regular(30, 0.0, 100000.0),),
+                           storage=Storage.WEIGHT)
+
+
+def _q_partitioned_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = get_tables(spark, sf_dir)["lineitem"]
+    partials = fill_partitioned(li, ["l_extendedprice"], _PART_SPEC,
+                                weight=F.expr("1.0 - l_discount"))
+    return sig_rounded(collapse(partials, _PART_SPEC))
+
+
+_register(
+    "hist_partitioned_collapse",
+    _q_partitioned_collapse,
+    fill_sql("lineitem", ["l_extendedprice"], _PART_SPEC,
+             weight_sql="1.0 - l_discount"),
+)
+
+# -- lazy histogram arithmetic (SURVEY §2.1 #17-18)
+
+_ARITH_SPEC = HistogramSpec(axes=(Regular(25, 0.0, 50.0),),
+                            storage=Storage.WEIGHT)
+
+
+def _q_arith_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = get_tables(spark, sf_dir)["lineitem"]
+    w = F.expr("1.0 - l_discount")
+    ha = AggHistogram(
+        fill(li.where(F.col("l_returnflag") == "A"), ["l_quantity"],
+             _ARITH_SPEC, weight=w),
+        _ARITH_SPEC,
+    )
+    hr = AggHistogram(
+        fill(li.where(F.col("l_returnflag") == "R"), ["l_quantity"],
+             _ARITH_SPEC, weight=w),
+        _ARITH_SPEC,
+    )
+    return sig_rounded((ha + hr).to_sparse())
+
+
+_register(
+    "hist_arith_add",
+    _q_arith_add,
+    fill_sql("lineitem", ["l_quantity"], _ARITH_SPEC,
+             weight_sql="1.0 - l_discount",
+             where="l_returnflag IN ('A', 'R')"),
+)
+
+
+def _q_arith_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = get_tables(spark, sf_dir)["lineitem"]
+    h = AggHistogram(
+        fill(li, ["l_quantity"], _ARITH_SPEC,
+             weight=F.expr("1.0 - l_discount")),
+        _ARITH_SPEC,
+    )
+    return sig_rounded((h * 2.5).to_sparse())
+
+
+_inner_scale = fill_sql("lineitem", ["l_quantity"], _ARITH_SPEC,
+                        weight_sql="1.0 - l_discount", round_digits=None)
+_register(
+    "hist_arith_scale",
+    _q_arith_scale,
+    f"SELECT bin_0, {sig_round_sql('value * 2.5')} AS value, "
+    f"{sig_round_sql('sumw2 * 2.5')} AS sumw2 FROM ({_inner_scale})",
+)
+
+# -- density (implemented for real; reference quirk documented §2.5)
+
+_DENSITY_SPEC = HistogramSpec(axes=(Regular(50, 0.0, 100000.0),),
+                              storage=Storage.DOUBLE)
+
+
+def _q_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = get_tables(spark, sf_dir)["lineitem"]
+    sparse = fill(li, ["l_extendedprice"], _DENSITY_SPEC)
+    inrange = sparse.where((F.col("bin_0") >= 0) & (F.col("bin_0") < 50))
+    width = 100000.0 / 50
+    total = F.sum("value").over(Window.partitionBy())
+    return inrange.select(
+        "bin_0",
+        sig_round_col(F.col("value") / (total * F.lit(width))).alias("density"),
+    )
+
+
+_inner_density = fill_sql("lineitem", ["l_extendedprice"], _DENSITY_SPEC,
+                          round_digits=None)
+_register(
+    "hist_density",
+    _q_density,
+    f"SELECT bin_0, {sig_round_sql('value / (SUM(value) OVER () * 2000.0)')} "
+    f"AS density FROM ({_inner_density}) WHERE bin_0 >= 0 AND bin_0 < 50",
+)
+
+# -- events: day-bucketed histogram (timezone-proof day key via epoch)
+
+_EVENTS_SPEC = HistogramSpec(axes=(Regular(10, 0.0, 100.0),),
+                             storage=Storage.INT64)
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = get_tables(spark, sf_dir)["events"]
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).alias("day_num")
+    from .binning import bin_column
+
+    b = bin_column(_EVENTS_SPEC.axes[0], F.col("value")).alias("bin_0")
+    return (
+        ev.select(day, b)
+        .groupBy("day_num", "bin_0")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+
+
+from .binning import bin_sql as _bin_sql  # noqa: E402
+
+_register(
+    "hist_events_daily",
+    _q_events_daily,
+    "SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_num, "
+    f"{_bin_sql(_EVENTS_SPEC.axes[0], 'value')} AS bin_0, "
+    "COUNT(*) AS value FROM events GROUP BY 1, 2",
+)
+
+# ---------------------------------------------------------------------------
+# 2. LLM-data operators (dedup / similarity / text) — north-star extensions
+# ---------------------------------------------------------------------------
+
+_DUP_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)"
+)
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = get_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup_exact
+
+    return dedup_exact(_dup_corpus(spark, sf_dir), exact=True)
+
+
+_register(
+    "dedup_exact",
+    _q_dedup_exact,
+    f"SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM {_DUP_SQL} "
+    "GROUP BY text",
+)
+
+
+def _q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import exact_dup_stats
+
+    return exact_dup_stats(_dup_corpus(spark, sf_dir))
+
+
+_register(
+    "dedup_stats",
+    _q_dedup_stats,
+    "SELECT COUNT(*) AS n_distinct, "
+    "SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups, "
+    "SUM(n - 1) AS n_removable FROM "
+    f"(SELECT COUNT(*) AS n FROM {_DUP_SQL} GROUP BY text)",
+)
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ngram_jaccard_pairs
+
+    d = get_tables(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(d, k=8, threshold=0.3)
+
+
+_register(
+    "ngram_jaccard",
+    _q_jaccard,
+    """
+WITH ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh FROM (
+    SELECT doc_id, list_distinct([substr(text, i, 8)
+      FOR i IN range(1, greatest(len(text) - 7, 1) + 1)]) AS sh
+    FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(COUNT(*)::DOUBLE / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+GROUP BY 1, 2, a.n_sh, b.n_sh
+HAVING jaccard >= 0.3
+""",
+)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import token_counts
+
+    return token_counts(get_tables(spark, sf_dir)["documents"])
+
+
+_register(
+    "text_token_counts",
+    _q_token_counts,
+    r"""
+SELECT doc_id,
+       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+       length(text) AS n_chars,
+       ROUND((length(text) - len(string_split_regex(trim(lower(text)), '\s+')) + 1)
+             / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6)
+         AS avg_token_len,
+       CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_subwords
+FROM documents
+""",
+)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text_stats
+
+    return text_stats(get_tables(spark, sf_dir)["documents"])
+
+
+def _ratio_sql(pattern: str) -> str:
+    return (
+        f"ROUND((length(text) - length(regexp_replace(text, '{pattern}', '', 'g')))"
+        f" / GREATEST(length(text)::DOUBLE, 1.0), 6)"
+    )
+
+
+_register(
+    "text_stats",
+    _q_text_stats,
+    r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+       """
+    + _ratio_sql(r"[^\x20-\x7E]") + " AS non_ascii_ratio,\n       "
+    + _ratio_sql(r"[^0-9]") + " AS digit_ratio,\n       "
+    + _ratio_sql(r"[^\.,;:!\?]") + " AS punct_ratio,\n       "
+    + _ratio_sql(r"[^A-Z]") + " AS upper_ratio,\n       "
+    + r"""ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','that','it','for')))
+         / GREATEST(len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE, 1.0), 6)
+         AS stopword_ratio
+FROM documents
+""",
+)
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import language_id
+
+    return language_id(get_tables(spark, sf_dir)["documents"])
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        r"len(list_filter(string_split_regex(trim(lower(text)), '\s+'), "
+        f"t -> t IN ({lst})))"
+    )
+
+
+def _language_id_oracle() -> str:
+    from .operators.text import STOPWORDS
+
+    scores = ",\n       ".join(
+        f"{_lang_score_sql(ws)} AS s_{lang}" for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN {best} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return (
+        f"SELECT doc_id, CASE {cases} ELSE 'unknown' END AS pred_lang, "
+        + ", ".join(f"s_{l}" for l in langs)
+        + f" FROM (SELECT doc_id, text,\n       {scores}\nFROM documents)"
+    )
+
+
+_register("text_language_id", _q_language_id, _language_id_oracle())
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import embedding_norms
+
+    return embedding_norms(get_tables(spark, sf_dir)["embeddings"])
+
+
+_register(
+    "embedding_norms",
+    _q_embedding_norms,
+    "SELECT vec_id, ROUND(sqrt(list_aggregate(list_transform("
+    "CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm, "
+    "len(embedding) AS dim FROM embeddings",
+)
+
+
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import brute_force_topk
+
+    emb = get_tables(spark, sf_dir)["embeddings"]
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+_register(
+    "similarity_topk",
+    _q_topk,
+    """
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(v.embedding AS DOUBLE[])), 6) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(v.embedding AS DOUBLE[])), 6) DESC,
+                    v.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
+  WHERE q.vec_id < 8)
+WHERE rank <= 5
+""",
+)
+
+# ---------------------------------------------------------------------------
+# 3. rows-only queries (non-SQL-expressible: hashing/UDF/window internals)
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import minhash_signatures
+
+    return minhash_signatures(get_tables(spark, sf_dir)["documents"],
+                              num_perm=32)
+
+
+_register("minhash_signatures", _q_minhash_sigs)
+
+
+def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_dup_corpus(spark, sf_dir),
+                                  num_perm=32, bands=8)
+
+
+_register("minhash_lsh_candidates", _q_minhash_candidates)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import simhash_candidates
+
+    return simhash_candidates(_dup_corpus(spark, sf_dir), max_hamming=3)
+
+
+_register("simhash_candidates", _q_simhash)
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import fingerprint
+
+    return fingerprint(get_tables(spark, sf_dir)["documents"])
+
+
+_register("text_fingerprint", _q_fingerprint)
+
+
+def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .operators import ivf_topk
+
+    emb = get_tables(spark, sf_dir)["embeddings"]
+    cents = np.stack([
+        np.array(r.embedding, dtype=np.float64)
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ])
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=2)
+
+
+_register("similarity_ivf_topk", _q_ivf)
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_fake_media, decode_image_features
+
+    d = get_tables(spark, sf_dir)["documents"].limit(50)
+    return decode_image_features(attach_fake_media(d))
+
+
+_register("multimodal_image_features", _q_multimodal)
+
+
+def _q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windowed_histogram
+
+    ev = get_tables(spark, sf_dir)["events"]
+    spec = HistogramSpec(axes=(Regular(10, 0.0, 100.0),), storage=Storage.DOUBLE)
+    return windowed_histogram(ev, "ts", ["value"], spec,
+                              window="6 hours", slide="3 hours")
+
+
+_register("windowed_histogram", _q_windowed)
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: the minimum end-to-end slice (SURVEY §7.2)."""
+    return QUERIES["hist1d_weight"](spark, "/root/testdata/sf0.001")
