@@ -297,10 +297,16 @@ class AggHistogram:
             lit_df = F.broadcast(spark.createDataFrame(rows, schema))
             joined = self.df.join(lit_df, on=bins, how="left")
             sel = [F.col(c) for c in bins]
-            rhs = F.coalesce(F.col("__operand"), F.lit(0.0))
+            rhs = F.col("__operand")
             for c in vcols:
                 lhs = F.col(c)
-                sel.append((op(rhs, lhs) if swap else op(lhs, rhs)).alias(c))
+                # flow bins have no operand entry: leave them unchanged
+                # (boost view-arithmetic semantics — ops apply to the
+                # in-range view only)
+                applied = op(rhs, lhs) if swap else op(lhs, rhs)
+                sel.append(
+                    F.when(rhs.isNull(), lhs).otherwise(applied).alias(c)
+                )
             return AggHistogram(joined.select(*sel), spec, self._categories)
         return NotImplemented  # type: ignore[return-value]
 

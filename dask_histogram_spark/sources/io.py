@@ -1,0 +1,134 @@
+"""Sources & sinks.
+
+The reference has no scans or sinks of its own (SURVEY.md §2.3 —
+it consumes pre-built collections and converts results driver-side);
+under Spark, sources are DataFrames from any reader.  This module adds
+the two pieces a production engine does need:
+
+* :func:`read_table` — format-dispatching reader (parquet/csv/json/orc)
+  with the testdata's nanos-timestamp handling built in.
+* :func:`save_histogram` / :func:`load_histogram` — persist an
+  AggHistogram as sparse parquet + a JSON spec sidecar.  The sparse
+  form is the scale-safe serialization: nbins rows, partitionable,
+  re-aggregatable (saved partials from different runs can be unioned
+  and ``collapse``-d — the distributed analog of the reference's
+  ``to_delayed`` escape hatch, core.py:845-853).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..result import AggHistogram
+from ..spec import (
+    Boolean,
+    HistogramSpec,
+    IntCategory,
+    Integer,
+    Regular,
+    Storage,
+    StrCategory,
+    Variable,
+)
+
+__all__ = ["read_table", "save_histogram", "load_histogram"]
+
+
+def read_table(spark: SparkSession, path: str, fmt: str | None = None,
+               **options) -> DataFrame:
+    """Read a table of any supported format into a DataFrame.
+
+    Format inferred from the extension when not given.  Parquet files
+    with nanosecond timestamps are handled (see session.load_tables).
+    """
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"pq": "parquet"}.get(ext, ext) or "parquet"
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt == "parquet":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = reader.parquet(path)
+        from ..session import _nanos_timestamp_cols
+
+        from pyspark.sql import functions as F
+
+        for c in _nanos_timestamp_cols(path):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+            )
+        return df
+    return reader.format(fmt).load(path)
+
+
+# ---------------------------------------------------------------------------
+# histogram persistence
+# ---------------------------------------------------------------------------
+
+def _axis_to_json(ax) -> dict:
+    if isinstance(ax, Regular):
+        return {"kind": "regular", "n": ax.n, "lo": ax.lo, "hi": ax.hi}
+    if isinstance(ax, Variable):
+        return {"kind": "variable", "edges": list(ax.edge_list)}
+    if isinstance(ax, Integer):
+        return {"kind": "integer", "lo": ax.lo, "hi": ax.hi}
+    if isinstance(ax, Boolean):
+        return {"kind": "boolean"}
+    if isinstance(ax, IntCategory):
+        return {"kind": "intcat", "categories": list(ax.categories),
+                "growth": ax.growth}
+    if isinstance(ax, StrCategory):
+        return {"kind": "strcat", "categories": list(ax.categories),
+                "growth": ax.growth}
+    raise TypeError(type(ax).__name__)
+
+
+def _axis_from_json(d: dict):
+    k = d["kind"]
+    if k == "regular":
+        return Regular(d["n"], d["lo"], d["hi"])
+    if k == "variable":
+        return Variable(d["edges"])
+    if k == "integer":
+        return Integer(d["lo"], d["hi"])
+    if k == "boolean":
+        return Boolean()
+    if k == "intcat":
+        return IntCategory(d["categories"], growth=d["growth"])
+    if k == "strcat":
+        return StrCategory(d["categories"], growth=d["growth"])
+    raise ValueError(k)
+
+
+def save_histogram(h: AggHistogram, path: str, mode: str = "error") -> None:
+    """Write the sparse result to ``path`` (parquet dir) and the spec to
+    ``path/_histogram_spec.json``."""
+    h.df.write.mode(mode).parquet(path)
+    spec = {
+        "axes": [_axis_to_json(ax) for ax in h.spec.axes],
+        "storage": h.spec.storage.value,
+        "metadata": h.spec.metadata,
+    }
+    with open(os.path.join(path, "_histogram_spec.json"), "w") as f:
+        json.dump(spec, f)
+
+
+def load_histogram(spark: SparkSession, path: str) -> AggHistogram:
+    """Reload a saved histogram as a lazy AggHistogram."""
+    with open(os.path.join(path, "_histogram_spec.json")) as f:
+        d = json.load(f)
+    spec = HistogramSpec(
+        axes=tuple(_axis_from_json(a) for a in d["axes"]),
+        storage=Storage(d["storage"]),
+        metadata=d.get("metadata"),
+    )
+    return AggHistogram(spark.read.parquet(path), spec)

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import dask_histogram_spark as dhs
+from dask_histogram_spark.sources import load_histogram, read_table, save_histogram
+
+
+def test_save_load_roundtrip(spark, gauss1d, tmp_path):
+    df, pdf = gauss1d
+    h = dhs.histogram(df, "x", bins=10, range=(-3, 3), weights="w")
+    p = str(tmp_path / "hist")
+    save_histogram(h, p)
+    h2 = load_histogram(spark, p)
+    np.testing.assert_allclose(h2.values(flow=True), h.values(flow=True))
+    np.testing.assert_allclose(h2.variances(flow=True), h.variances(flow=True))
+    assert h2.spec.axes == h.spec.axes
+    assert h2.spec.storage is h.spec.storage
+
+
+def test_saved_partials_collapse(spark, gauss1d, tmp_path):
+    """Partials persisted from separate runs can be unioned + collapsed —
+    the distributed analog of to_delayed round-trips (core.py:845-853)."""
+    df, pdf = gauss1d
+    spec = dhs.HistogramSpec(axes=(dhs.Regular(10, -3, 3),),
+                             storage=dhs.Storage.WEIGHT)
+    half1 = df.where("x < 0")
+    half2 = df.where("x >= 0")
+    p1, p2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    save_histogram(dhs.AggHistogram(dhs.fill(half1, ["x"], spec, weight="w"), spec), p1)
+    save_histogram(dhs.AggHistogram(dhs.fill(half2, ["x"], spec, weight="w"), spec), p2)
+    a = load_histogram(spark, p1)
+    b = load_histogram(spark, p2)
+    merged = dhs.AggHistogram(
+        dhs.collapse(a.df.unionByName(b.df), spec), spec
+    )
+    full = dhs.histogram(df, "x", bins=10, range=(-3, 3), weights="w")
+    np.testing.assert_allclose(
+        merged.values(flow=True), full.values(flow=True)
+    )
+
+
+def test_read_table_parquet_nanos(spark):
+    df = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0
+
+
+def test_read_table_csv(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = read_table(spark, p)
+    assert df.count() == 2
+    assert set(df.columns) == {"a", "b"}
