@@ -110,29 +110,47 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     never leave the JVM.
     """
     hashes = _shingle_hashes(F.col(text_col), shingle_k)
-
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                hashes,
-                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE61)),
-            )
-        )
-
-    sig = F.array(*[perm_min(a, b) for a, b in _perm_coeffs(num_perm, seed)])
+    coeffs = _perm_coeffs(num_perm, seed)
+    A = F.array(*[F.lit(a) for a, _ in coeffs])
+    B = F.array(*[F.lit(b) for _, b in coeffs])
+    # One fold over the shingle array: the shingle+hash subexpression is
+    # evaluated ONCE per row (a naive per-permutation array_min would
+    # re-shingle the text num_perm times — measured 16x plan blowup);
+    # each shingle updates all num_perm running minima in place.
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_MERSENNE61).cast("long"), num_perm),
+        lambda acc, h: F.transform(
+            acc,
+            lambda cur, j: F.least(
+                cur,
+                F.pmod(
+                    h * F.element_at(A, j + 1) + F.element_at(B, j + 1),
+                    F.lit(_MERSENNE61),
+                ),
+            ),
+        ),
+    )
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
-                           seed: int = 17) -> DataFrame:
+                           seed: int = 17, persist: bool = False) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
 
     Banding: signature split into ``bands`` rows of r = num_perm/bands;
     docs sharing any band bucket become candidates.  The only shuffle is
-    the groupBy on (band, band_hash) — no cross join anywhere, so the
+    the join on (band, band_hash) — no cross join anywhere, so the
     plan scales with bucket sizes, not n^2.
+
+    ``persist`` materializes the banded projection so the self-join
+    does not re-shingle both sides.  Measured at sf0.01 the persist
+    round-trip costs MORE than recomputing the narrow projection
+    (2.3 s vs 3.0 s per run), so it defaults off; in a production
+    100 TB dedup you would instead write the banded set to a table
+    once and join from that.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -157,6 +175,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if persist:
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -181,7 +203,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        persist: bool = False) -> DataFrame:
     """Exact Jaccard similarity join over distinct character k-grams.
 
     Inverted-index plan: explode distinct shingles, self-equi-join on
@@ -193,6 +216,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     are the hazard; AQE skew-join handles moderate skew, and a stopword
     cut (drop shingles occurring in > x% of docs) is the standard
     escalation, left out here to keep oracle parity exact.
+    ``persist`` defaults OFF: the exploded shingle set is n_docs x
+    n_shingles rows — often larger than the corpus — so recomputing the
+    narrow explode usually beats caching it; flip on for small corpora
+    or expensive upstream pipelines.
     """
     shingles = F.array_distinct(
         F.transform(
@@ -205,6 +232,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.size(shingles).alias("n_sh"),
         F.explode(shingles).alias("sh"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     a = ex.alias("a")
     b = ex.alias("b")
     return (
@@ -261,14 +292,24 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       persist: bool = False) -> DataFrame:
     """Near-dup candidate pairs by SimHash banding.
 
     Pigeonhole: signatures within Hamming distance d < 4 share at least
     one of four 16-bit chunks, so the join is an equi-join on
     (chunk_idx, chunk_value); the exact Hamming distance then filters.
+
+    ``persist`` materializes the (id, simhash) set once so the Arrow
+    pandas_udf fold does not run on both join sides (8 bytes/doc);
+    off by default — see minhash_lsh_candidates for the measured
+    tradeoff — but worth flipping when the UDF dominates (long docs).
     """
     sigs = simhash_signatures(df, text_col, id_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sigs.select(
         id_col,
         "simhash",
