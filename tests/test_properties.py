@@ -1,0 +1,142 @@
+"""Property-based tests: hypothesis over the pure-Python normalization
+layer (fast, many examples) + bulk invariant checks of the binning
+Column expressions (one Spark job over many generated cases)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import assume, given, settings, strategies as st
+
+from dask_histogram_spark.bins import normalize_bins_range
+from dask_histogram_spark.spec import Regular, Variable
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: bins/range normalization (pure Python)
+# ---------------------------------------------------------------------------
+
+@given(
+    ndim=st.integers(1, 5),
+    nbins=st.integers(1, 100),
+    lo=st.floats(-1e6, 1e6, allow_nan=False),
+    width=st.floats(1e-3, 1e6, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_scalar_broadcast_property(ndim, nbins, lo, width):
+    bins_pd, range_pd = normalize_bins_range(ndim, nbins, (lo, lo + width))
+    assert len(bins_pd) == ndim == len(range_pd)
+    assert all(b == nbins for b in bins_pd)
+    assert all(r == (lo, lo + width) for r in range_pd)
+
+
+@given(
+    edges=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=30, unique=True
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_variable_axis_properties(edges):
+    edges = sorted(edges)
+    ax = Variable(edges)
+    assert ax.nbins == len(edges) - 1
+    np.testing.assert_array_equal(ax.edges(), np.asarray(edges))
+    assert (ax.widths() > 0).all()
+
+
+@given(
+    n=st.integers(1, 1000),
+    lo=st.floats(-1e9, 1e9, allow_nan=False),
+    width=st.floats(1e-6, 1e9, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_regular_axis_properties(n, lo, width):
+    # bin width must be representable at the axis magnitude (hypothesis
+    # found lo=1e9, width=1e-6, n=1000 -> sub-ULP bins = duplicate edges;
+    # a physically meaningless axis, excluded rather than "fixed")
+    assume(width / n > max(abs(lo), abs(lo + width)) * 1e-12)
+    ax = Regular(n, lo, lo + width)
+    e = ax.edges()
+    assert len(e) == n + 1
+    assert e[0] == lo and e[-1] == pytest.approx(lo + width)
+    assert (np.diff(e) > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Spark binning invariants (bulk: one job, many generated cases)
+# ---------------------------------------------------------------------------
+
+def test_regular_binning_invariants_bulk(spark):
+    rng = np.random.default_rng(99)
+    n, lo, hi = 17, -4.0, 9.0
+    x = np.concatenate([
+        rng.uniform(lo - 5, hi + 5, 3000),          # around + beyond range
+        np.linspace(lo, hi, n + 1),                 # exactly on the edges
+        [np.nan, np.inf, -np.inf, lo, hi],
+    ])
+    pdf = pd.DataFrame({"x": x})
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.binning import bin_column
+
+    out = df.select(
+        F.col("x"), bin_column(Regular(n, lo, hi), F.col("x")).alias("b")
+    ).toPandas()
+    xs, bs = out.x.to_numpy(), out.b.to_numpy()
+    nan = np.isnan(xs)
+    # flow contract
+    assert (bs[nan] == n).all()
+    assert (bs[(~nan) & (xs < lo)] == -1).all()
+    assert (bs[(~nan) & (xs >= hi)] == n).all()
+    inr = (~nan) & (xs >= lo) & (xs < hi)
+    # in-range bins are in [0, n)
+    assert bs[inr].min() >= 0 and bs[inr].max() <= n - 1
+    # monotonicity: sort by x -> bins nondecreasing (flow encoded -1/n)
+    order = np.argsort(xs[~nan], kind="stable")
+    sb = bs[~nan][order]
+    assert (np.diff(sb) >= 0).all()
+    # each in-range value lies inside its bin's edge interval
+    edges = Regular(n, lo, hi).edges()
+    assert (xs[inr] >= edges[bs[inr]]).all()
+    assert (xs[inr] < edges[bs[inr] + 1] + 1e-9).all()
+
+
+def test_variable_binning_matches_searchsorted_bulk(spark):
+    rng = np.random.default_rng(5)
+    edges = np.array([-3.0, -1.5, -0.25, 0.0, 0.5, 2.0, 7.5])
+    x = np.concatenate([
+        rng.uniform(-5, 9, 3000),
+        edges,                                      # exactly on the edges
+        [np.nan],
+    ])
+    pdf = pd.DataFrame({"x": x})
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.binning import bin_column
+
+    out = df.select(
+        F.col("x"), bin_column(Variable(edges), F.col("x")).alias("b")
+    ).toPandas()
+    xs, bs = out.x.to_numpy(), out.b.to_numpy()
+    nan = np.isnan(xs)
+    n = len(edges) - 1
+    assert (bs[nan] == n).all()
+    # independent oracle: half-open [e_i, e_{i+1}) via searchsorted
+    exp = np.searchsorted(edges, xs[~nan], side="right") - 1
+    exp = np.where(xs[~nan] < edges[0], -1, exp)
+    exp = np.where(xs[~nan] >= edges[-1], n, exp)
+    np.testing.assert_array_equal(bs[~nan], exp)
+
+
+def test_count_preservation_bulk(spark, gauss1d):
+    """Total count with flow always equals the row count — every value
+    lands in exactly one bin, for any axis."""
+    import dask_histogram_spark as dhs
+
+    df, pdf = gauss1d
+    for bins, rng_ in [(7, (-1, 1)), (3, (0, 0.5)), ([-2, 0, 1], None)]:
+        h = dhs.histogram(df, "x", bins=bins, range=rng_)
+        assert h.counts(flow=True).sum() == len(pdf)

@@ -1,0 +1,99 @@
+"""Structured-Streaming tests: file source + availableNow trigger for
+deterministic micro-batch execution."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import dask_histogram_spark as dhs
+from dask_histogram_spark.session import load_tables
+from dask_histogram_spark.streaming import (
+    streaming_dedup_exact,
+    windowed_histogram,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Write the events table as several parquet files -> a replayable
+    file stream."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_tables(spark, "/root/testdata/sf0.001", names=("events",))["events"]
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d, ev.schema, ev.count()
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_windowed_histogram_matches_batch(spark, events_stream_dir):
+    d, schema, total = events_stream_dir
+    spec = dhs.HistogramSpec(axes=(dhs.Regular(10, 0, 100),),
+                             storage=dhs.Storage.DOUBLE)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    # watermark wider than the 30-day data span: unordered file replay
+    # must not drop anything (a tight watermark correctly drops late
+    # rows — covered by observation, not asserted here)
+    out = windowed_histogram(stream, "ts", ["value"], spec,
+                             window="1 day", watermark="60 days")
+    assert out.isStreaming
+    _run_stream(out, "swh")
+    got = spark.sql(
+        "SELECT window_start, bin_0, max(value) AS value FROM swh "
+        "GROUP BY window_start, bin_0"
+    ).toPandas()
+    # batch reference on the same data
+    batch_df = spark.read.schema(schema).parquet(d)
+    exp = windowed_histogram(batch_df, "ts", ["value"], spec,
+                             window="1 day").toPandas()
+    got_g = got.groupby(["window_start", "bin_0"]).value.sum().sort_index()
+    exp_g = exp.groupby(["window_start", "bin_0"]).value.sum().sort_index()
+    # update-mode memory sink keeps the latest value per key per batch;
+    # max over batches == final accumulated count
+    assert got_g.index.equals(exp_g.index)
+    np.testing.assert_allclose(got_g.to_numpy(), exp_g.to_numpy())
+    assert got_g.sum() == total
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Duplicates across micro-batches are dropped by grouped state."""
+    d = str(tmp_path / "docs_stream")
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    n = docs.count()
+    dup = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    dup.repartition(6).write.mode("overwrite").parquet(d)
+    schema = dup.schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = streaming_dedup_exact(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sdedup").collect()
+    # exactly one winner per distinct text, across batches
+    assert len(rows) == n
+    assert len({r.content_hash for r in rows}) == n
