@@ -24,6 +24,8 @@ from __future__ import annotations
 from functools import reduce
 from typing import Union
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,6 +45,31 @@ __all__ = ["bin_column", "bin_sql", "CATEGORY_OVERFLOW"]
 # Sentinel dense-index for out-of-set values on a pinned (growth=False)
 # category axis.
 CATEGORY_OVERFLOW = -2
+
+# Variable axes beyond this many bins switch from a chained-CASE Column
+# expression (O(n) per row, codegen) to an Arrow-batched numpy
+# searchsorted pandas_udf (O(log n), vectorized).
+VARIABLE_UDF_THRESHOLD = 512
+
+
+def _variable_bin_searchsorted(x: Column, edges: tuple) -> Column:
+    """Large-edge-list Variable binning: vectorized np.searchsorted over
+    Arrow batches.  Identical semantics to the Column form: half-open
+    [e_i, e_{i+1}) bins, x < e_0 -> -1, x >= e_last / NaN / NULL -> n."""
+    from pyspark.sql import types as T
+
+    e = np.asarray(edges, dtype=np.float64)
+    n = len(e) - 1
+
+    @F.pandas_udf(T.LongType())
+    def bin_udf(s: pd.Series) -> pd.Series:
+        v = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        idx = np.searchsorted(e, v, side="right").astype(np.int64) - 1
+        idx[v < e[0]] = -1
+        idx[(v >= e[-1]) | np.isnan(v)] = n
+        return pd.Series(idx)
+
+    return bin_udf(x)
 
 
 def _dbl(col: Column) -> Column:
@@ -66,9 +93,12 @@ def bin_column(axis: Axis, col: Column) -> Column:
         x = _dbl(col)
         edges = axis.edge_list
         n = axis.nbins
+        if n > VARIABLE_UDF_THRESHOLD:
+            return _variable_bin_searchsorted(x, edges)
         # Chained half-open comparisons; <= ~hundreds of edges this stays
-        # in codegen.  (Scale note: for huge edge lists a searchsorted
-        # pandas_udf would be the fallback; histogram axes are small.)
+        # in codegen.  Beyond VARIABLE_UDF_THRESHOLD the expression tree
+        # (O(n) per row) loses to the Arrow searchsorted fallback above
+        # (O(log n) vectorized).
         expr = F.lit(n - 1).cast("long")  # last in-range bin
         for i in range(n - 1, -1, -1):
             expr = F.when(x < F.lit(float(edges[i + 1])), F.lit(i).cast("long")).otherwise(expr)

@@ -179,3 +179,39 @@ def test_int_bins_without_range_raises(spark, gauss1d):
     df, _ = gauss1d
     with pytest.raises(ValueError, match="range"):
         dhs.histogram(df, "x", bins=10)
+
+
+def test_multifill_single_scan(spark, gauss1d):
+    """Fills sharing a source fuse into ONE scan (25 fills != 25 scans)."""
+    df, pdf = gauss1d
+    import dask_histogram_spark as dhs
+
+    spec = dhs.HistogramSpec(axes=(dhs.Regular(10, -3, 3),))
+    fills = [dhs.FillSpec(df, ("x",), float(i)) for i in range(1, 26)]
+    out = dhs.fill_multi(fills, spec)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") <= 1 or plan.count("LogicalRDD") <= 1
+    # value = sum over fills of w_i * count = (1+..+25) * per-bin count
+    h = dhs.AggHistogram(out, spec)
+    base = dhs.histogram(df, "x", bins=10, range=(-3, 3))
+    np.testing.assert_allclose(
+        h.values(flow=True), sum(range(1, 26)) * base.counts(flow=True)
+    )
+
+
+def test_variable_axis_searchsorted_fallback(spark, gauss1d):
+    """>512 edges routes through the Arrow searchsorted path with
+    identical semantics."""
+    df, pdf = gauss1d
+    import dask_histogram_spark as dhs
+
+    edges = np.linspace(-3, 3, 1001)  # 1000 bins > threshold
+    h = dhs.histogram(df, "x", bins=edges)
+    got = h.counts(flow=True)
+    exp = np.zeros(1002)
+    idx = np.searchsorted(edges, pdf.x.to_numpy(), side="right") - 1
+    idx[pdf.x.to_numpy() < edges[0]] = -1
+    idx[pdf.x.to_numpy() >= edges[-1]] = 1000
+    np.add.at(exp, idx + 1, 1.0)
+    np.testing.assert_allclose(got, exp)
+    assert got.sum() == len(pdf)
