@@ -16,12 +16,18 @@ from .dedup import (
     simhash_signatures,
     simhash_candidates,
 )
-from .similarity import brute_force_topk, ivf_topk, embedding_norms
+from .similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    embedding_norms,
+    ivf_topk,
+)
 from .text import language_id, text_stats, token_counts, fingerprint
 
 __all__ = [
     "brute_force_topk",
     "dedup_exact",
+    "embedding_near_dup_pairs",
     "embedding_norms",
     "exact_dup_stats",
     "fingerprint",

@@ -18,7 +18,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr"]
+__all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
+           "embedding_near_dup_pairs"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -36,10 +37,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array columns (double math)."""
+    """Cosine similarity of two array columns (double math).
+
+    Zero-magnitude vectors have undefined cosine: returns NULL (via
+    nullif) instead of raising DIVIDE_BY_ZERO under ANSI mode — NULL
+    then drops out of thresholds and ranks last in top-k, which is the
+    useful semantic for an all-zeros (missing) embedding.
+    """
     ad = F.transform(a, lambda v: v.cast("double"))
     bd = F.transform(b, lambda v: v.cast("double"))
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    return _dot(ad, bd) / F.nullif(_norm(ad) * _norm(bd), F.lit(0.0))
 
 
 def embedding_norms(df: DataFrame, vec_col: str = "embedding",
@@ -155,3 +162,66 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             planes: int = 16, seed: int = 23,
+                             exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
+
+    Scale path (default): random-hyperplane LSH — each vector gets a
+    ``planes``-bit signature (sign of dot with seeded random
+    hyperplanes); candidate pairs share a signature bucket, then the
+    exact cosine filters.  Collision probability for two vectors at
+    angle θ is (1 - θ/π)^planes, so high-cosine pairs nearly always
+    collide while the bucket join stays linear in bucket sizes.
+    ``exact=True`` bypasses LSH (full pairwise — only for oracles/small
+    tables; it is the O(n²) plan the LSH form exists to avoid).
+
+    Recall note: single-table LSH misses near-dups that straddle a
+    hyperplane; production runs use band repetition (several seeds,
+    union of candidates) to drive recall up — same plan shape, r
+    unions.  Output: (id_a, id_b, cos_sim).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        import numpy as np
+
+        dim = len(df.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((planes, dim))
+        sig = F.concat(*[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(h)) for h in H[p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(planes)
+        ])
+        bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+        a = bucketed.select(F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("__va"),
+                            F.col("__sig").alias("__siga"))
+        b = bucketed.select(F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("__vb"),
+                            F.col("__sig").alias("__sigb"))
+        pairs = a.join(
+            b, (F.col("__siga") == F.col("__sigb")) & (F.col("id_a") < F.col("id_b"))
+        )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)

@@ -209,6 +209,39 @@ _hist_query(
     where_sql="l_returnflag = 'R'",
 )
 
+# -- join + histogram: broadcast-join a derived dimension, then fill
+# (exercises join planning inside the engine; the per-custkey counts
+# are broadcast-size at any SF where customers fit the dim pattern)
+
+_JOIN_SPEC = HistogramSpec(axes=(Regular(12, -1000.0, 10000.0),),
+                           storage=Storage.WEIGHT)
+_JOIN_SQL_TABLE = (
+    "(SELECT c.c_acctbal AS acctbal, CAST(o.n AS DOUBLE) AS n_orders "
+    "FROM customer c JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders "
+    "GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey)"
+)
+
+
+def _q_hist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = get_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = t["customer"].join(
+        per_cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("n").cast("double").alias("n_orders"),
+    )
+    return sig_rounded(fill(joined, ["acctbal"], _JOIN_SPEC, weight="n_orders"))
+
+
+_register(
+    "hist_join_weighted",
+    _q_hist_join,
+    fill_sql(_JOIN_SQL_TABLE, ["acctbal"], _JOIN_SPEC, weight_sql="n_orders"),
+)
+
 # -- multifill: two staged fills -> one aggregation (SURVEY §2.1 #9-10)
 
 _MULTIFILL_SPEC = HistogramSpec(axes=(Regular(25, 0.0, 50.0),),
@@ -568,6 +601,37 @@ WHERE rank <= 5
 # ---------------------------------------------------------------------------
 # 3. rows-only queries (non-SQL-expressible: hashing/UDF/window internals)
 # ---------------------------------------------------------------------------
+
+
+def _q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import embedding_near_dup_pairs
+
+    emb = get_tables(spark, sf_dir)["embeddings"]
+    return embedding_near_dup_pairs(emb, threshold=0.3, exact=True)
+
+
+_register(
+    "embedding_near_dup_exact",
+    _q_near_dup_exact,
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+""",
+)
+
+
+def _q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import embedding_near_dup_pairs
+
+    emb = get_tables(spark, sf_dir)["embeddings"]
+    return embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+
+
+_register("embedding_near_dup_lsh", _q_near_dup_lsh)
 
 
 def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:

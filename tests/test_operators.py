@@ -211,3 +211,26 @@ def test_windowed_histogram_batch(spark, tables):
     assert rows
     total = sum(r.value for r in rows)
     assert total == ev.count()
+
+
+def test_embedding_near_dup(spark, tables):
+    from dask_histogram_spark.operators import embedding_near_dup_pairs
+
+    emb = tables["embeddings"]
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_near_dup_pairs(emb, threshold=0.3, exact=True).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos_sim
+           for r in embedding_near_dup_pairs(emb, threshold=0.3, planes=8).collect()}
+    # LSH candidates are a subset of the exact result, with equal scores
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+        assert v >= 0.3
+    # identical vectors always collide: duplicate the table
+    from pyspark.sql import functions as F
+
+    dup = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    n = emb.count()
+    pairs = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(dup, threshold=0.999).collect()}
+    assert all((i, i + 100000) in pairs for i in range(n))
