@@ -204,7 +204,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         threshold: float = 0.8,
-                        persist: bool = False) -> DataFrame:
+                        persist: bool = False,
+                        max_df: float | None = None) -> DataFrame:
     """Exact Jaccard similarity join over distinct character k-grams.
 
     Inverted-index plan: explode distinct shingles, self-equi-join on
@@ -232,6 +233,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.size(shingles).alias("n_sh"),
         F.explode(shingles).alias("sh"),
     )
+    if max_df is not None:
+        # Stopword cut: drop shingles present in > max_df of documents.
+        # This is THE skew fix for the inverted-index join — a shingle in
+        # 50% of a 10^9-doc corpus otherwise creates a 2.5*10^17-row join
+        # bucket.  Changes semantics (Jaccard over the pruned shingle
+        # sets), hence opt-in; n_sh is recomputed post-cut so the measure
+        # stays a true Jaccard over the reduced universe.
+        n_docs = df.count()
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") > max_df * n_docs)
+            .select("sh")
+        )
+        ex = ex.join(F.broadcast(hot), on="sh", how="left_anti")
+        ex = (
+            ex.withColumn(
+                "n_sh", F.count(F.lit(1)).over(
+                    Window.partitionBy(id_col)
+                )
+            )
+        )
     if persist:
         from pyspark import StorageLevel
 

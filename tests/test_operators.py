@@ -234,3 +234,19 @@ def test_embedding_near_dup(spark, tables):
     pairs = {(r.id_a, r.id_b)
              for r in embedding_near_dup_pairs(dup, threshold=0.999).collect()}
     assert all((i, i + 100000) in pairs for i in range(n))
+
+
+def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
+    """max_df drops ubiquitous shingles; identical docs still score 1.0
+    over the pruned shingle universe."""
+    from pyspark.sql import functions as F
+
+    d = tables["documents"]
+    n = d.count()
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + n))
+    pairs = ngram_jaccard_pairs(dup, k=8, threshold=0.99, max_df=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    hits = sum(1 for i in range(n) if got.get((i, i + n)) == pytest.approx(1.0))
+    # identical pairs survive the cut (a doc could lose ALL its shingles
+    # if every one is ubiquitous; with max_df=0.5 that is rare)
+    assert hits >= n * 0.9
