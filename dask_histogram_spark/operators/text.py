@@ -56,9 +56,11 @@ def text_stats(df: DataFrame, text_col: str = "text",
     toks = _tokens(t)
     n_tok = F.size(toks).cast("double")
 
-    def ratio_removed(pattern: str) -> Column:
+    def char_ratio(drop_pattern: str) -> Column:
+        """Fraction of characters in the class: strip the complement
+        (``drop_pattern``), count what survives."""
         return F.round(
-            (n - F.length(F.regexp_replace(t, pattern, ""))) /
+            F.length(F.regexp_replace(t, drop_pattern, "")) /
             F.greatest(n, F.lit(1.0)),
             6,
         )
@@ -69,10 +71,10 @@ def text_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.length(t).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
-        ratio_removed(r"[^\x20-\x7E]").alias("non_ascii_ratio"),
-        ratio_removed(r"[^0-9]").alias("digit_ratio"),
-        ratio_removed(r"[^\.,;:!\?]").alias("punct_ratio"),
-        ratio_removed(r"[^A-Z]").alias("upper_ratio"),
+        char_ratio(r"[\x20-\x7E]").alias("non_ascii_ratio"),
+        char_ratio(r"[^0-9]").alias("digit_ratio"),
+        char_ratio(r"[^\.,;:!\?]").alias("punct_ratio"),
+        char_ratio(r"[^A-Z]").alias("upper_ratio"),
         F.round(stop_hits / F.greatest(n_tok, F.lit(1.0)), 6).alias("stopword_ratio"),
     )
 

@@ -494,9 +494,10 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(get_tables(spark, sf_dir)["documents"])
 
 
-def _ratio_sql(pattern: str) -> str:
+def _ratio_sql(drop_pattern: str) -> str:
+    # fraction of chars in the class: strip the complement, count survivors
     return (
-        f"ROUND((length(text) - length(regexp_replace(text, '{pattern}', '', 'g')))"
+        f"ROUND(length(regexp_replace(text, '{drop_pattern}', '', 'g'))"
         f" / GREATEST(length(text)::DOUBLE, 1.0), 6)"
     )
 
@@ -509,7 +510,7 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
        """
-    + _ratio_sql(r"[^\x20-\x7E]") + " AS non_ascii_ratio,\n       "
+    + _ratio_sql(r"[\x20-\x7E]") + " AS non_ascii_ratio,\n       "
     + _ratio_sql(r"[^0-9]") + " AS digit_ratio,\n       "
     + _ratio_sql(r"[^\.,;:!\?]") + " AS punct_ratio,\n       "
     + _ratio_sql(r"[^A-Z]") + " AS upper_ratio,\n       "
@@ -601,6 +602,31 @@ WHERE rank <= 5
 # ---------------------------------------------------------------------------
 # 3. rows-only queries (non-SQL-expressible: hashing/UDF/window internals)
 # ---------------------------------------------------------------------------
+
+
+def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import prepare_training_corpus
+
+    dup = _dup_corpus(spark, sf_dir)
+    return prepare_training_corpus(dup)
+
+
+def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import corpus_stats, prepare_training_corpus
+
+    return corpus_stats(prepare_training_corpus(_dup_corpus(spark, sf_dir)))
+
+
+from .operators.pipeline import prepare_training_corpus_sql as _pipe_sql  # noqa: E402
+
+_register("pipeline_prepare_corpus", _q_pipeline,
+          _pipe_sql(table=_DUP_SQL))
+_register(
+    "pipeline_corpus_stats",
+    _q_pipeline_stats,
+    "SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens, "
+    f"SUM(n_chars) AS total_chars FROM ({_pipe_sql(table=_DUP_SQL)})",
+)
 
 
 def _q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,6 +159,15 @@ def test_token_counts_and_stats(spark, tables):
     for r in st:
         assert 0 <= r.stopword_ratio <= 1
         assert 0 <= r.punct_ratio <= 1
+    # ratio direction (regression: these were inverted once): a known
+    # string decomposes exactly
+    spark2 = d.sparkSession
+    probe = spark2.createDataFrame([(1, "AB12. xyz")], "doc_id LONG, text STRING")
+    r = text_stats(probe).collect()[0]
+    assert r.digit_ratio == pytest.approx(2 / 9)
+    assert r.upper_ratio == pytest.approx(2 / 9)
+    assert r.punct_ratio == pytest.approx(1 / 9)
+    assert r.non_ascii_ratio == 0.0
 
 
 def test_language_id_deterministic(spark, tables):
@@ -250,3 +259,26 @@ def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
     # identical pairs survive the cut (a doc could lose ALL its shingles
     # if every one is ubiquitous; with max_df=0.5 that is rare)
     assert hits >= n * 0.9
+
+
+def test_prepare_training_corpus(spark, docs_with_dups):
+    from dask_histogram_spark.operators.pipeline import (
+        corpus_stats,
+        prepare_training_corpus,
+    )
+
+    df, n = docs_with_dups
+    kept = prepare_training_corpus(df.select("doc_id", "text"))
+    rows = kept.collect()
+    # dedup stage: no doc kept twice, winners are min-ids
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(i < n for i in ids)
+    # gates hold for every kept doc
+    for r in rows:
+        assert r.n_chars >= 80 and r.n_tokens >= 10 and r.digit_ratio <= 0.3
+    # synthetic docs are digit-free text >= 10 tokens: most survive
+    assert len(rows) > n * 0.8
+    stats = corpus_stats(kept).collect()[0]
+    assert stats.n_docs == len(rows)
+    assert stats.total_tokens == sum(r.n_tokens for r in rows)
