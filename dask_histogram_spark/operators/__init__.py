@@ -9,6 +9,7 @@ Arrow-batched Pandas UDFs where vector math genuinely needs it.
 
 from .dedup import (
     dedup_exact,
+    word_ngram_jaccard_pairs,
     exact_dup_stats,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -20,6 +21,7 @@ from .similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     embedding_norms,
+    fit_centroids,
     ivf_topk,
 )
 from .text import language_id, text_stats, token_counts, fingerprint
@@ -31,6 +33,7 @@ __all__ = [
     "embedding_norms",
     "exact_dup_stats",
     "fingerprint",
+    "fit_centroids",
     "ivf_topk",
     "language_id",
     "minhash_lsh_candidates",
@@ -40,4 +43,5 @@ __all__ = [
     "simhash_signatures",
     "text_stats",
     "token_counts",
+    "word_ngram_jaccard_pairs",
 ]

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
+    "word_ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_candidates",
 ]
@@ -362,4 +363,41 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def word_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 3,
+                             threshold: float = 0.8) -> DataFrame:
+    """Word-level n-gram Jaccard similarity join (the token-shingle
+    variant of :func:`ngram_jaccard_pairs`; robust to whitespace noise,
+    coarser than character shingles).  Same inverted-index plan."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    ex = df.select(
+        F.col(id_col), F.size(grams).alias("n_sh"), F.explode(grams).alias("sh")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
-           "embedding_near_dup_pairs"]
+           "embedding_near_dup_pairs", "fit_centroids"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -225,3 +225,39 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         "id_a", "id_b",
         F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+def fit_centroids(df: DataFrame, n_centroids: int = 64,
+                  vec_col: str = "embedding", sample_fraction: float = 0.1,
+                  iterations: int = 10, seed: int = 11) -> np.ndarray:
+    """Driver-side mini-batch k-means over a sample — produces the
+    centroid array :func:`ivf_topk` consumes.
+
+    Index-build pattern for IVF at scale: sample a fraction (bounded
+    driver memory), Lloyd iterations in numpy (a (C, dim) problem, not
+    a data-scale one), then the full assignment runs distributed inside
+    ``ivf_topk``.  Deterministic for a given seed.
+    """
+    sample = (
+        df.select(vec_col)
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"sample yielded {len(X)} vectors < n_centroids={n_centroids}; "
+            "raise sample_fraction"
+        )
+    # normalize so k-means on euclidean ~ spherical k-means (cosine)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(iterations):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C

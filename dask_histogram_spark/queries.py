@@ -466,6 +466,35 @@ HAVING jaccard >= 0.3
 )
 
 
+def _q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import word_ngram_jaccard_pairs
+
+    d = get_tables(spark, sf_dir)["documents"]
+    return word_ngram_jaccard_pairs(d, n=3, threshold=0.3)
+
+
+_register(
+    "word_ngram_jaccard",
+    _q_word_jaccard,
+    r"""
+WITH ex AS (
+  SELECT doc_id, len(g) AS n_sh, unnest(g) AS sh FROM (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i : i + 2], ' ')
+        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS g
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents))
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(COUNT(*)::DOUBLE / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+GROUP BY 1, 2, a.n_sh, b.n_sh
+HAVING jaccard >= 0.3
+""",
+)
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import token_counts
 

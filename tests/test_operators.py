@@ -282,3 +282,35 @@ def test_prepare_training_corpus(spark, docs_with_dups):
     stats = corpus_stats(kept).collect()[0]
     assert stats.n_docs == len(rows)
     assert stats.total_tokens == sum(r.n_tokens for r in rows)
+
+
+def test_word_ngram_jaccard(spark, docs_with_dups):
+    from dask_histogram_spark.operators import word_ngram_jaccard_pairs
+
+    df, n = docs_with_dups
+    pairs = word_ngram_jaccard_pairs(df, n=3, threshold=0.99).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    for i in range(0, n, 50):
+        assert got.get((i, i + n)) == pytest.approx(1.0)
+
+
+def test_fit_centroids_and_ivf(spark, tables):
+    from dask_histogram_spark.operators import brute_force_topk, fit_centroids, ivf_topk
+
+    emb = tables["embeddings"]
+    C = fit_centroids(emb, n_centroids=8, sample_fraction=1.0, seed=11)
+    assert C.shape == (8, 64)
+    np.testing.assert_allclose(np.linalg.norm(C, axis=1), 1.0, rtol=1e-9)
+    # deterministic
+    C2 = fit_centroids(emb, n_centroids=8, sample_fraction=1.0, seed=11)
+    np.testing.assert_array_equal(C, C2)
+    queries = emb.where(F.col("vec_id") < 3)
+    approx = ivf_topk(emb, queries, C, k=5, nprobe=3).collect()
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    for q in range(3):
+        a = {r.neighbor_id for r in approx if r.query_id == q}
+        e = {r.neighbor_id for r in exact if r.query_id == q}
+        assert len(a & e) >= 2  # decent recall with fitted centroids
+
+    with pytest.raises(ValueError, match="sample"):
+        fit_centroids(emb, n_centroids=1000, sample_fraction=0.5)
