@@ -247,6 +247,40 @@ class AggHistogram:
         self._collect()
         return self
 
+    def project(self, *axes: int) -> "AggHistogram":
+        """Marginalize onto the given axes (sum over the dropped ones) —
+        the sparse analog of boost's ``h.project(i, ...)``: a re-group
+        of the sparse DataFrame on the kept bin columns.  Flow bins sum
+        into the kept space like any other bin.
+
+        Restriction: moment storages (MEAN/WEIGHTED_MEAN) project their
+        raw accumulator sums, which is the correct monoid merge.
+        """
+        if not axes:
+            raise ValueError("project needs at least one axis index")
+        if any(a < 0 or a >= self.ndim for a in axes):
+            raise ValueError(f"axis out of range for ndim={self.ndim}")
+        if len(set(axes)) != len(axes):
+            raise ValueError("duplicate axis in project")
+        keep = [self.spec.bin_cols[a] for a in axes]
+        new_spec = HistogramSpec(
+            axes=tuple(self.spec.axes[a] for a in axes),
+            storage=self.spec.storage,
+            metadata=self.spec.metadata,
+        )
+        grouped = self.df.groupBy(*keep).agg(
+            *[F.sum(F.col(c)).alias(c) for c in self.spec.value_cols]
+        )
+        renamed = grouped.select(
+            *[
+                F.col(old).alias(new)
+                for old, new in zip(keep, new_spec.bin_cols)
+            ],
+            *[F.col(c) for c in new_spec.value_cols],
+        )
+        cats = [self._categories[a] for a in axes]
+        return AggHistogram(renamed, new_spec, cats)
+
     # -- lazy arithmetic (BinaryOpAgg, core.py:1157-1187) ---------------
     def _binary(self, other: Any, op: Callable[[Column, Column], Column],
                 swap: bool = False) -> "AggHistogram":

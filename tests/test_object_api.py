@@ -162,3 +162,47 @@ def test_pinned_categories_overflow_dropped(spark):
     assert vals.shape == (2, 2)
     # only pinned categories materialize; 'c'/'zzz' dropped
     assert vals.sum() == 3.0
+
+
+def test_project_marginalizes(spark, gauss_nd):
+    df, pdf = gauss_nd
+    h = dhs.histogramdd(df, ["c0", "c1"], bins=(8, 7),
+                        range=((-3.5, 3.5), (-3.3, 3.3)), weights="w")
+    full = h.values(flow=True)
+    p0 = h.project(0)
+    p1 = h.project(1)
+    np.testing.assert_allclose(p0.values(flow=True), full.sum(axis=1))
+    np.testing.assert_allclose(p1.values(flow=True), full.sum(axis=0))
+    # variance (sumw2) marginalizes additively too
+    np.testing.assert_allclose(
+        p0.variances(flow=True), h.variances(flow=True).sum(axis=1)
+    )
+    # axis-order swap
+    swapped = h.project(1, 0)
+    np.testing.assert_allclose(swapped.values(flow=True), full.T)
+    with pytest.raises(ValueError, match="out of range"):
+        h.project(5)
+    with pytest.raises(ValueError, match="duplicate"):
+        h.project(0, 0)
+
+
+def test_integer_and_boolean_axes(spark):
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    pdf = pd.DataFrame({
+        "i": [-1, 0, 1, 2, 3, 7, 9, 10, 3],
+        "b": [True, False, True, True, False, False, True, True, None],
+    })
+    df = s.createDataFrame(pdf)
+    hi = dhs.Histogram(dhs.Integer(0, 10)).fill(df, "i")
+    got = hi.counts(flow=True)
+    # underflow: -1; overflow: 10; i=3 twice
+    assert got[0] == 1 and got[-1] == 1
+    assert got[1 + 3] == 2 and got.sum() == len(pdf)
+    hb = dhs.Histogram(dhs.Boolean()).fill(df, "b")
+    vb = hb.counts(flow=False)
+    assert vb.shape == (2,)
+    # None -> False bucket under cast-to-boolean otherwise(0) semantics
+    assert vb[1] == 5 and vb.sum() == len(pdf)
