@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "text_stats",
     "text_language_id",
     "similarity_topk",
+    # the max_df variant is the scale-honest configuration: without the
+    # stopword cut the hottest shingle at sf0.1 appears in 77% of docs
+    # and the join intermediate explodes quadratically (DuckDB needs
+    # 48 s; see BASELINE.md)
+    "ngram_jaccard_maxdf",
+    "pipeline_prepare_corpus",
 ]
 
 

@@ -466,6 +466,39 @@ HAVING jaccard >= 0.3
 )
 
 
+def _q_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ngram_jaccard_pairs
+
+    d = get_tables(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(d, k=8, threshold=0.3, max_df=0.5)
+
+
+_register(
+    "ngram_jaccard_maxdf",
+    _q_jaccard_maxdf,
+    """
+WITH ex0 AS (
+  SELECT doc_id, unnest(sh) AS sh FROM (
+    SELECT doc_id, list_distinct([substr(text, i, 8)
+      FOR i IN range(1, greatest(len(text) - 7, 1) + 1)]) AS sh
+    FROM documents)
+), hot AS (
+  SELECT sh FROM ex0 GROUP BY sh
+  HAVING COUNT(*) > 0.5 * (SELECT COUNT(*) FROM documents)
+), ex1 AS (
+  SELECT doc_id, sh FROM ex0 WHERE sh NOT IN (SELECT sh FROM hot)
+), ex AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh, sh FROM ex1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(COUNT(*)::DOUBLE / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+GROUP BY 1, 2, a.n_sh, b.n_sh
+HAVING jaccard >= 0.3
+""",
+)
+
+
 def _q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import word_ngram_jaccard_pairs
 
