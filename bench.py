@@ -39,8 +39,8 @@ BENCH_QUERIES = [
     "similarity_topk",
     # the max_df variant is the scale-honest configuration: without the
     # stopword cut the hottest shingle at sf0.1 appears in 77% of docs
-    # and the join intermediate explodes quadratically (DuckDB needs
-    # 48 s; see BASELINE.md)
+    # and the inverted-index intermediate explodes quadratically
+    # (221M candidate rows even after the cut; see BASELINE.md)
     "ngram_jaccard_maxdf",
     "pipeline_prepare_corpus",
 ]
@@ -64,16 +64,19 @@ def main() -> None:
         tables[name] = tables[name].cache()
         tables[name].count()
 
-    # Warmup pass (codegen/JIT compile, broadcast exchange init), then a
-    # timed steady-state pass — the number that scales with data volume,
-    # not the one-time process warmup the driver's eager baseline also
-    # excludes by loading into RAM first.
-    for name in BENCH_QUERIES:
-        QUERIES[name](spark, sf_dir).collect()
-
+    # Per-query warmup immediately before each timed run (codegen/JIT
+    # compile, broadcast exchange init) — the steady-state number that
+    # scales with data volume, not the one-time process warmup the
+    # driver's eager baseline also excludes by loading into RAM first.
+    # Interleaving warmup+timing per query (rather than a full warmup
+    # pass then a full timed pass) keeps a heavy query's GC/cache
+    # aftermath out of the next query's timing: measured at sf0.1, the
+    # 221M-row jaccard join inflated every later sub-second query 5-10x
+    # under the two-pass scheme.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

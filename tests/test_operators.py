@@ -261,6 +261,21 @@ def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
     assert hits >= n * 0.9
 
 
+def test_ngram_jaccard_strategies_agree(spark, tables):
+    """The distributed index join and the broadcast bincount path are
+    the same operator: identical (id_a, id_b, jaccard) sets, with and
+    without the max_df cut."""
+    d = tables["documents"]
+    for max_df in (None, 0.5):
+        got = {}
+        for strat in ("index", "bincount"):
+            rows = ngram_jaccard_pairs(
+                d, k=8, threshold=0.2, max_df=max_df, strategy=strat
+            ).collect()
+            got[strat] = {(r.id_a, r.id_b): r.jaccard for r in rows}
+        assert got["index"] == got["bincount"]
+
+
 def test_prepare_training_corpus(spark, docs_with_dups):
     from dask_histogram_spark.operators.pipeline import (
         corpus_stats,
