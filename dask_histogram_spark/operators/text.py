@@ -110,20 +110,46 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def _fnv1a32(tok: Column) -> Column:
+    """FNV-1a 32-bit over the token's code points — chosen because any
+    SQL engine with a list fold can replicate it exactly (the DuckDB
+    twin lives in queries.py), unlike xxhash64.  All intermediates stay
+    < 2^56, safe under ANSI long arithmetic."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(tok), F.lit(1))),
+        lambda i: F.ascii(F.substring(tok, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(2166136261).cast("long"),
+        lambda acc, c: F.pmod(acc.bitwiseXOR(c) * F.lit(16777619), F.lit(1 << 32)),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id", mod: int = (1 << 31) - 1) -> DataFrame:
+                id_col: str = "doc_id", mod: int = (1 << 31) - 1,
+                hash_fn: str = "xxhash64") -> DataFrame:
     """Order-insensitive document fingerprint over normalized tokens.
 
-    Combines per-token xxhash64 values with sum/xor-free modular
-    addition of squares (content + multiplicity sensitive, order
-    insensitive after normalization).  Narrow map; 8-byte output —
-    the cheap key for incremental re-dedup across pipeline runs."""
+    Per-token hashes (sorted numerically, so token order never
+    matters) are folded with a modular polynomial — content and
+    multiplicity sensitive.  Narrow map; 8-byte output — the cheap key
+    for incremental re-dedup across pipeline runs.
+
+    ``hash_fn``: ``"xxhash64"`` (default, JVM-vectorized) or
+    ``"fnv1a32"`` (per-character fold, ~8x more per-row work but
+    exactly reproducible in any SQL engine — the oracle-checkable
+    configuration).
+    """
     toks = _tokens(F.col(text_col))
-    th = F.transform(
-        F.array_sort(toks), lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32))
-    )
+    if hash_fn == "xxhash64":
+        th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
+    elif hash_fn == "fnv1a32":
+        th = F.transform(toks, _fnv1a32)
+    else:
+        raise ValueError(f"unknown fingerprint hash_fn: {hash_fn!r}")
     fp = F.aggregate(
-        th,
+        F.array_sort(th),
         F.lit(0).cast("long"),
         lambda acc, h: F.pmod(acc * F.lit(1000003) + h, F.lit(mod)),
     )

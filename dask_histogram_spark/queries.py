@@ -754,10 +754,33 @@ _register("simhash_candidates", _q_simhash)
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import fingerprint
 
-    return fingerprint(get_tables(spark, sf_dir)["documents"])
+    # fnv1a32 is the oracle-checkable hash configuration (xxhash64, the
+    # fast default, has no DuckDB twin)
+    return fingerprint(get_tables(spark, sf_dir)["documents"],
+                       hash_fn="fnv1a32")
 
 
-_register("text_fingerprint", _q_fingerprint)
+# DuckDB twin of fingerprint(hash_fn="fnv1a32"): FNV-1a 32 per token
+# (fold over code points), hashes sorted numerically, then the modular
+# polynomial combine.  list_reduce uses the first element as the
+# accumulator seed, hence the list_prepend of each fold's init.
+_FNV_TOKEN = (
+    "list_reduce("
+    "list_prepend(CAST(2166136261 AS BIGINT), "
+    "[CAST(ascii(substr(t, i, 1)) AS BIGINT) "
+    "FOR i IN range(1, greatest(len(t), 1) + 1)]), "
+    "(acc, c) -> (xor(acc, c) * 16777619) % 4294967296)"
+)
+
+_register(
+    "text_fingerprint",
+    _q_fingerprint,
+    "SELECT doc_id, list_reduce("
+    "list_prepend(CAST(0 AS BIGINT), list_sort("
+    f"[{_FNV_TOKEN} FOR t IN string_split_regex(trim(lower(text)), '\\s+')])), "
+    "(acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint "
+    "FROM documents",
+)
 
 
 def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,16 +809,39 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("multimodal_image_features", _q_multimodal)
 
 
+_WINDOWED_SPEC = HistogramSpec(axes=(Regular(10, 0.0, 100.0),),
+                               storage=Storage.DOUBLE)
+
+
 def _q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import windowed_histogram
 
     ev = get_tables(spark, sf_dir)["events"]
-    spec = HistogramSpec(axes=(Regular(10, 0.0, 100.0),), storage=Storage.DOUBLE)
-    return windowed_histogram(ev, "ts", ["value"], spec,
-                              window="6 hours", slide="3 hours")
+    w = windowed_histogram(ev, "ts", ["value"], _WINDOWED_SPEC,
+                           window="6 hours", slide="3 hours")
+    # epoch seconds rather than timestamps so the oracle compare is
+    # timezone-representation-proof
+    return w.select(
+        F.col("window_start").cast("long").alias("win_start_s"),
+        F.col("window_end").cast("long").alias("win_end_s"),
+        "bin_0",
+        "value",
+    )
 
 
-_register("windowed_histogram", _q_windowed)
+# Sliding-window algebra twin: Spark's window(ts, 6h, 3h) assigns each
+# event to the window = 2 epoch-aligned 3h-slide starts covering it
+# (start = slide_floor(ts) - i*slide, i in 0..window/slide-1, always
+# in-range when window is a multiple of slide).
+_register(
+    "windowed_histogram",
+    _q_windowed,
+    "WITH w AS (SELECT (CAST(FLOOR(epoch(ts) / 10800) AS BIGINT) - i.i) "
+    "* 10800 AS ws, value FROM events, (SELECT UNNEST([0, 1]) AS i) i) "
+    "SELECT ws AS win_start_s, ws + 21600 AS win_end_s, "
+    f"{_bin_sql(_WINDOWED_SPEC.axes[0], 'value')} AS bin_0, "
+    "CAST(COUNT(*) AS DOUBLE) AS value FROM w GROUP BY 1, 2, 3",
+)
 
 
 def flagship(spark: SparkSession) -> DataFrame:
