@@ -81,16 +81,27 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: Column, k: int) -> Column:
+def _shingle_hashes(text: Column, k: int,
+                    hash_fn: str = "xxhash64") -> Column:
     """Distinct k-character shingles -> 32-bit hashes (kept < 2^32 so the
-    universal-hash product below stays in long range under ANSI mode)."""
+    universal-hash product below stays in long range under ANSI mode).
+
+    ``hash_fn="fnv1a32"`` swaps xxhash64 for the per-character FNV-1a
+    fold any SQL engine reproduces exactly — the oracle-checkable
+    configuration (see text.py)."""
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
             lambda i: F.substring(text, i, k),
         )
     )
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    if hash_fn == "xxhash64":
+        return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    if hash_fn == "fnv1a32":
+        from .text import _fnv1a32
+
+        return F.transform(shingles, _fnv1a32)
+    raise ValueError(f"unknown shingle hash_fn: {hash_fn!r}")
 
 
 def _perm_coeffs(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
@@ -103,14 +114,17 @@ def _perm_coeffs(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
-                       shingle_k: int = 5, seed: int = 17) -> DataFrame:
+                       shingle_k: int = 5, seed: int = 17,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sig: array<long>[num_perm]) MinHash signature per document.
 
     Universal hashing h_j(x) = (a_j*x + b_j) mod M61 over 32-bit shingle
     hashes; min per permutation.  All Column expressions — whole rows
-    never leave the JVM.
+    never leave the JVM.  ``hash_fn="fnv1a32"`` makes the whole pipeline
+    reproducible in plain SQL (permutation coefficients are seeded, so
+    only the base hash separated this from an oracle).
     """
-    hashes = _shingle_hashes(F.col(text_col), shingle_k)
+    hashes = _shingle_hashes(F.col(text_col), shingle_k, hash_fn)
     coeffs = _perm_coeffs(num_perm, seed)
     A = F.array(*[F.lit(a) for a, _ in coeffs])
     B = F.array(*[F.lit(b) for _, b in coeffs])
@@ -138,7 +152,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
-                           seed: int = 17, persist: bool = False) -> DataFrame:
+                           seed: int = 17, persist: bool = False,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
 
     Banding: signature split into ``bands`` rows of r = num_perm/bands;
@@ -156,21 +171,27 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed,
+                              hash_fn)
+
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(",", *[
+            F.col("sig")[b * r + j].cast("string") for j in range(r)
+        ])
+        # 8-byte bucket keys for the shuffle by default; the portable
+        # configuration keeps the raw value string so SQL oracles can
+        # reproduce the buckets (hashing only compresses the key —
+        # bucket membership, and hence candidates, are identical up to
+        # xxhash collisions)
+        return joined if hash_fn == "fnv1a32" else F.xxhash64(joined)
+
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[
-                                F.col("sig")[b * r + j].cast("string")
-                                for j in range(r)
-                            ])
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"),
+                             band_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )

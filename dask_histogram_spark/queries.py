@@ -719,27 +719,133 @@ def _q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
 
 
-_register("embedding_near_dup_lsh", _q_near_dup_lsh)
+def _near_dup_lsh_oracle(planes: int = 8, dim: int = 64, seed: int = 23,
+                         threshold: float = 0.3) -> str:
+    """DuckDB twin of the random-hyperplane LSH: the hyperplanes are
+    SEEDED, so they embed as the same float literals the Spark plan
+    carries, and the sign fold is written as the textually identical
+    left-to-right sum (list_reduce mirrors F.aggregate) so the sign
+    bits agree bit-for-bit."""
+    import numpy as np
+
+    H = np.random.default_rng(seed).standard_normal((planes, dim))
+    harrs = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in H[p]) + f"] AS h{p}"
+        for p in range(planes)
+    )
+
+    def dot(h: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, len(v) + 1), i -> v[i] * {h}[i])), "
+            "(acc, z) -> acc + z)"
+        )
+
+    sig = "concat(" + ", ".join(
+        f"CASE WHEN {dot(f'h{p}')} >= 0 THEN '1' ELSE '0' END"
+        for p in range(planes)
+    ) + ")"
+    return f"""
+WITH H AS (SELECT {harrs}),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig} AS sig
+      FROM embeddings, H)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b2.v), 6) AS cos_sim
+FROM b a JOIN b b2 ON a.sig = b2.sig AND a.vec_id < b2.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b2.v), 6) >= {threshold}
+"""
+
+
+_register("embedding_near_dup_lsh", _q_near_dup_lsh,
+          _near_dup_lsh_oracle())
+
+
+# DuckDB twin of the portable FNV-1a 32 hash over a string `t`'s code
+# points (used by fingerprint and the minhash shingle hash, both with
+# hash_fn="fnv1a32").  list_reduce uses the first element as the
+# accumulator seed, hence the list_prepend of the fold's init.
+_FNV_TOKEN = (
+    "list_reduce("
+    "list_prepend(CAST(2166136261 AS BIGINT), "
+    "[CAST(ascii(substr(t, i, 1)) AS BIGINT) "
+    "FOR i IN range(1, greatest(len(t), 1) + 1)]), "
+    "(acc, c) -> (xor(acc, c) * 16777619) % 4294967296)"
+)
 
 
 def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import minhash_signatures
 
-    return minhash_signatures(get_tables(spark, sf_dir)["documents"],
-                              num_perm=32)
+    sigs = minhash_signatures(get_tables(spark, sf_dir)["documents"],
+                              num_perm=32, hash_fn="fnv1a32")
+    # exploded to scalars so the oracle compare never hashes an array
+    # column's string repr
+    return sigs.select("doc_id", F.posexplode("sig").alias("perm", "minhash"))
 
 
-_register("minhash_signatures", _q_minhash_sigs)
+def _minhash_oracle_parts(num_perm: int, shingle_k: int = 5,
+                          seed: int = 17) -> tuple[str, str]:
+    """(hs_expr, sig_expr) DuckDB twins of minhash_signatures(
+    hash_fn='fnv1a32'): FNV-1a shingle hashes, then per-permutation
+    (a_j*h + b_j) mod M61 minima with the SAME seeded coefficients the
+    Spark operator embeds."""
+    from .operators.dedup import _MERSENNE61, _perm_coeffs
+
+    hs = (
+        "list_transform(list_distinct([substr(text, i, "
+        f"{shingle_k}) FOR i IN range(1, greatest(len(text) - {shingle_k - 1}, 1)"
+        f" + 1)]), t -> {_FNV_TOKEN})"
+    )
+    sig = "[" + ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE61}))"
+        for a, b in _perm_coeffs(num_perm, seed)
+    ) + "]"
+    return hs, sig
+
+
+_MH_HS, _MH_SIG = _minhash_oracle_parts(num_perm=32)
+
+_register(
+    "minhash_signatures",
+    _q_minhash_sigs,
+    f"WITH h AS (SELECT doc_id, {_MH_HS} AS hs FROM documents), "
+    f"s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h) "
+    "SELECT doc_id, UNNEST(range(32)) AS perm, UNNEST(sig) AS minhash FROM s",
+)
 
 
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_dup_corpus(spark, sf_dir),
-                                  num_perm=32, bands=8)
+                                  num_perm=32, bands=8, hash_fn="fnv1a32")
 
 
-_register("minhash_lsh_candidates", _q_minhash_candidates)
+def _minhash_band_sql(bands: int, r: int) -> str:
+    """Band keys as raw value strings (1-based DuckDB list indexing),
+    zip-unnested with the band number."""
+    keys = ", ".join(
+        "concat_ws(','" + "".join(
+            f", sig[{b * r + j + 1}]" for j in range(r)
+        ) + ")"
+        for b in range(bands)
+    )
+    return (
+        f"SELECT doc_id, UNNEST(range({bands})) AS band, "
+        f"UNNEST([{keys}]) AS bucket FROM s"
+    )
+
+
+_register(
+    "minhash_lsh_candidates",
+    _q_minhash_candidates,
+    f"WITH h AS (SELECT doc_id, {_MH_HS} AS hs FROM {_DUP_SQL}), "
+    f"s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h), "
+    f"b AS ({_minhash_band_sql(bands=8, r=4)}) "
+    "SELECT a.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS n_bands "
+    "FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket "
+    "AND a.doc_id < b2.doc_id GROUP BY 1, 2",
+)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,18 +865,6 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(get_tables(spark, sf_dir)["documents"],
                        hash_fn="fnv1a32")
 
-
-# DuckDB twin of fingerprint(hash_fn="fnv1a32"): FNV-1a 32 per token
-# (fold over code points), hashes sorted numerically, then the modular
-# polynomial combine.  list_reduce uses the first element as the
-# accumulator seed, hence the list_prepend of each fold's init.
-_FNV_TOKEN = (
-    "list_reduce("
-    "list_prepend(CAST(2166136261 AS BIGINT), "
-    "[CAST(ascii(substr(t, i, 1)) AS BIGINT) "
-    "FOR i IN range(1, greatest(len(t), 1) + 1)]), "
-    "(acc, c) -> (xor(acc, c) * 16777619) % 4294967296)"
-)
 
 _register(
     "text_fingerprint",
@@ -796,7 +890,45 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=2)
 
 
-_register("similarity_ivf_topk", _q_ivf)
+# IVF is deterministic given fixed centroids (here: the vec_id<4
+# embeddings), so it IS oracle-checkable: assign every vector to its
+# max-cosine centroid, expand each query to its nprobe=2 best
+# centroids, score only within probed buckets.  Ranking happens on the
+# 6-digit-rounded cosine, neighbor_id breaking ties — same as
+# operators/similarity.py ivf_topk.
+_register(
+    "similarity_ivf_topk",
+    _q_ivf,
+    """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 4
+), assigned AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         arg_max(c.cid,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        c.cvec)) AS cid
+  FROM embeddings e, cent c GROUP BY 1, 2
+), probes AS (
+  SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           c.cvec) DESC, c.cid ASC) AS pr
+  FROM embeddings q, cent c WHERE q.vec_id < 8
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+  FROM (SELECT * FROM probes WHERE pr <= 2) p
+  JOIN assigned a USING (cid)
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+FROM scored QUALIFY rank <= 5
+""",
+)
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
