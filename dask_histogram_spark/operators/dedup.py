@@ -475,19 +475,59 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens.
+def _simhash_bits(hash_fn: str) -> int:
+    if hash_fn == "xxhash64":
+        return 64
+    if hash_fn == "fnv1a32":
+        return 32
+    raise ValueError(f"unknown simhash hash_fn: {hash_fn!r}")
 
-    Token hashing stays JVM-side (xxhash64); the signature fold (sum of
-    ±1 per bit, weighted by token frequency, then sign) is numpy over
-    Arrow batches — the documented slow path, vectorized.
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash per document over whitespace tokens (64-bit with the
+    default xxhash64; 32-bit with the SQL-portable fnv1a32 — the
+    oracle-checkable configuration, see text.py).
+
+    Token hashing stays JVM-side; the signature fold (sum of ±1 per
+    bit, weighted by token frequency, then sign) is numpy over Arrow
+    batches — the documented slow path, vectorized.
     """
+    nbits = _simhash_bits(hash_fn)
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(tokens, lambda t: F.xxhash64(t)).alias("th"),
-    )
+    if hash_fn == "fnv1a32":
+        # 32-bit signatures stay inside signed-long range at every step,
+        # so the whole fold runs as Column HOFs (one aggregate pass:
+        # per-bit vote counts, finish = majority sign -> integer) — no
+        # Python at all.  The 64-bit default keeps the Arrow fold below
+        # (bit 63 can't be rebuilt under ANSI signed arithmetic).
+        from .text import _fnv1a32
+
+        th = F.transform(tokens, _fnv1a32)
+        n = F.size(tokens).cast("long")
+        bit_idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+        sig = F.aggregate(
+            th,
+            F.array_repeat(F.lit(0).cast("long"), nbits),
+            lambda acc, h: F.zip_with(
+                acc, bit_idx, lambda cur, b: cur + F.getbit(h, b)
+            ),
+            lambda votes: F.aggregate(
+                F.zip_with(
+                    votes, bit_idx,
+                    lambda v, b: F.when(
+                        v * 2 >= n, F.pow(F.lit(2.0), b).cast("long")
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        return df.select(F.col(id_col), sig.alias("simhash"))
+
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashed = df.select(F.col(id_col), th.alias("th"))
 
     @F.pandas_udf(T.LongType())
     def fold(th: pd.Series) -> pd.Series:
@@ -497,9 +537,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             if h.size == 0:
                 out[i] = 0
                 continue
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            bits = ((h[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1).astype(np.int64)
             v = np.where(bits.sum(axis=0) * 2 >= h.size, 1, 0).astype(np.uint64)
-            out[i] = (v << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+            out[i] = (v << np.arange(nbits, dtype=np.uint64)).sum().astype(np.int64)
         return pd.Series(out)
 
     return hashed.select(F.col(id_col), fold(F.col("th")).alias("simhash"))
@@ -507,11 +547,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       persist: bool = False) -> DataFrame:
+                       persist: bool = False,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup candidate pairs by SimHash banding.
 
-    Pigeonhole: signatures within Hamming distance d < 4 share at least
-    one of four 16-bit chunks, so the join is an equi-join on
+    Pigeonhole: signatures within Hamming distance d share at least one
+    of d+1 equal-width chunks, so the join is an equi-join on
     (chunk_idx, chunk_value); the exact Hamming distance then filters.
 
     ``persist`` materializes the (id, simhash) set once so the Arrow
@@ -519,7 +560,20 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     off by default — see minhash_lsh_candidates for the measured
     tradeoff — but worth flipping when the UDF dominates (long docs).
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    nbits = _simhash_bits(hash_fn)
+    n_chunks = max_hamming + 1
+    if nbits % n_chunks:
+        raise ValueError(
+            f"signature width {nbits} not divisible into {n_chunks} chunks")
+    cbits = nbits // n_chunks
+
+    def chunk_val(c: int) -> Column:
+        if cbits >= 64:  # single full-width chunk: the signature itself
+            return F.col("simhash")
+        return (F.shiftrightunsigned(F.col("simhash"), c * cbits)
+                .bitwiseAND(F.lit((1 << cbits) - 1)))
+
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn)
     if persist:
         from pyspark import StorageLevel
 
@@ -529,12 +583,8 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("cv"),
-                )
-                for c in range(4)
+                F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("cv"))
+                for c in range(n_chunks)
             ])
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.cv")

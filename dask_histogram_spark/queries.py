@@ -851,10 +851,43 @@ _register(
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import simhash_candidates
 
-    return simhash_candidates(_dup_corpus(spark, sf_dir), max_hamming=3)
+    return simhash_candidates(_dup_corpus(spark, sf_dir), max_hamming=3,
+                              hash_fn="fnv1a32")
 
 
-_register("simhash_candidates", _q_simhash)
+# DuckDB twin of the 32-bit portable simhash: per-token FNV-1a hashes,
+# majority vote per bit (ones*2 >= n, exactly the numpy fold's rule),
+# pigeonhole banding into 4 8-bit chunks, exact Hamming filter.
+_register(
+    "simhash_candidates",
+    _q_simhash,
+    f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM {_DUP_SQL}
+), h AS (
+  SELECT doc_id, {_FNV_TOKEN} AS th FROM tok
+), bits AS (
+  SELECT doc_id, b.b, SUM((th >> b.b) & 1) AS ones, COUNT(*) AS n
+  FROM h, (SELECT UNNEST(range(32)) AS b) b GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN ones * 2 >= n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+           AS s
+  FROM bits GROUP BY 1
+), chunk AS (
+  SELECT doc_id, c.c, (s >> (c.c * 8)) & 255 AS cv
+  FROM sig, (SELECT UNNEST(range(4)) AS c) c
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunk a JOIN chunk b
+    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa.s, sb.s)) AS hamming
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.s, sb.s)) <= 3
+""",
+)
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
