@@ -12,6 +12,7 @@ from .dedup import (
     word_ngram_jaccard_pairs,
     exact_dup_stats,
     minhash_signatures,
+    minhash_banded,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -36,6 +37,7 @@ __all__ = [
     "fit_centroids",
     "ivf_topk",
     "language_id",
+    "minhash_banded",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",

@@ -29,6 +29,7 @@ __all__ = [
     "dedup_exact",
     "exact_dup_stats",
     "minhash_signatures",
+    "minhash_banded",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "word_ngram_jaccard_pairs",
@@ -149,6 +150,47 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
+def minhash_banded(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_perm: int = 64,
+                   bands: int = 16, shingle_k: int = 5,
+                   seed: int = 17, hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, band, bucket) LSH band-bucket membership per document —
+    the shared projection behind the batch self-join
+    (:func:`minhash_lsh_candidates`) and the streaming stateful
+    detector (streaming/dedup.py).  Pure Column expressions, so it
+    plans identically on batch and streaming DataFrames.
+
+    Bucket keys are 8-byte xxhash64 of the band's signature slice by
+    default; ``hash_fn="fnv1a32"`` keeps the raw value string so SQL
+    oracles can reproduce the buckets (hashing only compresses the
+    key — bucket membership, and hence candidates, are identical up to
+    xxhash collisions)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed,
+                              hash_fn)
+
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(",", *[
+            F.col("sig")[b * r + j].cast("string") for j in range(r)
+        ])
+        return joined if hash_fn == "fnv1a32" else F.xxhash64(joined)
+
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"),
+                             band_key(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
@@ -168,35 +210,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     100 TB dedup you would instead write the banded set to a table
     once and join from that.
     """
-    if num_perm % bands:
-        raise ValueError("num_perm must be divisible by bands")
-    r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed,
-                              hash_fn)
-
-    def band_key(b: int) -> Column:
-        joined = F.concat_ws(",", *[
-            F.col("sig")[b * r + j].cast("string") for j in range(r)
-        ])
-        # 8-byte bucket keys for the shuffle by default; the portable
-        # configuration keeps the raw value string so SQL oracles can
-        # reproduce the buckets (hashing only compresses the key —
-        # bucket membership, and hence candidates, are identical up to
-        # xxhash collisions)
-        return joined if hash_fn == "fnv1a32" else F.xxhash64(joined)
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"),
-                             band_key(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = minhash_banded(df, text_col, id_col, num_perm, bands,
+                            shingle_k, seed, hash_fn)
     if persist:
         from pyspark import StorageLevel
 

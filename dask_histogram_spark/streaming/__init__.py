@@ -1,4 +1,9 @@
-from .dedup import streaming_dedup_exact
+from .dedup import streaming_dedup_exact, streaming_minhash_candidates
 from .histogram import streaming_histogram, windowed_histogram
 
-__all__ = ["streaming_dedup_exact", "streaming_histogram", "windowed_histogram"]
+__all__ = [
+    "streaming_dedup_exact",
+    "streaming_minhash_candidates",
+    "streaming_histogram",
+    "windowed_histogram",
+]

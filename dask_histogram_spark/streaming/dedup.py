@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_dedup_exact"]
+__all__ = ["streaming_dedup_exact", "streaming_minhash_candidates"]
 
 
 def streaming_dedup_exact(df: DataFrame, text_col: str = "text",
@@ -63,6 +63,77 @@ def streaming_dedup_exact(df: DataFrame, text_col: str = "text",
     )
     return hashed.groupBy("content_hash").applyInPandasWithState(
         dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id", num_perm: int = 64,
+                                 bands: int = 16, shingle_k: int = 5,
+                                 seed: int = 17) -> DataFrame:
+    """Streaming near-duplicate candidate detection by MinHash LSH.
+
+    The band-bucket projection (operators/dedup.py ``minhash_banded``)
+    is pure Column expressions, so it runs unchanged on the stream; the
+    stateful part anchors each (band, bucket) group on its first-seen
+    document id — every later arrival in the bucket is emitted as a
+    candidate pair against the anchor.  State is ONE long per occupied
+    bucket (not the bucket's membership list), so state growth is
+    bounded by distinct buckets; candidate pairs then go through exact
+    verification downstream (e.g. jaccard on the pair's texts), exactly
+    as in the batch pipeline.
+
+    Within one micro-batch the min-id row is the anchor and the rest
+    emit against it — the same pairs a batch run of the bucket would
+    produce against its min-id member.
+
+    Output (append mode): (id_a, id_b, band) with id_a the anchor
+    (first-seen), one row per (pair, band) hit.
+    """
+    from ..operators.dedup import minhash_banded
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("anchor", T.LongType())])
+
+    def detect(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band = key[0]
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf[id_col])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (anchor,) = state.get
+        else:
+            anchor = ids.pop(0)
+            state.update((anchor,))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "id_a": [anchor] * len(ids),
+                    "id_b": ids,
+                    "band": [band] * len(ids),
+                }
+            )
+
+    banded = minhash_banded(df, text_col, id_col, num_perm, bands,
+                            shingle_k, seed)
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        detect,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

@@ -97,3 +97,48 @@ def test_streaming_dedup_exact(spark, tmp_path):
     # exactly one winner per distinct text, across batches
     assert len(rows) == n
     assert len({r.content_hash for r in rows}) == n
+
+
+def test_streaming_minhash_candidates(spark, tmp_path):
+    """Exact duplicates across micro-batches surface as LSH candidate
+    pairs against the bucket anchor, with one long of state per
+    bucket."""
+    from dask_histogram_spark.streaming import streaming_minhash_candidates
+
+    d = str(tmp_path / "mh_stream")
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    n = docs.count()
+    dup = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    dup.repartition(6).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(dup.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = streaming_minhash_candidates(stream, num_perm=32, bands=8)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("smh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM smh").collect()
+    # identical texts share every band bucket, so each duplicated doc
+    # must be linked to its twin through some anchor (possibly a third
+    # identical doc that arrived first)
+    linked = {}
+    for r in rows:
+        linked.setdefault(r.id_a, set()).add(r.id_b)
+    hit = 0
+    for i in range(n):
+        j = i + 100000
+        if any(
+            (i in grp or i == a) and (j in grp or j == a)
+            for a, grp in linked.items()
+        ):
+            hit += 1
+    assert hit == n
