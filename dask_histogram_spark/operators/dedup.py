@@ -212,6 +212,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """
     banded = minhash_banded(df, text_col, id_col, num_perm, bands,
                             shingle_k, seed, hash_fn)
+    # Explicit partition count on the join key: the banded projection's
+    # shuffle INPUT is tiny (bands rows/doc of 8-byte keys) so AQE would
+    # coalesce it to ~1 task, but on a duplicate-heavy corpus the join
+    # OUTPUT is sum over buckets of |bucket|^2 — the explicit count keeps
+    # the blowup parallel (same fix as _jaccard_index_join; measured 1
+    # task vs 64 at sf0.1).
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    banded = banded.repartition(nparts, "band", "bucket")
     if persist:
         from pyspark import StorageLevel
 
