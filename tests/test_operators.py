@@ -329,3 +329,25 @@ def test_fit_centroids_and_ivf(spark, tables):
 
     with pytest.raises(ValueError, match="sample"):
         fit_centroids(emb, n_centroids=1000, sample_fraction=0.5)
+
+
+def test_fingerprint_fnv_matches_duckdb_unicode(spark):
+    """The portable FNV fold hashes CODE POINTS, and both engines'
+    ascii()/substr() agree on them — so the oracle parity holds beyond
+    plain ASCII."""
+    import duckdb
+
+    from dask_histogram_spark.queries import ORACLES
+
+    rows = [(0, "héllo wörld"), (1, "日本語 テスト 日本語"), (2, ""),
+            (3, "mixed ascii és 漢字")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.fingerprint
+           for r in fingerprint(df, hash_fn="fnv1a32").collect()}
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = {int(r[0]): int(r[1])
+           for r in con.sql(ORACLES["text_fingerprint"]).fetchall()}
+    assert got == exp
