@@ -25,7 +25,7 @@ from .similarity import (
     fit_centroids,
     ivf_topk,
 )
-from .text import language_id, text_stats, token_counts, fingerprint
+from .text import language_id, text_stats, token_counts, fingerprint, quality_score
 
 __all__ = [
     "brute_force_topk",
@@ -44,6 +44,7 @@ __all__ = [
     "simhash_candidates",
     "simhash_signatures",
     "text_stats",
+    "quality_score",
     "token_counts",
     "word_ngram_jaccard_pairs",
 ]

@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["token_counts", "text_stats", "language_id", "fingerprint",
-           "STOPWORDS"]
+           "quality_score", "STOPWORDS"]
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -76,6 +76,38 @@ def text_stats(df: DataFrame, text_col: str = "text",
         char_ratio(r"[^\.,;:!\?]").alias("punct_ratio"),
         char_ratio(r"[^A-Z]").alias("upper_ratio"),
         F.round(stop_hits / F.greatest(n_tok, F.lit(1.0)), 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  min_chars: int = 200, max_chars: int = 20000,
+                  min_tokens: int = 30, max_digit_ratio: float = 0.2,
+                  max_non_ascii_ratio: float = 0.1,
+                  min_stopword_ratio: float = 0.05,
+                  keep_threshold: int = 4) -> DataFrame:
+    """Composite training-corpus quality gate over :func:`text_stats`
+    features: each of five heuristics contributes one point, and
+    ``keep`` = score >= ``keep_threshold``.  Integer gates over
+    6-digit-rounded ratios keep the result bit-identical across
+    engines (no FP accumulation)."""
+    s = text_stats(df, text_col, id_col)
+    gates = [
+        (F.col("n_chars") >= min_chars) & (F.col("n_chars") <= max_chars),
+        F.col("n_tokens") >= min_tokens,
+        F.col("digit_ratio") <= max_digit_ratio,
+        F.col("non_ascii_ratio") <= max_non_ascii_ratio,
+        F.col("stopword_ratio") >= min_stopword_ratio,
+    ]
+    score = gates[0].cast("int")
+    for g in gates[1:]:
+        score = score + g.cast("int")
+    return s.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.col("n_tokens"),
+        score.alias("quality_score"),
+        (score >= keep_threshold).cast("int").alias("keep"),
     )
 
 

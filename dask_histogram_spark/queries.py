@@ -564,9 +564,7 @@ def _ratio_sql(drop_pattern: str) -> str:
     )
 
 
-_register(
-    "text_stats",
-    _q_text_stats,
+_TEXT_STATS_SQL = (
     r"""
 SELECT doc_id,
        length(text) AS n_chars,
@@ -581,6 +579,33 @@ SELECT doc_id,
          / GREATEST(len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE, 1.0), 6)
          AS stopword_ratio
 FROM documents
+"""
+)
+
+_register("text_stats", _q_text_stats, _TEXT_STATS_SQL)
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality_score
+
+    return quality_score(get_tables(spark, sf_dir)["documents"])
+
+
+_QUALITY_GATES_SQL = """(
+    CASE WHEN n_chars >= 200 AND n_chars <= 20000 THEN 1 ELSE 0 END
+  + CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END
+  + CASE WHEN digit_ratio <= 0.2 THEN 1 ELSE 0 END
+  + CASE WHEN non_ascii_ratio <= 0.1 THEN 1 ELSE 0 END
+  + CASE WHEN stopword_ratio >= 0.05 THEN 1 ELSE 0 END)"""
+
+_register(
+    "text_quality_score",
+    _q_quality_score,
+    f"""
+SELECT doc_id, n_chars, n_tokens,
+       {_QUALITY_GATES_SQL} AS quality_score,
+       CASE WHEN {_QUALITY_GATES_SQL} >= 4 THEN 1 ELSE 0 END AS keep
+FROM ({_TEXT_STATS_SQL})
 """,
 )
 

@@ -170,6 +170,21 @@ def test_token_counts_and_stats(spark, tables):
     assert r.non_ascii_ratio == 0.0
 
 
+def test_quality_score_gates(spark, tables):
+    from dask_histogram_spark.operators import quality_score
+
+    d = tables["documents"]
+    rows = quality_score(d).collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        assert 0 <= r.quality_score <= 5
+        assert r.keep == int(r.quality_score >= 4)
+    # a degenerate doc scores low on length/token gates
+    probe = spark.createDataFrame([(1, "hi")], "doc_id LONG, text STRING")
+    r = quality_score(probe).collect()[0]
+    assert r.quality_score <= 3 and r.keep == 0
+
+
 def test_language_id_deterministic(spark, tables):
     d = tables["documents"]
     out1 = {r.doc_id: r.pred_lang for r in language_id(d).collect()}
