@@ -433,9 +433,11 @@ def _q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "dedup_stats",
     _q_dedup_stats,
+    # CASTs: DuckDB types bare SUM(int) as HUGEINT -> pandas float64,
+    # which hash-mismatches Spark's bigint even when values agree.
     "SELECT COUNT(*) AS n_distinct, "
-    "SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups, "
-    "SUM(n - 1) AS n_removable FROM "
+    "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups, "
+    "CAST(SUM(n - 1) AS BIGINT) AS n_removable FROM "
     f"(SELECT COUNT(*) AS n FROM {_DUP_SQL} GROUP BY text)",
 )
 
@@ -711,8 +713,11 @@ _register("pipeline_prepare_corpus", _q_pipeline,
 _register(
     "pipeline_corpus_stats",
     _q_pipeline_stats,
-    "SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens, "
-    f"SUM(n_chars) AS total_chars FROM ({_pipe_sql(table=_DUP_SQL)})",
+    # BIGINT casts: DuckDB SUM(int) is HUGEINT -> float64 in pandas
+    "SELECT COUNT(*) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    f"CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    f"FROM ({_pipe_sql(table=_DUP_SQL)})",
 )
 
 
@@ -993,7 +998,17 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_fake_media, decode_image_features
 
     d = get_tables(spark, sf_dir)["documents"].limit(50)
-    return decode_image_features(attach_fake_media(d))
+    feats = decode_image_features(attach_fake_media(d))
+    # posexplode feat to scalars (same trick as minhash_signatures): the
+    # driver gate's canonicalizer lexsorts rows and cannot hash an
+    # array<float> cell.
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.posexplode("feat").alias("feat_idx", "feat_val"),
+    ).withColumn("feat_val", F.round(F.col("feat_val").cast("double"), 4))
 
 
 _register("multimodal_image_features", _q_multimodal)

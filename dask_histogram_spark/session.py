@@ -73,8 +73,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
         if os.path.exists(path):
             df = spark.read.parquet(path)
             for c in _nanos_timestamp_cols(path):
+                # integer `div`, not `/`: double division loses ulp at
+                # 2024-epoch nanos (~1.7e18) and floors to the wrong
+                # microsecond on ~12% of rows
                 df = df.withColumn(
-                    c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
             df.createOrReplaceTempView(name)
             out[name] = df

@@ -43,6 +43,15 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
         return problems
     for c in a.columns:
         av, bv = a[c], b[c]
+        # replicate the driver's hash sensitivity: int-vs-float dtype
+        # drift (e.g. DuckDB HUGEINT -> float64) fails the value-hash
+        # even when values are numerically equal
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={av.dtype} oracle={bv.dtype}"
+                " (driver value-hash would fail)"
+            )
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             import numpy as np
 
