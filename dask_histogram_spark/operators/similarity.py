@@ -111,40 +111,66 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
     partitioned by ``cid`` in a real deployment).
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
+    # Centroids embed as a CONSTANT array-of-structs literal (with
+    # precomputed norms) — nearest-centroid is then a per-row argmin in
+    # a narrow `select`: zero shuffle, no crossJoin, the vectors never
+    # leave their input partitions.  (Round-1 shape — crossJoin +
+    # groupBy(id, vec) — keyed an exchange on the full embedding array;
+    # at 100 TB of vectors that exchange IS the job.)
     C = centroids.shape[0]
-    cent_rows = [(int(i), [float(x) for x in centroids[i]]) for i in range(C)]
-    cent_df = F.broadcast(
-        df.sparkSession.createDataFrame(cent_rows, "cid INT, cvec ARRAY<DOUBLE>")
-    )
+    cnorms = np.linalg.norm(centroids.astype(np.float64), axis=1)
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(int(i)).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in centroids[i]]).alias("cvec"),
+            F.lit(float(cnorms[i])).alias("cnorm"),
+        )
+        for i in range(C)
+    ])
 
-    def nearest(vec: Column, n: int) -> DataFrame:
-        """struct array of n nearest centroid ids for a vector column."""
-        return F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct((-cosine_expr(vec, F.col("cvec"))).alias("d"),
-                             F.col("cid"))
-                )
-            ),
-            1, n,
+    def cent_sims(cent_struct: Column) -> Column:
+        """cosine(__vd, centroid) using the row's precomputed __vnorm."""
+        return F.coalesce(
+            _dot(F.col("__vd"), cent_struct["cvec"])
+            / F.nullif(F.col("__vnorm") * cent_struct["cnorm"], F.lit(0.0)),
+            F.lit(-2.0),  # zero vectors: below any real cosine
         )
 
-    # index: nearest centroid per vector (argmin over broadcast centroids)
+    def with_vec_prep(src: DataFrame, out_id: str) -> DataFrame:
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return src.select(
+            F.col(id_col).alias(out_id), F.col(vec_col), vd.alias("__vd")
+        ).withColumn("__vnorm", _norm(F.col("__vd")))
+
+    # index: nearest centroid per vector — narrow map (argmax over the
+    # centroid literal; ties break to the smallest cid via -cid)
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(cent_sims(c).alias("sim"),
+                               (-c["cid"]).alias("ncid")),
+        )
+    )
     assigned = (
-        df.crossJoin(cent_df)
-        .groupBy(id_col, vec_col)
-        .agg(
-            F.min_by("cid", -cosine_expr(F.col(vec_col), F.col("cvec"))).alias("cid")
-        )
+        with_vec_prep(df, id_col)
+        .withColumn("cid", (-best["ncid"]).cast("int"))
+        .select(id_col, vec_col, "cid")
     )
-    # queries expand to nprobe buckets
+    # queries expand to their nprobe nearest buckets — same narrow map,
+    # sorted by (-sim, cid) then sliced
+    probes = F.slice(
+        F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct((-cent_sims(c)).alias("d"), c["cid"].alias("cid")),
+            )
+        ),
+        1, nprobe,
+    )
     q_assigned = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
-        .crossJoin(cent_df)
-        .groupBy("query_id", "__qv")
-        .agg(nearest(F.col("__qv"), nprobe).alias("probes"))
-        .select("query_id", "__qv", F.explode("probes.cid").alias("cid"))
+        with_vec_prep(queries, "query_id")
+        .select("query_id", F.col(vec_col).alias("__qv"),
+                F.explode(probes["cid"]).alias("cid"))
     )
     scored = (
         assigned.join(F.broadcast(q_assigned), on="cid")

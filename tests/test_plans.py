@@ -18,7 +18,6 @@ SF_DIR = "/root/testdata/sf0.001"
 CARTESIAN_ALLOWED = {
     "embedding_near_dup_exact",   # exact mode exists for oracle checks only
     "similarity_topk",            # broadcast NLJ: queries side is broadcast-tiny
-    "similarity_ivf_topk",        # centroid cross join: C centroids, broadcast
 }
 
 
@@ -63,6 +62,20 @@ def test_filter_reaches_the_scan(plans):
     plan = plans["hist_filtered"]
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "l_returnflag" in pushed[0], plan[:500]
+
+
+def test_ivf_assignment_is_a_narrow_map(plans):
+    """IVF bucket assignment must not shuffle vectors: nearest-centroid
+    is an argmin over a broadcast centroid literal, so the only shuffle
+    Exchange in the whole plan is the final per-query ranking window
+    (keyed on query_id, not on any embedding column)."""
+    plan = plans["similarity_ivf_topk"]
+    assert "CartesianProduct" not in plan
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) <= 1, shuffles
+    for line in shuffles:
+        assert "query_id" in line, line
+        assert "embedding" not in line, line
 
 
 def test_histograms_partial_aggregate_before_exchange(plans):
