@@ -32,15 +32,16 @@ def prepare_training_corpus(
       3. token accounting for budget tracking.
 
     Output: (id, n_tokens, n_chars, digit_ratio) for every KEPT doc.
-    Filters run after dedup so the winner's stats are the kept stats;
-    at scale, put the cheap length gate before the dedup shuffle when
-    the corpus is filter-heavy (same result for deterministic gates).
+
+    Scale shape: the quality gates and token accounting are
+    deterministic functions of the text, so they run BEFORE the dedup
+    shuffle (all copies of a text pass or fail together — the min-id
+    winner is unchanged) and the groupBy keys on ``xxhash64(text)``
+    (8-byte shuffle key, like :func:`~.dedup.dedup_exact`).  The
+    exchange therefore carries only (hash, id, 3 small ints) per
+    surviving row — the document text itself never shuffles.
     """
     t = F.col(text_col)
-    deduped = (
-        df.groupBy(text_col)
-        .agg(F.min(id_col).alias(id_col))
-    )
     n = F.length(t).cast("double")
     digit_ratio = F.round(
         F.length(F.regexp_replace(t, "[^0-9]", "")) /
@@ -48,8 +49,9 @@ def prepare_training_corpus(
         6,
     )
     toks = F.split(F.trim(F.lower(t)), r"\s+")
-    return (
-        deduped.select(
+    gated = (
+        df.select(
+            F.xxhash64(t).alias("__k"),
             F.col(id_col),
             F.length(t).alias("n_chars"),
             F.size(toks).alias("n_tokens"),
@@ -60,6 +62,18 @@ def prepare_training_corpus(
             & (F.col("digit_ratio") <= max_digit_ratio)
             & (F.col("n_tokens") >= min_tokens)
         )
+    )
+    # stats are identical within a hash group; min() keeps them paired
+    # with the min-id winner deterministically
+    return (
+        gated.groupBy("__k")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min("n_chars").alias("n_chars"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("digit_ratio").alias("digit_ratio"),
+        )
+        .select(id_col, "n_chars", "n_tokens", "digit_ratio")
     )
 
 
@@ -77,8 +91,12 @@ def prepare_training_corpus_sql(min_chars: int = 80,
                                 max_digit_ratio: float = 0.3,
                                 min_tokens: int = 10,
                                 table: str = "documents") -> str:
-    """DuckDB twin of :func:`prepare_training_corpus` (same stages,
-    same expressions) for the oracle gate."""
+    """DuckDB twin of :func:`prepare_training_corpus` for the oracle
+    gate.  The twin groups on the full text and filters after the
+    group — algebraically identical to the engine's pre-shuffle-gate +
+    hash-key plan, because every gate/stat is a deterministic function
+    of the text (all copies agree) and xxhash64 collisions are
+    negligible at test scale."""
     return rf"""
 SELECT doc_id, n_chars, n_tokens, digit_ratio FROM (
   SELECT doc_id,

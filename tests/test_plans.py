@@ -78,6 +78,19 @@ def test_ivf_assignment_is_a_narrow_map(plans):
         assert "embedding" not in line, line
 
 
+def test_pipeline_dedup_shuffles_hash_key_not_text(plans):
+    """prepare_training_corpus must key its one shuffle on
+    xxhash64(text), never on the document text itself, with the quality
+    gates applied map-side (Filter below the Exchange)."""
+    plan = plans["pipeline_prepare_corpus"]
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert shuffles, plan[:500]
+    for line in shuffles:
+        assert "text" not in line, line
+    first_exchange = plan.find("Exchange hashpartitioning")
+    assert "Filter" in plan[first_exchange:], "gates not pushed before shuffle"
+
+
 def test_histograms_partial_aggregate_before_exchange(plans):
     """The fill must run its partial hash-agg map-side: the plan order is
     HashAggregate (partial) -> Exchange -> HashAggregate (final), so the
