@@ -68,6 +68,8 @@ class AggHistogram:
             for ax in spec.axes
         ]
         self._cached: dict | None = None
+        # set by routines.histogram*(density=True); honored by to_numpy
+        self._density_requested = False
 
     # -- plan surface -------------------------------------------------
     @property
@@ -156,10 +158,27 @@ class AggHistogram:
         self._resolved_categories = cats
         return arrays
 
-    def to_numpy(self, flow: bool = False, dd: bool = True):
+    def to_numpy(self, flow: bool = False, dd: bool = True,
+                 density: bool | None = None):
         """(counts, *edges) — reference ``to_dask_array``/``to_numpy``
-        (core.py:1098-1154), eagerly materialized."""
-        counts = self.counts(flow=flow)
+        (core.py:1098-1154), eagerly materialized.
+
+        ``density=True`` returns ``np.histogram(density=True)``-style
+        normalized values (counts / total / bin volume) instead of raw
+        counts; ``None`` defers to the ``density=`` flag given to the
+        :mod:`routines` entry point that built this histogram.  (The
+        reference accepts-but-ignores ``density`` in its array path —
+        routines.py:417-421; here it is wired for real.)
+        """
+        if density is None:
+            density = self._density_requested
+        if density:
+            if flow:
+                raise ValueError("density=True is incompatible with flow=True "
+                                 "(flow bins have no width)")
+            counts = self.density()
+        else:
+            counts = self.counts(flow=flow)
         edges = []
         for ax in self.spec.axes:
             e = ax.edges()

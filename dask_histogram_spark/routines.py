@@ -72,12 +72,27 @@ def histogramdd(
     weights: WeightLike = None,
     density: bool = False,
     *,
+    histogram: Any = None,
     sample: ColumnLike | None = None,
     storage: Storage | None = None,
     threads: Any = None,
-) -> AggHistogram:
-    """N-dimensional histogram over DataFrame columns."""
+) -> Any:
+    """N-dimensional histogram over DataFrame columns.
+
+    ``histogram=Histogram`` (the :mod:`.object_api` class) switches to
+    object-based output: the return is a *staged, uncomputed*
+    :class:`~.object_api.Histogram` whose single fill is already queued
+    — reference ``boost.histogramdd(histogram=dhb.Histogram)``
+    (boost.py:446-656, staged-return at :652-656).  Any other value
+    keeps the array-style :class:`AggHistogram` return.  ``density``
+    with object output raises (reference boost.py:622-626).
+    """
     _common_checks(normed, threads)
+    if density and histogram is not None:
+        raise KeyError(
+            "density is not supported when returning a Histogram object "
+            "(reference parity: boost.py:622-626)"
+        )
     cols = list(cols)
     if storage is None:
         if weights is not None and sample is not None:
@@ -89,10 +104,16 @@ def histogramdd(
         else:
             storage = Storage.DOUBLE
     axes = axes_from_bins_range(len(cols), bins, range)
+    from .object_api import Histogram as _ObjHistogram
+
+    if histogram is not None and histogram == _ObjHistogram:
+        return _ObjHistogram(*axes, storage=storage).fill(
+            df, *cols, weight=weights, sample=sample
+        )
     spec = HistogramSpec(axes=axes, storage=storage)
     sparse = fill(df, cols, spec, weight=weights, sample=sample)
     h = AggHistogram(sparse, spec)
-    h._density_requested = bool(density)  # applied in .to_numpy(density=...) path
+    h._density_requested = bool(density)  # honored by AggHistogram.to_numpy
     return h
 
 

@@ -156,6 +156,28 @@ def test_density(spark, gauss1d):
     np.testing.assert_allclose(h.density(), exp)
 
 
+def test_density_wired_through_to_numpy(spark, gauss1d):
+    """density=True at the routines entry point must change the array
+    to_numpy returns (the reference silently ignores it —
+    routines.py:417-421; we wire it, SURVEY §2.5)."""
+    df, pdf = gauss1d
+    exp, _ = np.histogram(pdf.x[(pdf.x >= -3) & (pdf.x < 3)],
+                          bins=10, range=(-3, 3), density=True)
+    # flag at construction time
+    h = dhs.histogram(df, "x", bins=10, range=(-3, 3), density=True)
+    got, edges = h.to_numpy(dd=False)
+    np.testing.assert_allclose(got, exp)
+    # explicit override at materialization time
+    h2 = dhs.histogram(df, "x", bins=10, range=(-3, 3))
+    got2, _ = h2.to_numpy(dd=False, density=True)
+    np.testing.assert_allclose(got2, exp)
+    # density=False override wins over the constructor flag
+    raw, _ = h.to_numpy(dd=False, density=False)
+    assert raw.sum() == pytest.approx(((pdf.x >= -3) & (pdf.x < 3)).sum())
+    with pytest.raises(ValueError, match="flow"):
+        h.to_numpy(flow=True, density=True)
+
+
 def test_partitioned_collapse(spark, gauss1d):
     df, pdf = gauss1d
     spec = dhs.HistogramSpec(axes=(dhs.Regular(10, -3, 3),),

@@ -164,6 +164,42 @@ def test_pinned_categories_overflow_dropped(spark):
     assert vals.sum() == 3.0
 
 
+def test_object_return_entry_points(spark, gauss1d):
+    """histogram/histogram2d/histogramdd(histogram=Histogram) return
+    the STAGED object, uncomputed — reference boost.py:652-656,
+    exercised by reference tests/test_boost.py:227-246."""
+    df, pdf = gauss1d
+    h = dhs.histogram(df, "x", bins=10, range=(-3, 3),
+                      histogram=dhs.Histogram)
+    assert isinstance(h, dhs.Histogram)
+    assert h.staged_fills()          # fill queued...
+    assert h._agg is None            # ...but nothing built yet
+    assert "has staged fills" in repr(h)
+    # computed counts equal the array-style path
+    arr = dhs.histogram(df, "x", bins=10, range=(-3, 3))
+    np.testing.assert_allclose(h.counts(flow=True), arr.counts(flow=True))
+
+    # weights + storage pass through (reference test_boost.py:252-286)
+    hw = dhs.histogramdd(df, ["x"], bins=12, range=((-3, 3),),
+                         weights="w", histogram=dhs.Histogram,
+                         storage=dhs.Storage.WEIGHT)
+    aw = dhs.histogram(df, "x", bins=12, range=(-3, 3), weights="w")
+    np.testing.assert_allclose(hw.variances(flow=True), aw.variances(flow=True))
+
+    h2 = dhs.histogram2d(df, "x", "w", bins=(5, 4),
+                         range=((-3, 3), (0.4, 0.8)),
+                         histogram=dhs.Histogram)
+    assert isinstance(h2, dhs.Histogram) and h2.ndim == 2
+
+    # density with object output is rejected (reference boost.py:622-626)
+    with pytest.raises(KeyError, match="density"):
+        dhs.histogram(df, "x", bins=10, range=(-3, 3), density=True,
+                      histogram=dhs.Histogram)
+    # any other `histogram` value keeps the array-style return
+    agg = dhs.histogram(df, "x", bins=10, range=(-3, 3), histogram=object)
+    assert isinstance(agg, dhs.AggHistogram)
+
+
 def test_project_marginalizes(spark, gauss_nd):
     df, pdf = gauss_nd
     h = dhs.histogramdd(df, ["c0", "c1"], bins=(8, 7),
