@@ -42,9 +42,13 @@ from .spec import (
 
 __all__ = ["bin_column", "bin_sql", "CATEGORY_OVERFLOW"]
 
-# Sentinel dense-index for out-of-set values on a pinned (growth=False)
-# category axis.
-CATEGORY_OVERFLOW = -2
+# Sentinel bin value for out-of-set values on a pinned (growth=False)
+# category axis: SQL NULL.  NULL cannot collide with any real category
+# (boost category axes reject missing values), groupBy collapses all
+# out-of-set rows into ONE sparse row (bounded state even when the
+# out-of-set value space is huge), and dense materialization routes it
+# to the axis's single overflow slot (result.py).
+CATEGORY_OVERFLOW = None
 
 # Variable axes beyond this many bins switch from a chained-CASE Column
 # expression (O(n) per row, codegen) to an Arrow-batched numpy
@@ -122,9 +126,14 @@ def bin_column(axis: Axis, col: Column) -> Column:
         return F.when(col.cast("boolean"), F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
     if isinstance(axis, _CategoryAxis):
         # Group on the raw value; growth falls out of groupBy for free.
-        if isinstance(axis, IntCategory):
-            return col.cast("long")
-        return col.cast("string")
+        v = col.cast("long") if isinstance(axis, IntCategory) else col.cast("string")
+        if not axis.growth and axis.categories:
+            # pinned axis: out-of-set values fold to the NULL overflow
+            # sentinel (single overflow slot, boost semantics)
+            return F.when(v.isin(*axis.categories), v).otherwise(
+                F.lit(CATEGORY_OVERFLOW)
+            )
+        return v
     raise TypeError(f"unsupported axis type: {type(axis).__name__}")
 
 
@@ -164,8 +173,16 @@ def bin_sql(axis: Axis, col: str) -> str:
         )
     if isinstance(axis, Boolean):
         return f"CASE WHEN CAST({col} AS BOOLEAN) THEN 1 ELSE 0 END"
-    if isinstance(axis, IntCategory):
-        return f"CAST({col} AS BIGINT)"
-    if isinstance(axis, StrCategory):
-        return f"CAST({col} AS VARCHAR)"
+    if isinstance(axis, (IntCategory, StrCategory)):
+        cast = "BIGINT" if isinstance(axis, IntCategory) else "VARCHAR"
+        v = f"CAST({col} AS {cast})"
+        if not axis.growth and axis.categories:
+            if isinstance(axis, IntCategory):
+                in_list = ", ".join(str(int(c)) for c in axis.categories)
+            else:
+                in_list = ", ".join(
+                    "'" + str(c).replace("'", "''") + "'" for c in axis.categories
+                )
+            return f"CASE WHEN {v} IN ({in_list}) THEN {v} ELSE NULL END"
+        return v
     raise TypeError(f"unsupported axis type: {type(axis).__name__}")

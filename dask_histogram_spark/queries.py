@@ -24,8 +24,10 @@ from .fill import FillSpec, collapse, fill, fill_multi, fill_partitioned, fill_s
 from .oracle import sig_round_col, sig_round_sql, sig_rounded
 from .result import AggHistogram
 from .spec import (
+    Boolean,
     HistogramSpec,
     IntCategory,
+    Integer,
     Regular,
     Storage,
     StrCategory,
@@ -110,7 +112,10 @@ def _hist_query(name: str, table: str, cols: list[str],
             df = df.where(F.expr(where_sql))
         w = F.expr(weight_sql) if weight_sql is not None else None
         s = F.expr(sample_sql) if sample_sql is not None else None
-        return sig_rounded(fill(df, cols, spec, weight=w, sample=s))
+        # F.expr, not F.col: cols may be SQL expressions (e.g. a boolean
+        # predicate feeding a Boolean axis), valid on both sides
+        return sig_rounded(fill(df, [F.expr(c) for c in cols], spec,
+                                weight=w, sample=s))
 
     _register(
         name,
@@ -175,6 +180,68 @@ _hist_query(
     "hist_intcat", "lineitem", ["l_linenumber", "l_extendedprice"],
     HistogramSpec(axes=(IntCategory(growth=True), Regular(20, 0.0, 100000.0)),
                   storage=Storage.DOUBLE),
+)
+
+# pinned (growth=False) category axes: out-of-set values fold into the
+# NULL-sentinel overflow slot in BOTH engines (binning.bin_column /
+# bin_sql emit the same CASE) — orders has status P outside the pinned
+# {O, F} set, l_linenumber has 4..7 outside the pinned {1,2,3} set.
+_hist_query(
+    "hist_strcat_pinned", "orders", ["o_orderstatus", "o_totalprice"],
+    HistogramSpec(
+        axes=(StrCategory(("O", "F"), growth=False),
+              Regular(10, 0.0, 500000.0)),
+        storage=Storage.DOUBLE,
+    ),
+)
+
+_hist_query(
+    "hist_intcat_pinned", "lineitem", ["l_linenumber", "l_extendedprice"],
+    HistogramSpec(
+        axes=(IntCategory((1, 2, 3), growth=False),
+              Regular(10, 0.0, 100000.0)),
+        storage=Storage.WEIGHT,
+    ),
+    weight_sql="l_quantity",
+)
+
+_hist_query(
+    "hist_integer_axis", "lineitem", ["l_linenumber"],
+    HistogramSpec(axes=(Integer(1, 8),), storage=Storage.INT64),
+)
+
+_hist_query(
+    "hist_boolean_axis", "lineitem", ["(l_quantity > 25)"],
+    HistogramSpec(axes=(Boolean(),), storage=Storage.DOUBLE),
+)
+
+
+_PROJECT_2D = HistogramSpec(
+    axes=(Regular(10, 0.0, 50.0), Regular(11, 0.0, 0.11)),
+    storage=Storage.WEIGHT,
+)
+_PROJECT_1D = HistogramSpec(axes=(_PROJECT_2D.axes[0],),
+                            storage=Storage.WEIGHT)
+
+
+def _q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """project(0) of a 2D weighted fill == the 1D fill on axis 0 (the
+    marginalization monoid merge, result.py project): the oracle is the
+    1D fill_sql; sig-rounding absorbs the summation-order difference."""
+    df = get_tables(spark, sf_dir)["lineitem"]
+    h = AggHistogram(
+        fill(df, [F.expr("l_quantity"), F.expr("l_discount")], _PROJECT_2D,
+             weight=F.expr("1.0 - l_discount")),
+        _PROJECT_2D,
+    )
+    return sig_rounded(h.project(0).to_sparse())
+
+
+_register(
+    "hist_project",
+    _q_project,
+    fill_sql("lineitem", ["l_quantity"], _PROJECT_1D,
+             weight_sql="1.0 - l_discount"),
 )
 
 _hist_query(

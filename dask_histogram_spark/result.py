@@ -116,7 +116,10 @@ class AggHistogram:
         offsets = []
         for d, ax in enumerate(self.spec.axes):
             if cats[d] is not None:
-                shape.append(len(cats[d]))
+                # pinned category axes carry ONE overflow slot (out-of-
+                # set / NULL sentinel rows) visible under flow=True
+                pinned = self._categories[d] is not None
+                shape.append(len(cats[d]) + (1 if (flow and pinned) else 0))
                 offsets.append(0)
             else:
                 n = ax.nbins
@@ -135,9 +138,12 @@ class AggHistogram:
             for d in range(nd):
                 if catmaps[d] is not None:
                     j = catmaps[d].get(r[d])
-                    if j is None:  # out-of-set on pinned category axis
-                        ok = False
-                        break
+                    if j is None:  # NULL sentinel / out-of-set value
+                        if flow and self._categories[d] is not None:
+                            j = shape[d] - 1  # pinned axis: overflow slot
+                        else:
+                            ok = False
+                            break
                     idx.append(j)
                 else:
                     b = r[d]

@@ -148,9 +148,11 @@ def test_mismatched_axes_arithmetic_raises(spark, gauss1d):
         h1 + h2
 
 
-def test_pinned_categories_overflow_dropped(spark):
+def test_pinned_categories_overflow_slot(spark):
+    """Out-of-set values on a growth=False category axis land in ONE
+    overflow slot (boost semantics), visible under flow=True and hidden
+    under flow=False."""
     pdf = pd.DataFrame({"c": ["a", "b", "c", "a", "zzz"], "x": [1.0] * 5})
-    df = None
     from pyspark.sql import SparkSession
 
     df = SparkSession.getActiveSession().createDataFrame(pdf)
@@ -160,8 +162,14 @@ def test_pinned_categories_overflow_dropped(spark):
     ).fill(df, "c", "x")
     vals = h.values()
     assert vals.shape == (2, 2)
-    # only pinned categories materialize; 'c'/'zzz' dropped
+    # flow=False view: only pinned categories
     assert vals.sum() == 3.0
+    valsf = h.values(flow=True)
+    # (2 cats + overflow, 2 bins + under/overflow)
+    assert valsf.shape == (3, 4)
+    assert valsf[2].sum() == 2.0          # 'c' and 'zzz' route to overflow
+    assert valsf[2, 2] == 2.0             # x=1.0 -> bin 1 (+1 flow offset)
+    assert valsf.sum() == 5.0             # nothing dropped
 
 
 def test_object_return_entry_points(spark, gauss1d):
