@@ -118,11 +118,19 @@ def _projection(spec: HistogramSpec, f: FillSpec) -> DataFrame:
         for ax, c, name in zip(spec.axes, f.cols, spec.bin_cols)
     ]
     proj.append(_weight_col(f.weight).alias("__w"))
-    if f.sample is not None:
-        proj.append(_as_col(f.sample).cast("double").alias("__s"))
-    else:
-        proj.append(F.lit(None).cast("double").alias("__s"))
+    proj.append(_sample_col(spec, f).alias("__s"))
     return f.df.select(*proj)
+
+
+def _sample_col(spec: HistogramSpec, f: FillSpec) -> Column:
+    """Sample accumulator input, with the spec's stability shift applied
+    (moments sum (s - K); see HistogramSpec.sample_shift)."""
+    if f.sample is None:
+        return F.lit(None).cast("double")
+    s = _as_col(f.sample).cast("double")
+    if spec.sample_shift:
+        s = s - F.lit(float(spec.sample_shift))
+    return s
 
 
 def fill(
@@ -149,10 +157,7 @@ def _fill_struct(spec: HistogramSpec, f: FillSpec) -> Column:
         for ax, c, name in zip(spec.axes, f.cols, spec.bin_cols)
     ]
     fields.append(_weight_col(f.weight).alias("__w"))
-    if f.sample is not None:
-        fields.append(_as_col(f.sample).cast("double").alias("__s"))
-    else:
-        fields.append(F.lit(None).cast("double").alias("__s"))
+    fields.append(_sample_col(spec, f).alias("__s"))
     return F.struct(*fields)
 
 
@@ -292,7 +297,11 @@ def fill_sql(
     inner_cols = list(binexprs)
     inner_cols.append(f"CAST({weight_sql or '1.0'} AS DOUBLE) AS __w")
     if sample_sql is not None:
-        inner_cols.append(f"CAST({sample_sql} AS DOUBLE) AS __s")
+        s = f"CAST({sample_sql} AS DOUBLE)"
+        if spec.sample_shift:
+            # textually identical shift subtraction to the Spark side
+            s = f"({s} - {float(spec.sample_shift)!r})"
+        inner_cols.append(f"{s} AS __s")
     else:
         inner_cols.append("CAST(NULL AS DOUBLE) AS __s")
     inner = f"SELECT {', '.join(inner_cols)} FROM {table}"

@@ -42,9 +42,10 @@ class Histogram:
     """Lazily-filled histogram over Spark DataFrames."""
 
     def __init__(self, *axes: AxisLike, storage: Storage = Storage.DOUBLE,
-                 metadata: Any = None) -> None:
+                 metadata: Any = None, sample_shift: float = 0.0) -> None:
         self.spec = HistogramSpec(axes=tuple(axes), storage=storage,
-                                  metadata=metadata)
+                                  metadata=metadata,
+                                  sample_shift=sample_shift)
         self._staged: list[FillSpec] = []
         self._agg: AggHistogram | None = None
 

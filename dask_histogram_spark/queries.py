@@ -257,6 +257,15 @@ _hist_query(
     sample_sql="l_extendedprice",
 )
 
+# sample_shift stability path (spec.py): moments accumulate (s - K) on
+# BOTH sides (fill and fill_sql derive the shift from the same spec)
+_hist_query(
+    "hist_mean_shifted", "lineitem", ["l_quantity"],
+    HistogramSpec(axes=(Regular(10, 0.0, 50.0),), storage=Storage.MEAN,
+                  sample_shift=38000.0),
+    sample_sql="l_extendedprice",
+)
+
 _hist_query(
     "hist_customer2d", "customer", ["c_acctbal", "c_nationkey"],
     HistogramSpec(axes=(Regular(12, -1000.0, 10000.0), IntCategory(growth=True)),

@@ -203,12 +203,13 @@ class AggHistogram:
         if st in (Storage.DOUBLE, Storage.INT64, Storage.ATOMIC_INT64, Storage.WEIGHT):
             v = a["value"]
             return v.astype(np.int64) if st.int_valued else v
+        K = self.spec.sample_shift  # mean = K + shifted-sum / count
         if st is Storage.MEAN:
             with np.errstate(invalid="ignore", divide="ignore"):
-                return np.where(a["count"] > 0, a["sum_s"] / a["count"], 0.0)
+                return np.where(a["count"] > 0, K + a["sum_s"] / a["count"], 0.0)
         if st is Storage.WEIGHTED_MEAN:
             with np.errstate(invalid="ignore", divide="ignore"):
-                return np.where(a["sum_w"] > 0, a["sum_ws"] / a["sum_w"], 0.0)
+                return np.where(a["sum_w"] > 0, K + a["sum_ws"] / a["sum_w"], 0.0)
         raise AssertionError(st)
 
     def variances(self, flow: bool = False) -> np.ndarray | None:

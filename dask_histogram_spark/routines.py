@@ -74,6 +74,7 @@ def histogramdd(
     *,
     histogram: Any = None,
     sample: ColumnLike | None = None,
+    sample_shift: float = 0.0,
     storage: Storage | None = None,
     threads: Any = None,
 ) -> Any:
@@ -107,10 +108,12 @@ def histogramdd(
     from .object_api import Histogram as _ObjHistogram
 
     if histogram is not None and histogram == _ObjHistogram:
-        return _ObjHistogram(*axes, storage=storage).fill(
+        return _ObjHistogram(*axes, storage=storage,
+                             sample_shift=sample_shift).fill(
             df, *cols, weight=weights, sample=sample
         )
-    spec = HistogramSpec(axes=axes, storage=storage)
+    spec = HistogramSpec(axes=axes, storage=storage,
+                         sample_shift=sample_shift)
     sparse = fill(df, cols, spec, weight=weights, sample=sample)
     h = AggHistogram(sparse, spec)
     h._density_requested = bool(density)  # honored by AggHistogram.to_numpy

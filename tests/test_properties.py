@@ -140,3 +140,53 @@ def test_count_preservation_bulk(spark, gauss1d):
     for bins, rng_ in [(7, (-1, 1)), (3, (0, 0.5)), ([-2, 0, 1], None)]:
         h = dhs.histogram(df, "x", bins=bins, range=rng_)
         assert h.counts(flow=True).sum() == len(pdf)
+
+
+def test_moment_cancellation_large_mean(spark):
+    """SURVEY §7.4 risk register: sum(s^2) - sum(s)^2/n cancels
+    catastrophically at large mean / small variance (measured 130x
+    relative error at mean 1e6, sigma 1e-3).  The escalation is the
+    spec's sample_shift: moments accumulate (s - K), variance is
+    shift-invariant, mean reconstructs as K + sum/count.  Property:
+    shifted Mean/WeightedMean match numpy two-pass to 1e-9 relative."""
+    import dask_histogram_spark as dhs
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    pdf = pd.DataFrame({
+        "x": rng.uniform(-3, 3, n),
+        "s": 1e6 + rng.normal(0, 1e-3, n),
+        "w": rng.uniform(0.5, 2.0, n),
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    K = 1e6
+
+    h = dhs.histogramdd(df, ["x"], bins=6, range=((-3, 3),),
+                        sample="s", sample_shift=K,
+                        storage=dhs.Storage.MEAN)
+    vals, var = h.values(), h.variances()
+    bins = np.clip(((pdf.x + 3) * 1.0).astype(int), 0, 5)
+    for b in range(6):
+        grp = pdf.s[bins == b].to_numpy()
+        np.testing.assert_allclose(vals[b], grp.mean(), rtol=1e-12)
+        np.testing.assert_allclose(var[b], np.var(grp, ddof=1), rtol=1e-9)
+
+    hw = dhs.histogramdd(df, ["x"], bins=6, range=((-3, 3),),
+                         sample="s", weights="w", sample_shift=K,
+                         storage=dhs.Storage.WEIGHTED_MEAN)
+    wvals = hw.values()
+    for b in range(6):
+        m = bins == b
+        grp, gw = pdf.s[m].to_numpy(), pdf.w[m].to_numpy()
+        np.testing.assert_allclose(wvals[b], np.average(grp, weights=gw),
+                                   rtol=1e-12)
+
+    # and the UNSHIFTED variance is measurably garbage on this data —
+    # documents why the shift exists (remove if this ever starts
+    # passing: it would mean the naive path got fixed another way)
+    h0 = dhs.histogramdd(df, ["x"], bins=6, range=((-3, 3),),
+                         sample="s", storage=dhs.Storage.MEAN)
+    bad = h0.variances()
+    exact = np.array([np.var(pdf.s[bins == b].to_numpy(), ddof=1)
+                      for b in range(6)])
+    assert np.abs(bad - exact).max() / exact.max() > 1.0
