@@ -42,7 +42,12 @@ BENCH_QUERIES = [
     # and the inverted-index intermediate explodes quadratically
     # (221M candidate rows even after the cut; see BASELINE.md)
     "ngram_jaccard_maxdf",
+    # stats twin, not the raw candidate set: the band join runs in full
+    # but the 4M-row pair set stays distributed (collecting it would
+    # time driver serialization, not the operator)
+    "minhash_lsh_stats",
     "pipeline_prepare_corpus",
+    "similarity_ivf_topk",
 ]
 
 

@@ -942,15 +942,35 @@ def _minhash_band_sql(bands: int, r: int) -> str:
     )
 
 
-_register(
-    "minhash_lsh_candidates",
-    _q_minhash_candidates,
+_MINHASH_CAND_SQL = (
     f"WITH h AS (SELECT doc_id, {_MH_HS} AS hs FROM {_DUP_SQL}), "
     f"s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h), "
     f"b AS ({_minhash_band_sql(bands=8, r=4)}) "
     "SELECT a.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS n_bands "
     "FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket "
-    "AND a.doc_id < b2.doc_id GROUP BY 1, 2",
+    "AND a.doc_id < b2.doc_id GROUP BY 1, 2"
+)
+
+_register("minhash_lsh_candidates", _q_minhash_candidates, _MINHASH_CAND_SQL)
+
+
+def _q_minhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output twin of minhash_lsh_candidates for benching: the
+    full band join runs, but only (n_pairs, sum_bands) comes back — a
+    100 TB dedup writes candidates to a table, it never collects them."""
+    return _q_minhash_candidates(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_bands").alias("sum_bands"),
+    )
+
+
+_register(
+    "minhash_lsh_stats",
+    _q_minhash_stats,
+    # BIGINT casts: DuckDB SUM/COUNT land in pandas as float64/HUGEINT
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(SUM(n_bands) AS BIGINT) AS sum_bands "
+    f"FROM ({_MINHASH_CAND_SQL})",
 )
 
 

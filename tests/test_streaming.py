@@ -142,3 +142,74 @@ def test_streaming_minhash_candidates(spark, tmp_path):
         ):
             hit += 1
     assert hit == n
+
+
+def test_streaming_minhash_matches_batch_twin(spark, tmp_path):
+    """Recall/precision of the streaming LSH detector vs the batch twin
+    on the SAME corpus (exact dups + perturbed near-dups):
+
+    * precision: every streaming pair shares a band bucket, so the
+      streaming pair set is a subset of the batch candidate set
+      (unordered compare — a late-arriving smaller id can sit on the
+      id_b side of its bucket anchor);
+    * recall: each bucket's members form a star around its anchor, so
+      the streaming pair graph connects both endpoints of EVERY batch
+      candidate pair (component-level recall = 1, deterministically).
+    """
+    from dask_histogram_spark.operators.dedup import minhash_lsh_candidates
+    from dask_histogram_spark.streaming import streaming_minhash_candidates
+
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            # near-dup: tiny suffix keeps most shingles shared
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    params = dict(num_perm=32, bands=8)
+
+    batch_pairs = {
+        frozenset((r.id_a, r.id_b))
+        for r in minhash_lsh_candidates(corpus, **params).collect()
+    }
+    assert batch_pairs  # the corpus must actually produce candidates
+
+    d = str(tmp_path / "mh_twin_stream")
+    corpus.repartition(6).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        streaming_minhash_candidates(stream, **params)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("smh_twin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_pairs = {
+        frozenset((r.id_a, r.id_b))
+        for r in spark.sql("SELECT id_a, id_b FROM smh_twin").collect()
+    }
+
+    # precision: no streaming pair outside the batch candidate set
+    assert stream_pairs <= batch_pairs
+
+    # component-level recall: union-find over streaming pairs
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in stream_pairs:
+        a, b = tuple(p)
+        parent[find(a)] = find(b)
+    missed = [p for p in batch_pairs if find(min(p)) != find(max(p))]
+    assert not missed, f"streaming graph misses {len(missed)} batch pairs"
