@@ -25,7 +25,15 @@ from .similarity import (
     fit_centroids,
     ivf_topk,
 )
-from .text import language_id, text_stats, token_counts, fingerprint, quality_score
+from .pipeline import hash_split
+from .text import (
+    fingerprint,
+    language_id,
+    normalize_text,
+    quality_score,
+    text_stats,
+    token_counts,
+)
 
 __all__ = [
     "brute_force_topk",
@@ -35,8 +43,10 @@ __all__ = [
     "exact_dup_stats",
     "fingerprint",
     "fit_centroids",
+    "hash_split",
     "ivf_topk",
     "language_id",
+    "normalize_text",
     "minhash_banded",
     "minhash_lsh_candidates",
     "minhash_signatures",

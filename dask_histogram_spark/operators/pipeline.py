@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["prepare_training_corpus", "corpus_stats"]
+__all__ = ["prepare_training_corpus", "corpus_stats", "hash_split",
+           "hash_split_sql"]
 
 
 def prepare_training_corpus(
@@ -108,3 +109,65 @@ SELECT doc_id, n_chars, n_tokens, digit_ratio FROM (
 WHERE n_chars >= {min_chars} AND digit_ratio <= {max_digit_ratio}
   AND n_tokens >= {min_tokens}
 """
+
+
+# Multiplicative-hash constants for the deterministic split (engine-
+# and oracle-portable: plain 64-bit integer arithmetic, no engine
+# hash).  A ~= 2^31 * golden ratio — Knuth multiplicative hashing
+# equidistributes CONSECUTIVE ids across [0, 1), which an affine
+# (a*x+b) mod p scheme does not (for small ids the product never wraps
+# p, leaving the "hash" linear and every id in the first split).
+_SPLIT_M = 1 << 31
+_SPLIT_A = 1327217885  # odd, (M-1)*A < 2^63: no long overflow
+
+
+def hash_split(df: DataFrame, ratios: dict[str, float],
+               id_col: str = "doc_id", out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by universal hash of the
+    id — the standard reproducible corpus split: membership depends
+    only on the id (stable across reruns, partitionings and cluster
+    sizes), never on row order or sampling RNG.  Narrow map, zero
+    shuffle.
+
+    ``ratios``: ordered {name: fraction} summing to ~1.0, e.g.
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}``.  The hash is
+    golden-ratio multiplicative: fold the id's high bits in
+    (``x XOR (x >> 31)``), then ``(x * A) mod 2^31 / 2^31`` — plain
+    integer arithmetic reproducible in any SQL engine, so the
+    assignment is oracle-checkable bit-for-bit.
+    """
+    total = sum(ratios.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"ratios must sum to 1.0, got {total}")
+    x = F.col(id_col).cast("long")
+    folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
+    h = F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
+    frac = h.cast("double") / F.lit(float(_SPLIT_M))
+    expr = None
+    cum = 0.0
+    names = list(ratios)
+    for name in names[:-1]:
+        cum += ratios[name]
+        branch = F.when(frac < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(frac < F.lit(cum), F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(ratios: dict[str, float], id_col: str = "doc_id",
+                   out_col: str = "split") -> str:
+    """DuckDB twin expression of :func:`hash_split` (same constants,
+    same arithmetic, same branch order)."""
+    h = (f"((xor({id_col}, {id_col} >> 31) % {_SPLIT_M}) "
+         f"* {_SPLIT_A}) % {_SPLIT_M}"
+         )
+    frac = f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r})"
+    names = list(ratios)
+    whens = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += ratios[name]
+        whens.append(f"WHEN {frac} < {cum!r} THEN '{name}'")
+    return (f"CASE {' '.join(whens)} ELSE '{names[-1]}' END AS {out_col}"
+            if whens else f"'{names[-1]}' AS {out_col}")

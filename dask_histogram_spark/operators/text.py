@@ -11,7 +11,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["token_counts", "text_stats", "language_id", "fingerprint",
-           "quality_score", "STOPWORDS"]
+           "quality_score", "normalize_text", "normalize_text_sql",
+           "STOPWORDS"]
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -186,3 +187,19 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         lambda acc, h: F.pmod(acc * F.lit(1000003) + h, F.lit(mod)),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text") -> DataFrame:
+    """Canonical text normalization for dedup/training prep: lowercase,
+    collapse all whitespace runs to single spaces, trim.  Pure Column
+    (codegen); the identical regex is valid in DuckDB for the oracle.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, norm)
+
+
+def normalize_text_sql(text_col: str = "text") -> str:
+    """DuckDB twin expression of :func:`normalize_text` (no alias —
+    callers compose it)."""
+    return f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"

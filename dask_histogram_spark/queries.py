@@ -1110,6 +1110,57 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("multimodal_image_features", _q_multimodal)
 
 
+def _q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-sampling plumbing (rows-only: the deterministic fake
+    waveform is a numpy kernel, not SQL-expressible)."""
+    from .operators.multimodal import attach_fake_media, sample_audio_frames
+
+    d = get_tables(spark, sf_dir)["documents"].limit(50)
+    frames = sample_audio_frames(attach_fake_media(d))
+    return frames.withColumn("rms", F.round("rms", 6))
+
+
+_register("multimodal_audio_frames", _q_audio_frames)
+
+
+_SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import hash_split
+
+    d = get_tables(spark, sf_dir)["documents"]
+    return hash_split(d, _SPLIT_RATIOS).select("doc_id", "split")
+
+
+from .operators.pipeline import hash_split_sql as _split_sql  # noqa: E402
+
+_register(
+    "corpus_hash_split",
+    _q_corpus_split,
+    f"SELECT doc_id, {_split_sql(_SPLIT_RATIOS)} FROM documents",
+)
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import normalize_text
+
+    d = get_tables(spark, sf_dir)["documents"]
+    return normalize_text(d).select(
+        "doc_id", F.length("norm_text").alias("n_norm_chars"), "norm_text"
+    )
+
+
+from .operators.text import normalize_text_sql as _norm_sql  # noqa: E402
+
+_register(
+    "text_normalize",
+    _q_normalize_text,
+    f"SELECT doc_id, length({_norm_sql()}) AS n_norm_chars, "
+    f"{_norm_sql()} AS norm_text FROM documents",
+)
+
+
 _WINDOWED_SPEC = HistogramSpec(axes=(Regular(10, 0.0, 100.0),),
                                storage=Storage.DOUBLE)
 

@@ -366,3 +366,50 @@ def test_fingerprint_fnv_matches_duckdb_unicode(spark):
     exp = {int(r[0]): int(r[1])
            for r in con.sql(ORACLES["text_fingerprint"]).fetchall()}
     assert got == exp
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, tables):
+    from dask_histogram_spark.operators import hash_split
+
+    docs = tables["documents"]
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, ratios).select("doc_id", "split").toPandas()
+    # repartitioning must not move any document between splits
+    b = (
+        hash_split(docs.repartition(17), ratios)
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    am = dict(zip(a.doc_id, a.split))
+    bm = dict(zip(b.doc_id, b.split))
+    assert am == bm
+    # every split non-empty and fractions in the right ballpark
+    frac = a.split.value_counts(normalize=True)
+    assert set(frac.index) == {"train", "val", "test"}
+    assert abs(frac["train"] - 0.8) < 0.1
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(docs, {"train": 0.5})
+
+
+def test_hash_split_plan_is_narrow(spark, tables):
+    from dask_histogram_spark.operators import hash_split
+
+    plan = (
+        hash_split(tables["documents"], {"train": 0.9, "val": 0.1})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero-shuffle narrow map
+
+
+def test_normalize_text(spark):
+    from pyspark.sql import SparkSession
+
+    from dask_histogram_spark.operators import normalize_text
+
+    s = SparkSession.getActiveSession()
+    df = s.createDataFrame(
+        [(1, "  Hello\t\tWorld \n x  "), (2, "ABC"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert got == {1: "hello world x", 2: "abc", 3: ""}
