@@ -63,8 +63,10 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None,
         from pyspark.sql import functions as F
 
         for c in _nanos_timestamp_cols(path):
+            # integer div: double division floors to the wrong
+            # microsecond at 2024-epoch magnitudes (see session.py)
             df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long"))
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
         return df
     return reader.format(fmt).load(path)
@@ -117,6 +119,9 @@ def save_histogram(h: AggHistogram, path: str, mode: str = "error") -> None:
         "axes": [_axis_to_json(ax) for ax in h.spec.axes],
         "storage": h.spec.storage.value,
         "metadata": h.spec.metadata,
+        # without K a reloaded shifted-moment histogram would silently
+        # reconstruct wrong means (mean = K + sum/count)
+        "sample_shift": h.spec.sample_shift,
     }
     with open(os.path.join(path, "_histogram_spec.json"), "w") as f:
         json.dump(spec, f)
@@ -130,5 +135,6 @@ def load_histogram(spark: SparkSession, path: str) -> AggHistogram:
         axes=tuple(_axis_from_json(a) for a in d["axes"]),
         storage=Storage(d["storage"]),
         metadata=d.get("metadata"),
+        sample_shift=d.get("sample_shift", 0.0),
     )
     return AggHistogram(spark.read.parquet(path), spec)

@@ -54,3 +54,31 @@ def test_read_table_csv(spark, tmp_path):
     df = read_table(spark, p)
     assert df.count() == 2
     assert set(df.columns) == {"a", "b"}
+
+
+def test_save_load_preserves_sample_shift(spark, gauss1d, tmp_path):
+    """A reloaded shifted-moment histogram must reconstruct the SAME
+    means (mean = K + sum/count; losing K silently corrupts values)."""
+    df, pdf = gauss1d
+    h = dhs.histogramdd(df, ["x"], bins=5, range=((-3, 3),), sample="s",
+                        sample_shift=5.0, storage=dhs.Storage.MEAN)
+    p = str(tmp_path / "hist_shift")
+    save_histogram(h, p)
+    h2 = load_histogram(spark, p)
+    assert h2.spec.sample_shift == 5.0
+    np.testing.assert_allclose(h2.values(flow=True), h.values(flow=True))
+    np.testing.assert_allclose(h2.variances(flow=True),
+                               h.variances(flow=True))
+
+
+def test_read_table_nanos_exact_microseconds(spark):
+    """Integer-div restore: every ts must equal pyarrow's ns//1000."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    df = read_table(spark, path)
+    got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+    ns = pq.read_table(path, columns=["ts"])["ts"].cast("int64").to_numpy()
+    exp = sorted((ns // 1000).tolist())
+    assert got == exp
