@@ -1,3 +1,3 @@
-from .io import read_table, save_histogram, load_histogram
+from .io import load_histogram, read_table, save_histogram, write_bucketed
 
-__all__ = ["read_table", "save_histogram", "load_histogram"]
+__all__ = ["read_table", "save_histogram", "load_histogram", "write_bucketed"]

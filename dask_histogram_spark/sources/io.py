@@ -34,7 +34,8 @@ from ..spec import (
     Variable,
 )
 
-__all__ = ["read_table", "save_histogram", "load_histogram"]
+__all__ = ["read_table", "save_histogram", "load_histogram",
+           "write_bucketed"]
 
 
 def read_table(spark: SparkSession, path: str, fmt: str | None = None,
@@ -138,3 +139,25 @@ def load_histogram(spark: SparkSession, path: str) -> AggHistogram:
         sample_shift=d.get("sample_shift", 0.0),
     )
     return AggHistogram(spark.read.parquet(path), spec)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols, n_buckets: int,
+                   sort_cols=None, mode: str = "overwrite",
+                   path: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by join keys.
+
+    The 100 TB co-location pattern: two tables bucketed the same way
+    on the same keys join WITHOUT an exchange (Spark's bucketed
+    sort-merge join) — pre-paying the shuffle once at write time
+    instead of on every join.  Dedup/similarity pipelines write their
+    banded or id-keyed intermediates this way (see
+    operators/dedup.py minhash notes).
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
