@@ -88,8 +88,14 @@ class Histogram:
         return self.to_agg().compute()
 
     # -- result passthroughs -------------------------------------------
-    def to_numpy(self, flow: bool = False, dd: bool = True):
-        return self.to_agg().to_numpy(flow=flow, dd=dd)
+    def to_numpy(self, flow: bool = False, dd: bool = True,
+                 density: bool | None = None):
+        return self.to_agg().to_numpy(flow=flow, dd=dd, density=density)
+
+    def project(self, *axes: int):
+        """Marginalize onto the given axes (boost ``h.project``) — built
+        on the lazy AggHistogram re-group (result.py)."""
+        return self.to_agg().project(*axes)
 
     def values(self, flow: bool = False) -> np.ndarray:
         return self.to_agg().values(flow=flow)

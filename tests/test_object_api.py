@@ -250,3 +250,17 @@ def test_integer_and_boolean_axes(spark):
     assert vb.shape == (2,)
     # None -> False bucket under cast-to-boolean otherwise(0) semantics
     assert vb[1] == 5 and vb.sum() == len(pdf)
+
+
+def test_object_api_project_and_density_passthrough(spark, gauss1d):
+    df, pdf = gauss1d
+    h = dhs.Histogram(dhs.Regular(6, -3, 3), dhs.Regular(4, 0.4, 0.8))
+    h.fill(df, "x", "w")
+    p0 = h.project(0)
+    np.testing.assert_allclose(p0.values(flow=True),
+                               h.values(flow=True).sum(axis=1))
+    dens, _ = dhs.Histogram(dhs.Regular(6, -3, 3)).fill(df, "x").to_numpy(
+        dd=False, density=True)
+    exp, _ = np.histogram(pdf.x[(pdf.x >= -3) & (pdf.x < 3)],
+                          bins=6, range=(-3, 3), density=True)
+    np.testing.assert_allclose(dens, exp)
