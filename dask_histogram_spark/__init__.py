@@ -8,8 +8,19 @@ analysis, multimodal plumbing) designed for 100 TB scale.
 
 from __future__ import annotations
 
+from . import axis, storage
 from .bins import normalize_bins_range
-from .fill import FillSpec, collapse, fill, fill_multi, fill_partitioned, fill_sql
+from .fill import (
+    FillSpec,
+    PartitionedHistogram,
+    collapse,
+    factory,
+    fill,
+    fill_multi,
+    fill_partitioned,
+    fill_sql,
+    partitioned_factory,
+)
 from .object_api import Histogram
 from .result import AggHistogram, round_doubles
 from .routines import histogram, histogram2d, histogramdd
@@ -24,10 +35,15 @@ from .spec import (
     Variable,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "AggHistogram",
+    "PartitionedHistogram",
+    "axis",
+    "storage",
+    "factory",
+    "partitioned_factory",
     "Boolean",
     "FillSpec",
     "Histogram",

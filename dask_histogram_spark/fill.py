@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 from .binning import bin_column, bin_sql
 from .spec import HistogramSpec, Storage
 
-__all__ = ["fill", "fill_multi", "fill_partitioned", "collapse", "FillSpec", "fill_sql"]
+__all__ = ["fill", "fill_multi", "fill_partitioned", "collapse",
+           "FillSpec", "fill_sql", "factory", "partitioned_factory",
+           "PartitionedHistogram"]
 
 ColumnLike = Union[str, Column]
 WeightLike = Union[str, Column, float, int, None]
@@ -321,3 +323,60 @@ def fill_sql(
         aggs = rounded
     keys = ", ".join(spec.bin_cols)
     return f"SELECT {keys}, {', '.join(aggs)} FROM ({inner}) GROUP BY {keys}"
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity entry points (factory / partitioned_factory)
+# ---------------------------------------------------------------------------
+
+class PartitionedHistogram:
+    """Partial histograms keyed by input partition — reference
+    ``PartitionedHistogram`` (core.py:744-853).  ``collapse()`` merges
+    to the final :class:`~.result.AggHistogram`."""
+
+    def __init__(self, partials: DataFrame, spec: HistogramSpec) -> None:
+        self.df = partials
+        self.spec = spec
+
+    def to_sparse(self) -> DataFrame:
+        return self.df
+
+    def collapse(self, split_every: int | None = None):
+        """Merge partials (reference core.py:841-843).  ``split_every``
+        is accepted for API parity; the exchange distributes the merge,
+        so fan-in tuning has no Spark analog."""
+        from .result import AggHistogram
+
+        return AggHistogram(collapse(self.df, self.spec), self.spec)
+
+    def __repr__(self) -> str:
+        return (f"PartitionedHistogram(ndim={self.spec.ndim}, "
+                f"storage={self.spec.storage.value}, lazy-spark-plan)")
+
+
+def factory(df: DataFrame, cols: Sequence[ColumnLike], spec: HistogramSpec,
+            weights: WeightLike = None, sample: ColumnLike | None = None,
+            split_every: int | None = None,
+            keep_partitioned: bool = False):
+    """Reference ``factory`` (core.py:1190-1310), Spark-native
+    signature: returns a lazy :class:`~.result.AggHistogram`, or a
+    :class:`PartitionedHistogram` with ``keep_partitioned=True``
+    (reference core.py:1240-1247).  ``split_every`` accepted-and-
+    ignored (tree fan-in has no analog; the exchange merges)."""
+    from .result import AggHistogram
+
+    if keep_partitioned:
+        return PartitionedHistogram(
+            fill_partitioned(df, cols, spec, weight=weights, sample=sample),
+            spec,
+        )
+    return AggHistogram(fill(df, cols, spec, weight=weights, sample=sample),
+                        spec)
+
+
+def partitioned_factory(df: DataFrame, cols: Sequence[ColumnLike],
+                        spec: HistogramSpec, weights: WeightLike = None,
+                        sample: ColumnLike | None = None) -> PartitionedHistogram:
+    """Reference ``partitioned_factory`` (core.py:1313-1344)."""
+    return factory(df, cols, spec, weights=weights, sample=sample,
+                   keep_partitioned=True)

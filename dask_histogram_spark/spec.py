@@ -254,6 +254,16 @@ class HistogramSpec:
     def __post_init__(self) -> None:
         if not self.axes:
             raise ValueError("HistogramSpec needs at least one axis")
+        if not isinstance(self.storage, Storage):
+            # accept boost-style storage shims (storage.Weight() etc.,
+            # reference-parity spelling) via their `enum` attribute
+            e = getattr(self.storage, "enum", None)
+            if not isinstance(e, Storage):
+                raise TypeError(
+                    f"storage must be a Storage enum or a storage.* shim; "
+                    f"got {self.storage!r}"
+                )
+            object.__setattr__(self, "storage", e)
 
     @property
     def ndim(self) -> int:
