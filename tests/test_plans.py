@@ -49,7 +49,8 @@ def test_histogram_scans_are_column_pruned(plans):
     """Every lineitem histogram scan must read only the filled columns
     (ReadSchema pushdown) — never the full 11-column row."""
     for name in ("hist1d_double", "hist1d_weight", "hist2d", "hist3d",
-                 "hist_mean", "hist_filtered"):
+                 "hist_mean", "hist_filtered", "hist_integer_axis",
+                 "hist_boolean_axis", "hist_project"):
         plan = plans[name]
         assert "ReadSchema" in plan
         schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
