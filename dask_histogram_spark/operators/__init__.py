@@ -8,6 +8,7 @@ Arrow-batched Pandas UDFs where vector math genuinely needs it.
 """
 
 from .dedup import (
+    dedup_clusters,
     dedup_exact,
     word_ngram_jaccard_pairs,
     exact_dup_stats,
@@ -37,6 +38,7 @@ from .text import (
 
 __all__ = [
     "brute_force_topk",
+    "dedup_clusters",
     "dedup_exact",
     "embedding_near_dup_pairs",
     "embedding_norms",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "dedup_clusters",
     "dedup_exact",
     "exact_dup_stats",
     "minhash_signatures",
@@ -650,3 +651,72 @@ def word_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return _jaccard_pairs_impl(df, grams, id_col, threshold, strategy,
                                max_df, persist=False,
                                nnz_bound=F.size(toks))
+
+
+# ---------------------------------------------------------------------------
+# Candidate-pair clustering (connected components)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 25) -> DataFrame:
+    """Connected components over candidate pairs -> (doc_id, cluster_id)
+    with ``cluster_id`` = the minimum doc id in the component — the step
+    after LSH + verification that picks ONE canonical document per
+    near-duplicate group.
+
+    Spark-native iterative min-label propagation: each round joins the
+    (undirected) edge list to the current labels and takes the min over
+    neighbors; ``localCheckpoint`` truncates lineage per round so the
+    plan stays bounded.  Rounds needed = component diameter, which for
+    LSH candidate graphs is small (buckets produce near-cliques /
+    anchor stars — see streaming/dedup.py), so this converges in a few
+    shuffles where a driver-side union-find would collect every edge.
+    Raises if ``max_iter`` rounds don't converge (pathological chain
+    graphs; raise the limit explicitly for those).
+    """
+    e = pairs.select(F.col(id_a).cast("long").alias("a"),
+                     F.col(id_b).cast("long").alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"),
+                              F.col("label").alias("blabel")),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min,
+                        labels["node"] == neighbor_min["a"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iter} rounds; "
+        "raise max_iter for long-chain graphs"
+    )

@@ -544,6 +544,37 @@ HAVING jaccard >= 0.3
 )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the jaccard candidate pairs: the
+    choose-one-canonical-doc-per-near-dup-group step."""
+    from .operators import dedup_clusters
+
+    return dedup_clusters(_q_jaccard(spark, sf_dir))
+
+
+# Recursive-CTE oracle: undirected transitive closure of the SAME pair
+# set (small by construction at oracle SF), then min label per node.
+_JACCARD_PAIRS_SQL = ORACLES["ngram_jaccard"]
+
+_register(
+    "dedup_clusters",
+    _q_dedup_clusters,
+    f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+""",
+)
+
+
 def _q_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ngram_jaccard_pairs
 

@@ -413,3 +413,48 @@ def test_normalize_text(spark):
     )
     got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
     assert got == {1: "hello world x", 2: "abc", 3: ""}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Differential: iterative min-label propagation == driver-side
+    union-find on a random graph (chains, cliques, singleton edges)."""
+    import random
+
+    from pyspark.sql import SparkSession
+
+    from dask_histogram_spark.operators import dedup_clusters
+
+    rng = random.Random(13)
+    edges = set()
+    # a long chain (worst diameter), a clique, and random sprinkle
+    edges |= {(i, i + 1) for i in range(100, 112)}
+    edges |= {(a, b) for a in range(200, 206) for b in range(a + 1, 206)}
+    while len(edges) < 60:
+        a, b = rng.randrange(0, 50), rng.randrange(0, 50)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    s = SparkSession.getActiveSession()
+    pairs = s.createDataFrame(sorted(edges), "id_a LONG, id_b LONG")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(pairs, max_iter=40).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    exp = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            exp[n] = m
+    assert got == exp
