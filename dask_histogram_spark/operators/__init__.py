@@ -26,7 +26,7 @@ from .similarity import (
     fit_centroids,
     ivf_topk,
 )
-from .pipeline import hash_split
+from .pipeline import hash_split, pack_sequences, token_vocabulary
 from .text import (
     fingerprint,
     language_id,
@@ -49,6 +49,7 @@ __all__ = [
     "ivf_topk",
     "language_id",
     "normalize_text",
+    "pack_sequences",
     "minhash_banded",
     "minhash_lsh_candidates",
     "minhash_signatures",
@@ -56,6 +57,7 @@ __all__ = [
     "simhash_candidates",
     "simhash_signatures",
     "text_stats",
+    "token_vocabulary",
     "quality_score",
     "token_counts",
     "word_ngram_jaccard_pairs",

@@ -10,11 +10,12 @@ is covered by the DuckDB oracle gate end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["prepare_training_corpus", "corpus_stats", "hash_split",
-           "hash_split_sql"]
+           "hash_split_sql", "pack_sequences", "pack_sequences_sql",
+           "token_vocabulary"]
 
 
 def prepare_training_corpus(
@@ -171,3 +172,61 @@ def hash_split_sql(ratios: dict[str, float], id_col: str = "doc_id",
         whens.append(f"WHEN {frac} < {cum!r} THEN '{name}'")
     return (f"CASE {' '.join(whens)} ELSE '{names[-1]}' END AS {out_col}"
             if whens else f"'{names[-1]}' AS {out_col}")
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens",
+                   group_col: str | None = None,
+                   out_col: str = "seq_id") -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    ``seq_id = floor(exclusive-running-token-sum / max_tokens)`` in
+    deterministic ``id_col`` order — quota packing (a sequence may
+    overflow by less than one document), the practical variant whose
+    assignment is a pure window expression: one sort shuffle, no
+    stateful reset logic, identical SQL for the oracle.
+
+    ``group_col`` packs within groups (e.g. a language or split
+    column) — at scale ALWAYS pass one: the window then partitions by
+    the group key instead of single-task global ordering.
+    """
+    part = [group_col] if group_col else []
+    w = (Window.partitionBy(*part).orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    run = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    return df.withColumn(
+        out_col, F.floor(run / F.lit(float(max_tokens))).cast("long")
+    )
+
+
+def pack_sequences_sql(max_tokens: int, id_col: str = "doc_id",
+                       tokens_col: str = "n_tokens",
+                       group_col: str | None = None,
+                       out_col: str = "seq_id") -> str:
+    """DuckDB twin expression of :func:`pack_sequences`."""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    run = (f"COALESCE(SUM({tokens_col}) OVER ({part}ORDER BY {id_col} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)")
+    return (f"CAST(FLOOR({run} / {float(max_tokens)!r}) AS BIGINT) "
+            f"AS {out_col}")
+
+
+def token_vocabulary(df: DataFrame, text_col: str = "text",
+                     min_count: int = 1, top_k: int | None = None) -> DataFrame:
+    """(token, count) vocabulary over whitespace-normalized lowercase
+    tokens — the tokenizer-training precursor.  explode -> count is one
+    shuffle with map-side partial aggregation; ``top_k`` ranks with
+    deterministic (count DESC, token ASC) ordering.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    if top_k is not None:
+        w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+        counts = (counts.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= top_k))
+    return counts

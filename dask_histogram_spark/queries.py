@@ -1192,6 +1192,55 @@ _register(
 )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quota packing of the prepared corpus, grouped by the
+    hash split so the window never globally orders."""
+    from .operators import hash_split
+    from .operators.pipeline import pack_sequences, prepare_training_corpus
+
+    prepared = prepare_training_corpus(_dup_corpus(spark, sf_dir))
+    with_split = hash_split(prepared, _SPLIT_RATIOS)
+    packed = pack_sequences(with_split, max_tokens=512, group_col="split")
+    return packed.select("doc_id", "split", "n_tokens", "seq_id")
+
+
+from .operators.pipeline import pack_sequences_sql as _pack_sql  # noqa: E402
+
+_register(
+    "pipeline_pack_sequences",
+    _q_pack_sequences,
+    f"SELECT doc_id, split, n_tokens, "
+    f"{_pack_sql(512, group_col='split')} "
+    f"FROM (SELECT *, {_split_sql(_SPLIT_RATIOS)} "
+    f"FROM ({_pipe_sql(table=_DUP_SQL)}))",
+)
+
+
+def _q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import token_vocabulary
+
+    d = get_tables(spark, sf_dir)["documents"]
+    return token_vocabulary(d, min_count=2, top_k=200)
+
+
+_register(
+    "token_vocabulary",
+    _q_token_vocab,
+    """
+SELECT token, count, rank FROM (
+  SELECT token, count,
+         ROW_NUMBER() OVER (ORDER BY count DESC, token ASC) AS rank
+  FROM (
+    SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS count FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents)
+    WHERE tok != '' GROUP BY tok)
+  WHERE count >= 2)
+WHERE rank <= 200
+""",
+)
+
+
 _WINDOWED_SPEC = HistogramSpec(axes=(Regular(10, 0.0, 100.0),),
                                storage=Storage.DOUBLE)
 

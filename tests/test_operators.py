@@ -458,3 +458,49 @@ def test_dedup_clusters_matches_union_find(spark):
         for n in members:
             exp[n] = m
     assert got == exp
+
+
+def test_pack_sequences_quota_semantics(spark):
+    """seq_id = floor(exclusive running sum / budget) in id order, per
+    group — replayed in pandas."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from dask_histogram_spark.operators import pack_sequences
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(300),
+        "n_tokens": rng.integers(10, 400, 300),
+        "grp": rng.choice(["a", "b"], 300),
+    })
+    s = SparkSession.getActiveSession()
+    got = (
+        pack_sequences(s.createDataFrame(pdf), 1000, tokens_col="n_tokens",
+                       group_col="grp")
+        .select("doc_id", "seq_id").toPandas()
+        .set_index("doc_id").seq_id.to_dict()
+    )
+    for g, sub in pdf.sort_values("doc_id").groupby("grp"):
+        run = 0
+        for _, row in sub.iterrows():
+            assert got[row.doc_id] == run // 1000, row
+            run += row.n_tokens
+    # every sequence's token total stays under budget + max doc size
+    pdf["seq"] = pdf.doc_id.map(got)
+    for (_, _), sub in pdf.groupby(["grp", "seq"]):
+        assert sub.n_tokens.sum() < 1000 + 400
+
+
+def test_token_vocabulary_matches_counter(spark, tables):
+    import collections
+
+    from dask_histogram_spark.operators import token_vocabulary
+
+    docs = tables["documents"].toPandas()
+    c = collections.Counter()
+    for t in docs.text:
+        c.update(w for w in t.strip().lower().split() if w)
+    got = token_vocabulary(tables["documents"], min_count=1).toPandas()
+    exp = dict(c)
+    assert dict(zip(got.token, got["count"])) == exp
