@@ -32,6 +32,8 @@ from .text import (
     language_id,
     normalize_text,
     quality_score,
+    redact_pii,
+    repetition_stats,
     text_stats,
     token_counts,
 )
@@ -59,6 +61,8 @@ __all__ = [
     "text_stats",
     "token_vocabulary",
     "quality_score",
+    "redact_pii",
+    "repetition_stats",
     "token_counts",
     "word_ngram_jaccard_pairs",
 ]

@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["token_counts", "text_stats", "language_id", "fingerprint",
            "quality_score", "normalize_text", "normalize_text_sql",
-           "STOPWORDS"]
+           "repetition_stats", "redact_pii", "redact_pii_sql",
+           "PII_PATTERNS", "STOPWORDS"]
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -203,3 +204,64 @@ def normalize_text_sql(text_col: str = "text") -> str:
     """DuckDB twin expression of :func:`normalize_text` (no alias —
     callers compose it)."""
     return f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Gopher-style repetition gate features: the fraction of duplicated
+    word n-grams per document (``1 - distinct/total``) for 2-grams and
+    ``n``-grams — high values flag boilerplate/spam for corpus
+    filtering.  Pure Column (one narrow map, no shuffle).
+    """
+    toks = _tokens(F.col(text_col))
+
+    def dup_ratio(k: int) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+        return F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams))
+            / F.size(grams).cast("double"),
+            6,
+        )
+
+    return df.select(
+        F.col(id_col),
+        dup_ratio(2).alias("dup_2gram_ratio"),
+        dup_ratio(n).alias(f"dup_{n}gram_ratio"),
+    )
+
+
+# PII patterns written in the regex subset Java and RE2/DuckDB share
+# (character classes and bounded repeats; no lookaround, no backrefs).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9() .-]{7,14}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted_text") -> DataFrame:
+    """Replace emails / IPv4s / phone-number-shaped spans with typed
+    placeholder tokens — the standard scrub pass before training-corpus
+    release.  Chained ``regexp_replace`` Columns (codegen); the
+    patterns avoid every Java-vs-RE2 dialect divergence so the DuckDB
+    oracle applies the identical expressions.
+    """
+    out = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(out_col, out)
+
+
+def redact_pii_sql(text_col: str = "text") -> str:
+    """DuckDB twin expression of :func:`redact_pii` (same patterns,
+    same order, global flag)."""
+    out = text_col
+    for pat, token in PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{token}', 'g')"
+    return out

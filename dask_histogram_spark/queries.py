@@ -1216,6 +1216,56 @@ _register(
 )
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import repetition_stats
+
+    return repetition_stats(get_tables(spark, sf_dir)["documents"])
+
+
+_register(
+    "text_repetition_stats",
+    _q_repetition,
+    r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+  ROUND(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+    AS dup_2gram_ratio,
+  ROUND(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+    AS dup_3gram_ratio
+FROM (
+  SELECT doc_id,
+    [array_to_string(toks[i:i+1], ' ')
+     FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS g2,
+    [array_to_string(toks[i:i+2], ' ')
+     FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS g3
+  FROM t)
+""",
+)
+
+
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import redact_pii
+
+    d = get_tables(spark, sf_dir)["documents"]
+    r = redact_pii(d)
+    return r.select(
+        "doc_id",
+        "redacted_text",
+        (F.col("redacted_text") != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+from .operators.text import redact_pii_sql as _redact_sql  # noqa: E402
+
+_register(
+    "text_redact_pii",
+    _q_redact,
+    f"SELECT doc_id, {_redact_sql()} AS redacted_text, "
+    f"CAST({_redact_sql()} != text AS INT) AS changed FROM documents",
+)
+
+
 def _q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import token_vocabulary
 

@@ -504,3 +504,53 @@ def test_token_vocabulary_matches_counter(spark, tables):
     got = token_vocabulary(tables["documents"], min_count=1).toPandas()
     exp = dict(c)
     assert dict(zip(got.token, got["count"])) == exp
+
+
+def test_redact_pii_cross_engine_on_real_pii(spark):
+    """The corpus has no PII, so the oracle row alone can't prove the
+    patterns fire — check real emails/IPs/phones redact identically in
+    Spark and DuckDB (dialect-shared regex subset)."""
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from dask_histogram_spark.operators import redact_pii
+    from dask_histogram_spark.operators.text import redact_pii_sql
+
+    rows = [
+        (1, "contact jane.doe+x@corp.example.org today"),
+        (2, "server at 10.0.255.3 answered"),
+        (3, "call +1 (555) 123-4567 or 555 867 5309 now"),
+        (4, "no pii here at all"),
+        (5, "a@b.io and 192.168.0.1 and +44 20 7946 0958"),
+    ]
+    s = SparkSession.getActiveSession()
+    df = s.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.redacted_text for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in got[1] and "@" not in got[1]
+    assert got[2] == "server at <IP> answered"
+    assert got[3].count("<PHONE>") == 2
+    assert got[4] == rows[3][1]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = dict(con.execute(
+        f"SELECT doc_id, {redact_pii_sql()} FROM t").fetchall())
+    assert got == oracle
+
+
+def test_repetition_stats_known_values(spark):
+    from pyspark.sql import SparkSession
+
+    from dask_histogram_spark.operators import repetition_stats
+
+    s = SparkSession.getActiveSession()
+    df = s.createDataFrame(
+        [(1, "a b a b a b"),       # 2-grams: ab ba ab ba ab -> 2/5 distinct
+         (2, "x y z w")],          # all 2-grams distinct
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.dup_2gram_ratio, r.dup_3gram_ratio)
+           for r in repetition_stats(df).collect()}
+    assert got[1][0] == pytest.approx(1 - 2 / 5)
+    assert got[2][0] == 0.0
+    assert got[2][1] == 0.0
