@@ -196,7 +196,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
                            seed: int = 17, persist: bool = True,
-                           hash_fn: str = "xxhash64") -> DataFrame:
+                           hash_fn: str = "xxhash64",
+                           max_bucket: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
 
     Banding: signature split into ``bands`` rows of r = num_perm/bands;
@@ -212,6 +213,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     corpus size while the persist overhead is per-query, so it
     defaults ON.  In a production 100 TB dedup you would write the
     banded set to a table once and join from that.
+
+    ``max_bucket`` drops band buckets holding more than that many
+    documents BEFORE the self-join — the standard skew guard: one
+    degenerate bucket of b docs emits b^2 pairs (a 100k-doc bucket is
+    10^10 pairs in one key), and such mega-buckets signal a degenerate
+    band (boilerplate shingles), not near-duplication; true dups still
+    collide in their other bands.  The cap is a per-bucket count +
+    semi-join, fully parallel.
     """
     banded = minhash_banded(df, text_col, id_col, num_perm, bands,
                             shingle_k, seed, hash_fn)
@@ -223,6 +232,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # task vs 64 at sf0.1).
     nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
     banded = banded.repartition(nparts, "band", "bucket")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        banded = banded.join(small, ["band", "bucket"], "left_semi")
     if persist:
         from pyspark import StorageLevel
 

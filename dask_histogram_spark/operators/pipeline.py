@@ -226,7 +226,12 @@ def token_vocabulary(df: DataFrame, text_col: str = "text",
         .where(F.col("count") >= min_count)
     )
     if top_k is not None:
+        # orderBy+limit plans as TakeOrderedAndProject (per-partition
+        # partial top-k, then a k-row merge) — a bare row_number window
+        # would exchange the WHOLE vocabulary to one partition first.
+        # The rank window then runs over just k rows.
+        counts = counts.orderBy(F.col("count").desc(),
+                                F.col("token").asc()).limit(top_k)
         w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-        counts = (counts.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= top_k))
+        counts = counts.withColumn("rank", F.row_number().over(w))
     return counts

@@ -554,3 +554,44 @@ def test_repetition_stats_known_values(spark):
     assert got[1][0] == pytest.approx(1 - 2 / 5)
     assert got[2][0] == 0.0
     assert got[2][1] == 0.0
+
+
+def test_minhash_max_bucket_cap(spark):
+    """Degenerate mega-buckets are dropped before the self-join: a
+    boilerplate text repeated 40x stops generating its 780 pairs, while
+    ordinary duplicate pairs (2-member buckets) all survive."""
+    import random
+
+    from pyspark.sql import SparkSession
+
+    rng = random.Random(99)
+
+    def rand_text(i):
+        return " ".join(
+            "".join(rng.choice("abcdefghijklmnop") for _ in range(6))
+            for _ in range(30)
+        )
+
+    rows = []
+    for i in range(30):           # 30 distinct texts, two copies each
+        t = rand_text(i)
+        rows.append((i, t))
+        rows.append((i + 1000, t))
+    boiler = rand_text(-1)
+    for j in range(40):           # one boilerplate text, 40 copies
+        rows.append((5000 + j, boiler))
+    s_ = SparkSession.getActiveSession()
+    df = s_.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    full = {(r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(df, num_perm=32, bands=8).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in minhash_lsh_candidates(df, num_perm=32, bands=8,
+                                              max_bucket=10).collect()}
+    assert capped <= full
+    dup_pairs = {(i, i + 1000) for i in range(30)}
+    boiler_pairs = {(a, b) for a in range(5000, 5040)
+                    for b in range(a + 1, 5040)}
+    assert dup_pairs <= capped                  # small buckets untouched
+    assert not (boiler_pairs & capped)          # mega-bucket dropped
+    assert boiler_pairs <= full                 # ...but present uncapped
