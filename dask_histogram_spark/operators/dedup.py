@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "word_ngram_jaccard_pairs",
     "simhash_signatures",
+    "simhash_banded",
     "simhash_candidates",
 ]
 
@@ -588,21 +589,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return hashed.select(F.col(id_col), fold(F.col("th")).alias("simhash"))
 
 
-def simhash_candidates(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3,
-                       persist: bool = False,
-                       hash_fn: str = "xxhash64") -> DataFrame:
-    """Near-dup candidate pairs by SimHash banding.
-
-    Pigeonhole: signatures within Hamming distance d share at least one
-    of d+1 equal-width chunks, so the join is an equi-join on
-    (chunk_idx, chunk_value); the exact Hamming distance then filters.
-
-    ``persist`` materializes the (id, simhash) set once so the Arrow
-    pandas_udf fold does not run on both join sides (8 bytes/doc);
-    off by default — see minhash_lsh_candidates for the measured
-    tradeoff — but worth flipping when the UDF dominates (long docs).
-    """
+def simhash_banded(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", max_hamming: int = 3,
+                   hash_fn: str = "xxhash64",
+                   persist: bool = False) -> DataFrame:
+    """(id, simhash, chunk, cv) pigeonhole-chunk membership — the shared
+    projection behind the batch self-join (:func:`simhash_candidates`)
+    and the streaming stateful detector (streaming/dedup.py), exactly
+    like :func:`minhash_banded` for MinHash."""
     nbits = _simhash_bits(hash_fn)
     n_chunks = max_hamming + 1
     if nbits % n_chunks:
@@ -621,7 +615,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         from pyspark import StorageLevel
 
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    chunks = sigs.select(
+    return sigs.select(
         id_col,
         "simhash",
         F.explode(
@@ -631,6 +625,25 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
             ])
         ).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk", "cc.cv")
+
+
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       persist: bool = False,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup candidate pairs by SimHash banding.
+
+    Pigeonhole: signatures within Hamming distance d share at least one
+    of d+1 equal-width chunks, so the join is an equi-join on
+    (chunk_idx, chunk_value); the exact Hamming distance then filters.
+
+    ``persist`` materializes the (id, simhash) set once so the Arrow
+    pandas_udf fold does not run on both join sides (8 bytes/doc);
+    off by default — see minhash_lsh_candidates for the measured
+    tradeoff — but worth flipping when the UDF dominates (long docs).
+    """
+    chunks = simhash_banded(df, text_col, id_col, max_hamming,
+                            hash_fn=hash_fn, persist=persist)
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_dedup_exact", "streaming_minhash_candidates"]
+__all__ = ["streaming_dedup_exact", "streaming_minhash_candidates",
+           "streaming_simhash_candidates"]
 
 
 def streaming_dedup_exact(df: DataFrame, text_col: str = "text",
@@ -133,6 +134,67 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
     banded = minhash_banded(df, text_col, id_col, num_perm, bands,
                             shingle_k, seed)
     return banded.groupBy("band", "bucket").applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_simhash_candidates(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 max_hamming: int = 3,
+                                 hash_fn: str = "xxhash64") -> DataFrame:
+    """Streaming near-duplicate candidates by SimHash pigeonhole
+    banding — the SimHash twin of :func:`streaming_minhash_candidates`:
+    the banded projection (operators/dedup.py ``simhash_banded``) runs
+    unchanged on the stream, and each (chunk, cv) bucket anchors on its
+    first-seen id with ONE long of state.  Candidates go to exact
+    Hamming verification downstream, as in the batch operator.
+
+    Output (append mode): (id_a, id_b, chunk) with id_a the anchor.
+    """
+    from ..operators.dedup import simhash_banded
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("chunk", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("anchor", T.LongType())])
+
+    def detect(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        chunk = key[0]
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf[id_col])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (anchor,) = state.get
+        else:
+            anchor = ids.pop(0)
+            state.update((anchor,))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "id_a": [anchor] * len(ids),
+                    "id_b": ids,
+                    "chunk": [chunk] * len(ids),
+                }
+            )
+
+    banded = simhash_banded(df, text_col, id_col, max_hamming,
+                            hash_fn=hash_fn)
+    return banded.groupBy("chunk", "cv").applyInPandasWithState(
         detect,
         outputStructType=out_schema,
         stateStructType=state_schema,

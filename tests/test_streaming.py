@@ -213,3 +213,62 @@ def test_streaming_minhash_matches_batch_twin(spark, tmp_path):
         parent[find(a)] = find(b)
     missed = [p for p in batch_pairs if find(min(p)) != find(max(p))]
     assert not missed, f"streaming graph misses {len(missed)} batch pairs"
+
+
+def test_streaming_simhash_matches_batch_twin(spark, tmp_path):
+    """SimHash twin of the minhash streaming test: streaming chunk
+    anchors emit a subset of the batch candidate bucket relation, and
+    the streaming pair graph connects both endpoints of every verified
+    batch candidate pair."""
+    from dask_histogram_spark.operators.dedup import simhash_candidates
+    from dask_histogram_spark.streaming import streaming_simhash_candidates
+
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    batch_pairs = {
+        frozenset((r.id_a, r.id_b))
+        for r in simhash_candidates(corpus, max_hamming=3).collect()
+    }
+    assert batch_pairs
+
+    d = str(tmp_path / "sh_twin_stream")
+    corpus.repartition(6).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        streaming_simhash_candidates(stream, max_hamming=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssh_twin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_pairs = {
+        frozenset((r.id_a, r.id_b))
+        for r in spark.sql("SELECT id_a, id_b FROM ssh_twin").collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in stream_pairs:
+        a, b = tuple(p)
+        parent[find(a)] = find(b)
+    # batch pairs are Hamming-verified; streaming pairs are candidates
+    # (pre-verification), so recall is component-level, not pair-level
+    missed = [p for p in batch_pairs if find(min(p)) != find(max(p))]
+    assert not missed, f"streaming graph misses {len(missed)} batch pairs"
