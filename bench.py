@@ -37,7 +37,12 @@ BENCH_QUERIES = [
     "text_stats",
     "text_language_id",
     "similarity_topk",
-    # the max_df variant is the scale-honest configuration: without the
+    "pipeline_prepare_corpus",
+    "similarity_ivf_topk",
+    # The two heavy joins go LAST so their GC/cache aftermath cannot
+    # inflate the sub-second queries (same reasoning as the per-query
+    # interleaved warmup above).
+    # max_df is the scale-honest jaccard configuration: without the
     # stopword cut the hottest shingle at sf0.1 appears in 77% of docs
     # and the inverted-index intermediate explodes quadratically
     # (221M candidate rows even after the cut; see BASELINE.md)
@@ -46,8 +51,6 @@ BENCH_QUERIES = [
     # but the 4M-row pair set stays distributed (collecting it would
     # time driver serialization, not the operator)
     "minhash_lsh_stats",
-    "pipeline_prepare_corpus",
-    "similarity_ivf_topk",
 ]
 
 
