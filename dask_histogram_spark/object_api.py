@@ -124,6 +124,13 @@ class Histogram:
     def ndim(self) -> int:
         return self.spec.ndim
 
+    @property
+    def axes(self) -> tuple:
+        return self.spec.axes
+
+    def sum(self, flow: bool = False) -> float:
+        return self.to_agg().sum(flow=flow)
+
     def __repr__(self) -> str:
         marker = " (has staged fills)" if self._staged else ""
         axes = ", ".join(type(ax).__name__ for ax in self.spec.axes)

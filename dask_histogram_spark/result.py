@@ -76,6 +76,16 @@ class AggHistogram:
     def ndim(self) -> int:
         return self.spec.ndim
 
+    @property
+    def axes(self) -> tuple:
+        """Axis tuple (boost ``h.axes`` spelling)."""
+        return self.spec.axes
+
+    def sum(self, flow: bool = False) -> float:
+        """Total of the in-range (or all, with flow) bin values —
+        boost ``h.sum()``."""
+        return float(self.values(flow=flow).sum())
+
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
 
@@ -293,6 +303,8 @@ class AggHistogram:
             axes=tuple(self.spec.axes[a] for a in axes),
             storage=self.spec.storage,
             metadata=self.spec.metadata,
+            # keep K: dropping it would silently unshift projected means
+            sample_shift=self.spec.sample_shift,
         )
         grouped = self.df.groupBy(*keep).agg(
             *[F.sum(F.col(c)).alias(c) for c in self.spec.value_cols]

@@ -237,3 +237,21 @@ def test_variable_axis_searchsorted_fallback(spark, gauss1d):
     np.add.at(exp, idx + 1, 1.0)
     np.testing.assert_allclose(got, exp)
     assert got.sum() == len(pdf)
+
+
+def test_project_preserves_sample_shift(spark, gauss1d):
+    """project() must carry K — dropping it silently unshifts means."""
+    df, pdf = gauss1d
+    h = dhs.histogramdd(df, ["x", "w"], bins=(4, 3),
+                        range=((-3, 3), (0.4, 0.8)), sample="s",
+                        sample_shift=5.0, storage=dhs.Storage.MEAN)
+    p = h.project(0)
+    assert p.spec.sample_shift == 5.0
+    full = h.values(flow=True)          # means per 2D bin
+    # compare against a direct 1D shifted fill
+    h1 = dhs.histogramdd(df, ["x"], bins=4, range=((-3, 3),), sample="s",
+                         sample_shift=5.0, storage=dhs.Storage.MEAN)
+    np.testing.assert_allclose(p.values(flow=True), h1.values(flow=True))
+    # axes/sum parity accessors
+    assert p.axes == h1.spec.axes
+    assert h1.sum() == pytest.approx(h1.values().sum())
