@@ -328,6 +328,11 @@ class AggHistogram:
         if isinstance(other, AggHistogram):
             if other.spec.axes != spec.axes:
                 raise ValueError("histogram arithmetic requires identical axes")
+            if other.spec.sample_shift != spec.sample_shift:
+                raise ValueError(
+                    "histogram arithmetic requires identical sample_shift "
+                    "(moment accumulators with different shifts don't mix)"
+                )
             a = self.df.alias("a")
             b = other.df.alias("b")
             cond = None

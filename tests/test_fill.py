@@ -255,3 +255,13 @@ def test_project_preserves_sample_shift(spark, gauss1d):
     # axes/sum parity accessors
     assert p.axes == h1.spec.axes
     assert h1.sum() == pytest.approx(h1.values().sum())
+
+
+def test_mismatched_sample_shift_arithmetic_raises(spark, gauss1d):
+    df, _ = gauss1d
+    a = dhs.histogramdd(df, ["x"], bins=4, range=((-3, 3),), sample="s",
+                        sample_shift=5.0, storage=dhs.Storage.MEAN)
+    b = dhs.histogramdd(df, ["x"], bins=4, range=((-3, 3),), sample="s",
+                        storage=dhs.Storage.MEAN)
+    with pytest.raises(ValueError, match="sample_shift"):
+        a + b
