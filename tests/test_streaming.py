@@ -272,3 +272,58 @@ def test_streaming_simhash_matches_batch_twin(spark, tmp_path):
     # (pre-verification), so recall is component-level, not pair-level
     missed = [p for p in batch_pairs if find(min(p)) != find(max(p))]
     assert not missed, f"streaming graph misses {len(missed)} batch pairs"
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """The dedup state store must survive a query restart: documents
+    already claimed in run 1 may NOT re-emit winners when their
+    duplicates arrive in run 2 (same checkpoint)."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    n = docs.count()
+    base = docs.select("doc_id", "text")
+    stage = str(tmp_path / "stage1")
+    base.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def run_once():
+        stream = spark.readStream.schema(base.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            streaming_dedup_exact(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: the originals
+    import os
+
+    os.makedirs(src)
+    for f in glob.glob(stage + "/part-*"):
+        shutil.copy(f, src)
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == n
+
+    # run 2 (restarted query, same checkpoint): pure duplicates arrive
+    stage2 = str(tmp_path / "stage2")
+    base.select((F.col("doc_id") + 100000).alias("doc_id"), "text") \
+        .repartition(3).write.mode("overwrite").parquet(stage2)
+    for f in glob.glob(stage2 + "/part-*"):
+        shutil.copy(f, src)
+    run_once()
+    final = spark.read.parquet(out)
+    # no duplicate winners: state recovered, every text still has ONE row
+    assert final.count() == n
+    assert final.select("content_hash").distinct().count() == n
