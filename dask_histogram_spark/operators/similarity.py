@@ -63,7 +63,8 @@ def embedding_norms(df: DataFrame, vec_col: str = "embedding",
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      q_vec_col: str | None = None,
-                     q_id_col: str | None = None) -> DataFrame:
+                     q_id_col: str | None = None,
+                     method: str = "column") -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries`` is broadcast — the big side never shuffles; ranking is a
@@ -71,9 +72,24 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     neighbor id on the ROUNDED similarity so results are deterministic
     and reproducible against an oracle.
     Output: (query_id, neighbor_id, cos_sim, rank).
+
+    ``method="column"`` (default) scores with pure Column folds —
+    zero Python, right for modest dims.  ``method="arrow"`` collects
+    the (small) query set to a numpy matrix captured by a
+    ``mapInPandas`` kernel: each Arrow batch scores against ALL queries
+    with one BLAS matmul and emits only its per-batch top-k per query,
+    so the final per-query ranking window sees ≤ k·n_batches rows —
+    the fast path for high-dim embeddings, where an unrolled fold
+    expression per element stops fitting codegen.  Both methods return
+    identical rows (tested).
     """
     q_vec_col = q_vec_col or vec_col
     q_id_col = q_id_col or id_col
+    if method == "arrow":
+        return _brute_force_topk_arrow(df, queries, k, vec_col, id_col,
+                                       q_vec_col, q_id_col)
+    if method != "column":
+        raise ValueError(f"unknown method: {method!r}")
     q = F.broadcast(
         queries.select(
             F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("__qv")
@@ -87,6 +103,63 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             "neighbor_id",
             F.round(cosine_expr(F.col("__qv"), F.col("__v")), 6).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _brute_force_topk_arrow(df: DataFrame, queries: DataFrame, k: int,
+                            vec_col: str, id_col: str,
+                            q_vec_col: str, q_id_col: str) -> DataFrame:
+    """Arrow/BLAS scoring path of :func:`brute_force_topk`: one matmul
+    per Arrow batch against the broadcast query matrix; per-batch
+    top-(k+1) survives (k+1 because a query row may appear in the batch
+    and is excluded later), then the global window finishes exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    keep = k + 1
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-300)
+            sims = Qn @ Xn.T  # (n_queries, batch)
+            top = min(keep, sims.shape[1])
+            # per-query top indices within the batch (argpartition then
+            # exact sort of the short head)
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for qi in range(len(q_ids)):
+                cand = part[qi]
+                rows["query_id"].extend([q_ids[qi]] * len(cand))
+                rows["neighbor_id"].extend(ids[cand])
+                rows["cos_sim"].extend(np.round(sims[qi, cand], 6))
+            yield pd.DataFrame(rows)
+
+    scored = (
+        df.select(id_col, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        .where(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

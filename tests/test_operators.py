@@ -595,3 +595,20 @@ def test_minhash_max_bucket_cap(spark):
     assert dup_pairs <= capped                  # small buckets untouched
     assert not (boiler_pairs & capped)          # mega-bucket dropped
     assert boiler_pairs <= full                 # ...but present uncapped
+
+
+def test_brute_force_topk_arrow_matches_column(spark, tables):
+    """The BLAS mapInPandas scoring path returns exactly the rows of
+    the pure-Column fold path."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 8)
+    a = brute_force_topk(emb, q, k=5).toPandas()
+    b = brute_force_topk(emb, q, k=5, method="arrow").toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]])
+    np.testing.assert_allclose(a.cos_sim, b.cos_sim, atol=1e-6)
+    with pytest.raises(ValueError, match="method"):
+        brute_force_topk(emb, q, k=5, method="nope")
