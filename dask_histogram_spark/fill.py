@@ -120,16 +120,16 @@ def _projection(spec: HistogramSpec, f: FillSpec) -> DataFrame:
         for ax, c, name in zip(spec.axes, f.cols, spec.bin_cols)
     ]
     proj.append(_weight_col(f.weight).alias("__w"))
-    proj.append(_sample_col(spec, f).alias("__s"))
+    proj.append(_sample_col(spec, f.sample).alias("__s"))
     return f.df.select(*proj)
 
 
-def _sample_col(spec: HistogramSpec, f: FillSpec) -> Column:
+def _sample_col(spec: HistogramSpec, sample: ColumnLike | None) -> Column:
     """Sample accumulator input, with the spec's stability shift applied
     (moments sum (s - K); see HistogramSpec.sample_shift)."""
-    if f.sample is None:
+    if sample is None:
         return F.lit(None).cast("double")
-    s = _as_col(f.sample).cast("double")
+    s = _as_col(sample).cast("double")
     if spec.sample_shift:
         s = s - F.lit(float(spec.sample_shift))
     return s
@@ -159,7 +159,7 @@ def _fill_struct(spec: HistogramSpec, f: FillSpec) -> Column:
         for ax, c, name in zip(spec.axes, f.cols, spec.bin_cols)
     ]
     fields.append(_weight_col(f.weight).alias("__w"))
-    fields.append(_sample_col(spec, f).alias("__s"))
+    fields.append(_sample_col(spec, f.sample).alias("__s"))
     return F.struct(*fields)
 
 

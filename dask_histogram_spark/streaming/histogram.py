@@ -16,7 +16,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..fill import ColumnLike, WeightLike, _as_col, _storage_aggs, _weight_col
+from ..fill import (
+    ColumnLike,
+    WeightLike,
+    _as_col,
+    _sample_col,
+    _storage_aggs,
+    _weight_col,
+)
 from ..binning import bin_column
 from ..spec import HistogramSpec
 
@@ -46,11 +53,10 @@ def windowed_histogram(
         bin_column(ax, _as_col(c)).alias(name)
         for ax, c, name in zip(spec.axes, cols, spec.bin_cols)
     ]
+    # _sample_col, not a bare cast: the spec's sample_shift must apply
+    # on streams exactly as in batch fills
     proj.append(_weight_col(weight).alias("__w"))
-    if sample is not None:
-        proj.append(_as_col(sample).cast("double").alias("__s"))
-    else:
-        proj.append(F.lit(None).cast("double").alias("__s"))
+    proj.append(_sample_col(spec, sample).alias("__s"))
     weighted = weight is not None or spec.storage.needs_weight
     return (
         df.select(win.alias("__win"), *proj)
