@@ -25,6 +25,8 @@ from .similarity import (
     embedding_norms,
     fit_centroids,
     ivf_topk,
+    quantize_embeddings,
+    quantized_cosine_expr,
 )
 from .pipeline import hash_split, pack_sequences, token_vocabulary
 from .text import (
@@ -61,6 +63,8 @@ __all__ = [
     "text_stats",
     "token_vocabulary",
     "quality_score",
+    "quantize_embeddings",
+    "quantized_cosine_expr",
     "redact_pii",
     "repetition_stats",
     "token_counts",

@@ -19,7 +19,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
-           "embedding_near_dup_pairs", "fit_centroids"]
+           "embedding_near_dup_pairs", "fit_centroids",
+           "quantize_embeddings", "quantized_cosine_expr"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -360,3 +361,45 @@ def fit_centroids(df: DataFrame, n_centroids: int = 64,
                 c = members.mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
     return C
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector
+    ``scale = max|v| / 127``, ``qvec[i] = round(v[i] / scale)`` —
+    4x (float32) / 8x (float64) smaller vectors for the ANN index,
+    decoded as ``qvec[i] * scale``.  Pure Column expressions; the
+    identical arithmetic runs in DuckDB, so quantization is
+    oracle-checkable element-for-element.
+
+    Output: (id, scale, qvec: array<int>).  Zero vectors get scale 0
+    and an all-zero qvec (nullif guards the division).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.round(x / F.nullif(scale, F.lit(0.0)), 0), F.lit(0.0)
+        ).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def quantized_cosine_expr(qa: Column, sa: Column, qb: Column,
+                          sb: Column) -> Column:
+    """Cosine over int8-quantized vectors: the per-vector scales cancel
+    in the cosine, so it reduces to the integer-vector cosine — scales
+    only matter for zero vectors (NULL, like :func:`cosine_expr`)."""
+    qad = F.transform(qa, lambda x: x.cast("double"))
+    qbd = F.transform(qb, lambda x: x.cast("double"))
+    return F.when(
+        (sa > 0) & (sb > 0),
+        _dot(qad, qbd) / F.nullif(_norm(qad) * _norm(qbd), F.lit(0.0)),
+    )

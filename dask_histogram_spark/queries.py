@@ -1067,6 +1067,34 @@ _register(
 )
 
 
+def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quantize_embeddings
+
+    q = quantize_embeddings(get_tables(spark, sf_dir)["embeddings"])
+    return q.select("vec_id", "scale",
+                    F.posexplode("qvec").alias("idx", "qval"))
+
+
+_register(
+    "embedding_quantize",
+    _q_quantize,
+    # same arithmetic order: amax fold -> /127 -> per-element round;
+    # parallel UNNEST zips index and value like the minhash oracle
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                    (a, b) -> greatest(a, b)) / 127.0 AS scale_raw
+      FROM v)
+SELECT vec_id, ROUND(scale_raw, 9) AS scale,
+       UNNEST(range(len(v))) AS idx,
+       UNNEST([CAST(COALESCE(ROUND(x / nullif(scale_raw, 0.0), 0), 0.0)
+                    AS INT) FOR x IN v]) AS qval
+FROM s
+""",
+)
+
+
 def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 

@@ -612,3 +612,35 @@ def test_brute_force_topk_arrow_matches_column(spark, tables):
     np.testing.assert_allclose(a.cos_sim, b.cos_sim, atol=1e-6)
     with pytest.raises(ValueError, match="method"):
         brute_force_topk(emb, q, k=5, method="nope")
+
+
+def test_quantized_cosine_close_to_exact(spark, tables):
+    """int8 quantization preserves cosine to ~1e-2 and the quantized
+    cosine expression matches a numpy replay."""
+    from dask_histogram_spark.operators import (
+        quantize_embeddings, quantized_cosine_expr,
+    )
+    from dask_histogram_spark.operators.similarity import cosine_expr
+
+    emb = tables["embeddings"]
+    q = quantize_embeddings(emb)
+    a = q.alias("a"); b = q.alias("b")
+    joined = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(F.col("b.vec_id") < 20)
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+            quantized_cosine_expr(F.col("a.qvec"), F.col("a.scale"),
+                                  F.col("b.qvec"), F.col("b.scale"))
+            .alias("qcos"),
+        )
+    )
+    e = emb.alias("x").join(emb.alias("y"),
+                            F.col("x.vec_id") < F.col("y.vec_id")) \
+        .where(F.col("y.vec_id") < 20) \
+        .select(F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib"),
+                cosine_expr(F.col("x.embedding"), F.col("y.embedding"))
+                .alias("cos"))
+    m = joined.join(e, ["ia", "ib"]).toPandas()
+    assert len(m) > 100
+    np.testing.assert_allclose(m.qcos, m.cos, atol=2e-2)
