@@ -37,7 +37,7 @@ from .spec import HistogramSpec, Storage
 
 __all__ = ["fill", "fill_multi", "fill_partitioned", "collapse",
            "FillSpec", "fill_sql", "factory", "partitioned_factory",
-           "PartitionedHistogram"]
+           "PartitionedHistogram", "sparse_schema"]
 
 ColumnLike = Union[str, Column]
 WeightLike = Union[str, Column, float, int, None]
@@ -238,6 +238,27 @@ def collapse(partials: DataFrame, spec: HistogramSpec) -> DataFrame:
     return partials.groupBy(*spec.bin_cols).agg(*_merge_aggs(spec))
 
 
+def sparse_schema(spec: HistogramSpec):
+    """Spark schema of the sparse fill result for ``spec`` — what
+    :func:`fill` produces.  Used to build the zero-row DataFrame behind
+    an EMPTY histogram's compute (reference parity: an unfilled
+    histogram computes to all zeros, boost.py:85-102)."""
+    from pyspark.sql import types as T
+
+    from .spec import StrCategory
+
+    fields = []
+    for ax, name in zip(spec.axes, spec.bin_cols):
+        dt = T.StringType() if isinstance(ax, StrCategory) else T.LongType()
+        fields.append(T.StructField(name, dt))
+    for c in spec.value_cols:
+        int_col = c == "count" or spec.storage.int_valued
+        fields.append(
+            T.StructField(c, T.LongType() if int_col else T.DoubleType())
+        )
+    return T.StructType(fields)
+
+
 # ---------------------------------------------------------------------------
 # SQL twin (oracle generation)
 # ---------------------------------------------------------------------------
@@ -354,7 +375,26 @@ class PartitionedHistogram:
                 f"storage={self.spec.storage.value}, lazy-spark-plan)")
 
 
-def factory(df: DataFrame, cols: Sequence[ColumnLike], spec: HistogramSpec,
+def _coerce_spec(spec) -> HistogramSpec:
+    """Accept a :class:`HistogramSpec` OR the reference's picklable
+    ``histref`` tuple form ``(axes, storage[, metadata])`` (reference
+    core.py:66-72; pickle contract tests/test_boost.py:559-571).  Axis
+    entries may be axis-shim instances (axis.py) and the storage a
+    storage-shim (storage.py) — ``HistogramSpec`` coerces the latter."""
+    if isinstance(spec, HistogramSpec):
+        return spec
+    if isinstance(spec, tuple) and len(spec) in (2, 3):
+        axes, storage = spec[0], spec[1]
+        metadata = spec[2] if len(spec) == 3 else None
+        return HistogramSpec(axes=tuple(axes), storage=storage,
+                             metadata=metadata)
+    raise TypeError(
+        "spec must be a HistogramSpec or an (axes, storage[, metadata]) "
+        f"histref tuple; got {spec!r}"
+    )
+
+
+def factory(df: DataFrame, cols: Sequence[ColumnLike], spec,
             weights: WeightLike = None, sample: ColumnLike | None = None,
             split_every: int | None = None,
             keep_partitioned: bool = False):
@@ -362,9 +402,12 @@ def factory(df: DataFrame, cols: Sequence[ColumnLike], spec: HistogramSpec,
     signature: returns a lazy :class:`~.result.AggHistogram`, or a
     :class:`PartitionedHistogram` with ``keep_partitioned=True``
     (reference core.py:1240-1247).  ``split_every`` accepted-and-
-    ignored (tree fan-in has no analog; the exchange merges)."""
+    ignored (tree fan-in has no analog; the exchange merges).  ``spec``
+    also accepts the reference's ``histref`` tuple spelling
+    (:func:`_coerce_spec`)."""
     from .result import AggHistogram
 
+    spec = _coerce_spec(spec)
     if keep_partitioned:
         return PartitionedHistogram(
             fill_partitioned(df, cols, spec, weight=weights, sample=sample),

@@ -72,14 +72,31 @@ class Histogram:
 
     # -- plan build ----------------------------------------------------
     def to_agg(self) -> AggHistogram:
-        """Build (once) the union-of-fills aggregation plan."""
+        """Build (once) the union-of-fills aggregation plan.
+
+        Zero staged fills is valid (reference parity: an unfilled
+        histogram computes to the all-zero result — boost.py:85-102,
+        tested tests/test_boost.py:13-26): the plan is a zero-row
+        DataFrame with the spec's sparse schema, which densifies to
+        zeros of the right shape."""
         if self._agg is None:
             if not self._staged:
-                raise ValueError(
-                    "no staged fills; an empty histogram has no Spark plan "
-                    "— call .fill(df, cols...) first"
+                from pyspark.sql import SparkSession
+
+                from .fill import sparse_schema
+
+                spark = SparkSession.getActiveSession()
+                if spark is None:
+                    raise RuntimeError(
+                        "computing an empty Histogram needs an active "
+                        "SparkSession (none found)"
+                    )
+                empty = spark.createDataFrame([], sparse_schema(self.spec))
+                self._agg = AggHistogram(empty, self.spec)
+            else:
+                self._agg = AggHistogram(
+                    fill_multi(self._staged, self.spec), self.spec
                 )
-            self._agg = AggHistogram(fill_multi(self._staged, self.spec), self.spec)
         return self._agg
 
     def compute(self) -> AggHistogram:

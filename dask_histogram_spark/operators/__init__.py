@@ -12,10 +12,12 @@ from .dedup import (
     dedup_exact,
     word_ngram_jaccard_pairs,
     exact_dup_stats,
+    jaccard_verify_pairs,
     minhash_signatures,
     minhash_banded,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    release_candidates_cache,
     simhash_signatures,
     simhash_candidates,
 )
@@ -51,6 +53,8 @@ __all__ = [
     "fit_centroids",
     "hash_split",
     "ivf_topk",
+    "jaccard_verify_pairs",
+    "release_candidates_cache",
     "language_id",
     "normalize_text",
     "pack_sequences",

@@ -29,10 +29,12 @@ __all__ = [
     "dedup_clusters",
     "dedup_exact",
     "exact_dup_stats",
+    "jaccard_verify_pairs",
     "minhash_signatures",
     "minhash_banded",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
+    "release_candidates_cache",
     "word_ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_banded",
@@ -222,6 +224,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     band (boilerplate shingles), not near-duplication; true dups still
     collide in their other bands.  The cap is a per-bucket count +
     semi-join, fully parallel.
+
+    Cache lifetime: the persisted banded projection stays cached until
+    released — repeated calls in a long-lived session would otherwise
+    accumulate cached blocks.  The handle travels on the returned
+    DataFrame as ``_dhs_persisted``; call
+    :func:`release_candidates_cache` (or ``.unpersist()`` on the
+    handle) once the candidate pairs are materialized.
     """
     banded = minhash_banded(df, text_col, id_col, num_perm, bands,
                             shingle_k, seed, hash_fn)
@@ -260,7 +269,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+    if persist:
+        pairs._dhs_persisted = banded  # release handle (see docstring)
     return pairs
+
+
+def release_candidates_cache(pairs: DataFrame) -> None:
+    """Unpersist the banded projection cached by
+    :func:`minhash_lsh_candidates` (no-op if none was persisted or the
+    handle was already released)."""
+    cached = getattr(pairs, "_dhs_persisted", None)
+    if cached is not None:
+        cached.unpersist()
+        pairs._dhs_persisted = None
 
 
 # ---------------------------------------------------------------------------
@@ -681,6 +702,63 @@ def word_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return _jaccard_pairs_impl(df, grams, id_col, threshold, strategy,
                                max_df, persist=False,
                                nnz_bound=F.size(toks))
+
+
+# ---------------------------------------------------------------------------
+# Candidate-pair verification (exact Jaccard on the pruned pair set)
+# ---------------------------------------------------------------------------
+
+def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 8, threshold: float = 0.5,
+                         pair_a: str = "id_a",
+                         pair_b: str = "id_b") -> DataFrame:
+    """Exact character-k-gram Jaccard computed ONLY on candidate pairs —
+    the verification step between LSH candidate generation and
+    clustering (candidates -> verify -> :func:`dedup_clusters`).
+
+    Scale shape: the all-pairs problem is already pruned to the
+    candidate set, so the exact computation is linear in it.  Shingle
+    sets are built once per INVOLVED document (left-semi join bounds
+    the shingling to ids appearing in any pair), then each pair picks
+    up its two sets via 8-byte-id equi-joins and scores with one
+    ``array_intersect`` — per-pair cost O(|A| + |B|), no explode, no
+    inverted-index blowup (the candidate set is assumed pruned; the
+    full-corpus similarity join lives in :func:`ngram_jaccard_pairs`).
+
+    Output: (pair_a, pair_b, jaccard) for pairs with jaccard >=
+    ``threshold`` over distinct-shingle sets — same definition as
+    :func:`ngram_jaccard_pairs`, so the two gates agree.
+    """
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1)),
+            ),
+            lambda i: F.substring(F.col(text_col), i, k),
+        )
+    )
+    needed = (
+        pairs.select(F.col(pair_a).alias(id_col))
+        .unionByName(pairs.select(F.col(pair_b).alias(id_col)))
+        .distinct()
+    )
+    shingled = (
+        docs.join(needed, id_col, "left_semi")
+        .select(F.col(id_col), sh.alias("__sh"))
+    )
+    a = shingled.select(F.col(id_col).alias(pair_a),
+                        F.col("__sh").alias("__sha"))
+    b = shingled.select(F.col(id_col).alias(pair_b),
+                        F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    return (
+        pairs.join(a, pair_a).join(b, pair_b)
+        .select(pair_a, pair_b, F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

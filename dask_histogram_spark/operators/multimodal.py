@@ -84,29 +84,30 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
     rh, rw = resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar shell (zip over numpy views, build column lists, one
+        # DataFrame per batch): the decode is inherently per-row, but the
+        # batch walk itself never goes through pandas row objects
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                meta = row["media_meta"]
-                img = _fake_decode_rgb(row["media"], meta["width"], meta["height"])
+            cols: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for did, payload, meta in zip(
+                pdf[id_col].to_numpy(), pdf["media"].to_numpy(),
+                pdf["media_meta"].to_numpy(),
+            ):
+                img = _fake_decode_rgb(payload, meta["width"], meta["height"])
                 # "resize": strided subsample to (rh, rw) — stands in for
                 # a real interpolating resize
                 ys = np.linspace(0, img.shape[0] - 1, rh).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, rw).astype(int)
                 small = img[np.ix_(ys, xs)]
                 quad = small.reshape(2, rh // 2, 2, rw // 2, 3).mean(axis=(1, 3))
-                rows.append(
-                    {
-                        id_col: row[id_col],
-                        "width": int(meta["width"]),
-                        "height": int(meta["height"]),
-                        "mean_r": float(img[..., 0].mean()),
-                        "mean_g": float(img[..., 1].mean()),
-                        "mean_b": float(img[..., 2].mean()),
-                        "feat": quad.astype(np.float32).ravel().tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                cols[id_col].append(did)
+                cols["width"].append(int(meta["width"]))
+                cols["height"].append(int(meta["height"]))
+                cols["mean_r"].append(float(img[..., 0].mean()))
+                cols["mean_g"].append(float(img[..., 1].mean()))
+                cols["mean_b"].append(float(img[..., 2].mean()))
+                cols["feat"].append(quad.astype(np.float32).ravel().tolist())
+            yield pd.DataFrame(cols, columns=[f.name for f in out_schema.fields])
 
     return df.select(id_col, "media", "media_meta").mapInPandas(
         batches, schema=out_schema
@@ -140,18 +141,25 @@ def sample_audio_frames(df: DataFrame, id_col: str = "doc_id",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                wave = _fake_waveform(row["media"])
-                for j, start in enumerate(range(0, len(wave) - frame_len, hop)):
-                    fr = wave[start:start + frame_len]
-                    rows.append(
-                        {
-                            id_col: row[id_col],
-                            "frame_idx": j,
-                            "rms": float(np.sqrt((fr.astype(np.float64) ** 2).mean())),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            ids, idxs, rms = [], [], []
+            for did, payload in zip(pdf[id_col].to_numpy(),
+                                    pdf["media"].to_numpy()):
+                wave = _fake_waveform(payload)
+                starts = np.arange(0, len(wave) - frame_len, hop)
+                # all frames of one clip as a (n_frames, frame_len)
+                # gather — the per-frame RMS is one vectorized reduction
+                frames = wave[starts[:, None] + np.arange(frame_len)]
+                r = np.sqrt((frames.astype(np.float64) ** 2).mean(axis=1))
+                ids.append(np.full(len(starts), did, dtype=np.int64))
+                idxs.append(np.arange(len(starts), dtype=np.int32))
+                rms.append(r)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids) if ids else [],
+                    "frame_idx": np.concatenate(idxs) if idxs else [],
+                    "rms": np.concatenate(rms) if rms else [],
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
 
     return df.select(id_col, "media").mapInPandas(batches, schema=out_schema)

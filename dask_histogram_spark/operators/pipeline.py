@@ -65,17 +65,21 @@ def prepare_training_corpus(
             & (F.col("n_tokens") >= min_tokens)
         )
     )
-    # stats are identical within a hash group; min() keeps them paired
-    # with the min-id winner deterministically
+    # min_by on ONE struct keyed by id: the winner's stats travel
+    # atomically with the winning id.  (Per-column min() would stitch a
+    # chimera row from different documents if two distinct texts ever
+    # collided on the 64-bit hash — with min_by a collision keeps one
+    # real document's stats intact.)
     return (
         gated.groupBy("__k")
         .agg(
-            F.min(id_col).alias(id_col),
-            F.min("n_chars").alias("n_chars"),
-            F.min("n_tokens").alias("n_tokens"),
-            F.min("digit_ratio").alias("digit_ratio"),
+            F.min_by(
+                F.struct(id_col, "n_chars", "n_tokens", "digit_ratio"),
+                F.col(id_col),
+            ).alias("__win"),
         )
-        .select(id_col, "n_chars", "n_tokens", "digit_ratio")
+        .select(f"__win.{id_col}", "__win.n_chars", "__win.n_tokens",
+                "__win.digit_ratio")
     )
 
 
@@ -159,10 +163,12 @@ def hash_split(df: DataFrame, ratios: dict[str, float],
 def hash_split_sql(ratios: dict[str, float], id_col: str = "doc_id",
                    out_col: str = "split") -> str:
     """DuckDB twin expression of :func:`hash_split` (same constants,
-    same arithmetic, same branch order)."""
-    h = (f"((xor({id_col}, {id_col} >> 31) % {_SPLIT_M}) "
-         f"* {_SPLIT_A}) % {_SPLIT_M}"
-         )
+    same arithmetic, same branch order).  Both `%` reductions are
+    wrapped to non-negative (DuckDB `%` is sign-preserving where the
+    Spark side uses pmod) so negative ids split identically."""
+    inner = (f"(((xor({id_col}, {id_col} >> 31) % {_SPLIT_M}) "
+             f"+ {_SPLIT_M}) % {_SPLIT_M})")
+    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
     frac = f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r})"
     names = list(ratios)
     whens = []
@@ -187,8 +193,19 @@ def pack_sequences(df: DataFrame, max_tokens: int,
 
     ``group_col`` packs within groups (e.g. a language or split
     column) — at scale ALWAYS pass one: the window then partitions by
-    the group key instead of single-task global ordering.
+    the group key instead of single-task global ordering.  Omitting it
+    warns (the global window funnels the WHOLE input through one task;
+    acceptable only for small corpora / tests).
     """
+    if group_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(group_col=None) globally orders the input in "
+            "a SINGLE task — pass a group column (e.g. a hash_split or "
+            "language column) for any at-scale run",
+            stacklevel=2,
+        )
     part = [group_col] if group_col else []
     w = (Window.partitionBy(*part).orderBy(F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, -1))

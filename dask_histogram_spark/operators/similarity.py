@@ -118,9 +118,15 @@ def _brute_force_topk_arrow(df: DataFrame, queries: DataFrame, k: int,
                             vec_col: str, id_col: str,
                             q_vec_col: str, q_id_col: str) -> DataFrame:
     """Arrow/BLAS scoring path of :func:`brute_force_topk`: one matmul
-    per Arrow batch against the broadcast query matrix; per-batch
-    top-(k+1) survives (k+1 because a query row may appear in the batch
-    and is excluded later), then the global window finishes exactly."""
+    per Arrow batch against the broadcast query matrix.
+
+    Exactness contract with the column path: similarities are rounded
+    HALF_UP (away from zero on ties — Spark ``F.round`` semantics, NOT
+    numpy's banker's rounding), and per-batch survival keeps every row
+    whose ROUNDED similarity ties the batch's (k+1)-th largest — so any
+    row that could win a global (rounded DESC, id ASC) rank <= k
+    necessarily survives its batch, and the final window returns rows
+    identical to ``method="column"``."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -134,7 +140,10 @@ def _brute_force_topk_arrow(df: DataFrame, queries: DataFrame, k: int,
         T.StructField("neighbor_id", T.LongType()),
         T.StructField("cos_sim", T.DoubleType()),
     ])
-    keep = k + 1
+    keep = k + 1  # +1: the query row itself may be in the batch
+
+    def round_half_up(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
     def score(it):
         for pdf in it:
@@ -144,17 +153,21 @@ def _brute_force_topk_arrow(df: DataFrame, queries: DataFrame, k: int,
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                                 1e-300)
-            sims = Qn @ Xn.T  # (n_queries, batch)
-            top = min(keep, sims.shape[1])
-            # per-query top indices within the batch (argpartition then
-            # exact sort of the short head)
-            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            sims = round_half_up(Qn @ Xn.T)  # (n_queries, batch)
+            nb = sims.shape[1]
             rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
             for qi in range(len(q_ids)):
-                cand = part[qi]
+                if nb > keep:
+                    # inclusive threshold cut on the ROUNDED sims: rows
+                    # tying the (k+1)-th value all survive, so rounding
+                    # ties can never be dropped by batch truncation
+                    thresh = np.partition(sims[qi], nb - keep)[nb - keep]
+                    cand = np.nonzero(sims[qi] >= thresh)[0]
+                else:
+                    cand = np.arange(nb)
                 rows["query_id"].extend([q_ids[qi]] * len(cand))
                 rows["neighbor_id"].extend(ids[cand])
-                rows["cos_sim"].extend(np.round(sims[qi, cand], 6))
+                rows["cos_sim"].extend(sims[qi, cand])
             yield pd.DataFrame(rows)
 
     scored = (
@@ -329,18 +342,24 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
 def fit_centroids(df: DataFrame, n_centroids: int = 64,
                   vec_col: str = "embedding", sample_fraction: float = 0.1,
-                  iterations: int = 10, seed: int = 11) -> np.ndarray:
+                  iterations: int = 10, seed: int = 11,
+                  max_sample_rows: int = 100_000) -> np.ndarray:
     """Driver-side mini-batch k-means over a sample — produces the
     centroid array :func:`ivf_topk` consumes.
 
-    Index-build pattern for IVF at scale: sample a fraction (bounded
-    driver memory), Lloyd iterations in numpy (a (C, dim) problem, not
-    a data-scale one), then the full assignment runs distributed inside
-    ``ivf_topk``.  Deterministic for a given seed.
+    Index-build pattern for IVF at scale: sample a fraction, then cap
+    at ``max_sample_rows`` ABSOLUTE rows — the driver transfer is
+    O(max_sample_rows · dim) no matter how big the table is (a bare
+    fraction would collect 10 TB of a 100 TB table).  Lloyd iterations
+    run in numpy (a (C, dim) problem, not a data-scale one); the full
+    assignment runs distributed inside ``ivf_topk``.  Deterministic for
+    a given seed and input layout (the seeded sample is row-stable; the
+    limit takes its first ``max_sample_rows`` survivors).
     """
     sample = (
         df.select(vec_col)
         .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .limit(int(max_sample_rows))
         .collect()
     )
     X = np.asarray([r[0] for r in sample], dtype=np.float64)

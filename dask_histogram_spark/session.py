@@ -73,11 +73,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
         if os.path.exists(path):
             df = spark.read.parquet(path)
             for c in _nanos_timestamp_cols(path):
-                # integer `div`, not `/`: double division loses ulp at
-                # 2024-epoch nanos (~1.7e18) and floors to the wrong
-                # microsecond on ~12% of rows
+                # integer arithmetic, not `/`: double division loses ulp
+                # at 2024-epoch nanos (~1.7e18) and floors to the wrong
+                # microsecond on ~12% of rows.  pmod-then-div gives FLOOR
+                # semantics on longs, so pre-1970 (negative) nanos also
+                # map to the correct microsecond (`div` alone truncates
+                # toward zero).
                 df = df.withColumn(
-                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                    c,
+                    F.timestamp_micros(
+                        F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
+                    ),
                 )
             df.createOrReplaceTempView(name)
             out[name] = df

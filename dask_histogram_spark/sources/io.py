@@ -64,10 +64,14 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None,
         from pyspark.sql import functions as F
 
         for c in _nanos_timestamp_cols(path):
-            # integer div: double division floors to the wrong
-            # microsecond at 2024-epoch magnitudes (see session.py)
+            # pmod-then-div = floor division on longs: exact at
+            # 2024-epoch magnitudes AND correct for pre-1970 negative
+            # nanos (see session.py)
             df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                c,
+                F.timestamp_micros(
+                    F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
+                ),
             )
         return df
     return reader.format(fmt).load(path)

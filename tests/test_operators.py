@@ -644,3 +644,153 @@ def test_quantized_cosine_close_to_exact(spark, tables):
     m = joined.join(e, ["ia", "ib"]).toPandas()
     assert len(m) > 100
     np.testing.assert_allclose(m.qcos, m.cos, atol=2e-2)
+
+
+def test_jaccard_verify_pairs_matches_full_join(spark, docs_with_dups):
+    """verify(candidates) computes the SAME jaccard as the full
+    similarity join, restricted to the candidate set."""
+    from dask_histogram_spark.operators import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+    )
+
+    df, n = docs_with_dups
+    cands = minhash_lsh_candidates(df, num_perm=32, bands=8, persist=False)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify_pairs(cands, df, k=8, threshold=0.5).collect()
+    }
+    # every exact-dup pair collides in all bands and verifies at 1.0
+    for i in range(0, n, 37):
+        assert got.get((i, i + n)) == pytest.approx(1.0)
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, k=8, threshold=0.5).collect()
+    }
+    # verified values agree exactly (same definition, same rounding)
+    for pair, j in got.items():
+        assert full[pair] == j
+
+
+def test_release_candidates_cache(spark, docs_with_dups):
+    from dask_histogram_spark.operators import (
+        minhash_lsh_candidates,
+        release_candidates_cache,
+    )
+
+    df, _ = docs_with_dups
+    pairs = minhash_lsh_candidates(df, num_perm=32, bands=8, persist=True)
+    pairs.count()
+    cached = pairs._dhs_persisted
+    assert cached is not None and cached.storageLevel.useMemory
+    release_candidates_cache(pairs)
+    assert pairs._dhs_persisted is None
+    assert not cached.storageLevel.useMemory
+    release_candidates_cache(pairs)  # idempotent no-op
+
+
+def test_fit_centroids_sample_cap(spark, tables):
+    """The driver transfer is bounded by max_sample_rows (absolute),
+    not by fraction * table size."""
+    from dask_histogram_spark.operators import fit_centroids
+
+    emb = tables["embeddings"]
+    C1 = fit_centroids(emb, n_centroids=4, sample_fraction=1.0, seed=5,
+                       max_sample_rows=100)
+    C2 = fit_centroids(emb, n_centroids=4, sample_fraction=1.0, seed=5,
+                       max_sample_rows=100)
+    np.testing.assert_array_equal(C1, C2)
+    assert C1.shape == (4, 64)
+    # cap below n_centroids -> the bounded sample is genuinely enforced
+    with pytest.raises(ValueError, match="sample"):
+        fit_centroids(emb, n_centroids=64, sample_fraction=1.0,
+                      max_sample_rows=10)
+
+
+def test_pack_sequences_warns_without_group(spark):
+    import warnings
+
+    from dask_histogram_spark.operators import pack_sequences
+
+    df = (spark.range(10).withColumnRenamed("id", "doc_id")
+          .withColumn("n_tokens", F.lit(100)))
+    with pytest.warns(UserWarning, match="SINGLE task"):
+        pack_sequences(df, 512)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pack_sequences(df, 512, group_col="doc_id")  # no warning
+
+
+def test_multimodal_numpy_twin(spark, tables):
+    """Differential gate for the multimodal kernels: the deterministic
+    fake decoders are recomputed IN-PROCESS from the same payload bytes
+    and compared element-wise against the Spark output."""
+    import hashlib
+
+    from dask_histogram_spark.operators.multimodal import (
+        _fake_decode_rgb,
+        _fake_waveform,
+        attach_fake_media,
+        decode_image_features,
+        sample_audio_frames,
+    )
+
+    d = tables["documents"].select("doc_id").limit(8)
+    feats = decode_image_features(attach_fake_media(d)).collect()
+    assert len(feats) == 8
+    for r in feats:
+        payload = hashlib.sha256(str(r.doc_id).encode()).hexdigest().encode()
+        w, h = (r.doc_id % 8) * 64 + 64, (r.doc_id % 6) * 64 + 64
+        assert (r.width, r.height) == (w, h)
+        img = _fake_decode_rgb(payload, w, h)
+        assert r.mean_r == pytest.approx(img[..., 0].mean(), rel=1e-12)
+        assert r.mean_g == pytest.approx(img[..., 1].mean(), rel=1e-12)
+        assert r.mean_b == pytest.approx(img[..., 2].mean(), rel=1e-12)
+        ys = np.linspace(0, h - 1, 32).astype(int)
+        xs = np.linspace(0, w - 1, 32).astype(int)
+        quad = img[np.ix_(ys, xs)].reshape(2, 16, 2, 16, 3).mean(axis=(1, 3))
+        np.testing.assert_array_equal(
+            np.asarray(r.feat, dtype=np.float32),
+            quad.astype(np.float32).ravel(),
+        )
+    frames = sample_audio_frames(attach_fake_media(d)).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r.doc_id, {})[r.frame_idx] = r.rms
+    assert len(by_id) == 8
+    for did, fr in by_id.items():
+        payload = hashlib.sha256(str(did).encode()).hexdigest().encode()
+        wave = _fake_waveform(payload)
+        starts = np.arange(0, len(wave) - 400, 4000)
+        exp = np.sqrt(
+            (wave[starts[:, None] + np.arange(400)].astype(np.float64) ** 2)
+            .mean(axis=1)
+        )
+        assert len(fr) == len(starts)
+        for j, e in enumerate(exp):
+            assert fr[j] == pytest.approx(e, rel=1e-12)
+
+
+def test_hash_split_negative_ids_cross_engine(spark):
+    """DuckDB's sign-preserving % is wrapped to match Spark's pmod, so
+    negative ids split identically in both engines."""
+    import duckdb
+
+    from dask_histogram_spark.operators import hash_split
+    from dask_histogram_spark.operators.pipeline import hash_split_sql
+
+    ids = list(range(-50, 50))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ratios = {"train": 0.8, "val": 0.2}
+    got = {r.doc_id: r.split for r in hash_split(df, ratios).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i})" for i in ids) + ") v(doc_id)"
+    )
+    exp = dict(con.execute(
+        f"SELECT doc_id, {hash_split_sql(ratios)} FROM t"
+    ).fetchall())
+    assert got == exp
+    # negative ids equidistribute rather than all landing in split 0
+    assert {got[i] for i in range(-50, 0)} == {"train", "val"}

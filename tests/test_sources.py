@@ -111,3 +111,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_meta")
+
+
+def test_negative_nanos_floor_to_microsecond(spark, tmp_path):
+    """Pre-1970 nanosecond timestamps must FLOOR to microseconds
+    (truncation toward zero would shift them forward by 1 us)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "neg_nanos.parquet")
+    ts = pa.array([-1500, 1500, -1000, -999], type=pa.timestamp("ns"))
+    pq.write_table(pa.table({"ts": ts}), path)
+    df = read_table(spark, path)
+    got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+    assert got == sorted([-2, 1, -1, -1])
