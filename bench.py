@@ -30,10 +30,9 @@ BENCH_QUERIES = [
     "hist_mean",
     "hist_weighted_mean",
     "hist_multifill",
-    "hist_arith_add",
+    "hist_arith",
     "hist_events_daily",
-    "dedup_exact",
-    "text_token_counts",
+    "dedup_exact_stats",
     "text_stats",
     "text_language_id",
     "similarity_topk",
@@ -51,6 +50,11 @@ BENCH_QUERIES = [
     # but the 4M-row pair set stays distributed (collecting it would
     # time driver serialization, not the operator)
     "minhash_lsh_stats",
+    # the flagship chained near-dup pipeline (LSH candidates -> exact
+    # verify -> iterative connected components): measures the one pillar
+    # the per-operator entries miss — clustering's iteration count x
+    # shuffle cost on a duplicate-heavy corpus
+    "dedup_pipeline",
 ]
 
 

@@ -363,13 +363,16 @@ _register(
              weight_sql="1.0 - l_discount"),
 )
 
-# -- lazy histogram arithmetic (SURVEY §2.1 #17-18)
+# -- lazy histogram arithmetic (SURVEY §2.1 #17-18): ONE compound
+# expression (h_A + h_R) * 2.5 gates BOTH BinaryOpAgg shapes — the
+# full-outer bin join of `+` and the scalar broadcast of `*` — in a
+# single driver row.
 
 _ARITH_SPEC = HistogramSpec(axes=(Regular(25, 0.0, 50.0),),
                             storage=Storage.WEIGHT)
 
 
-def _q_arith_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = get_tables(spark, sf_dir)["lineitem"]
     w = F.expr("1.0 - l_discount")
     ha = AggHistogram(
@@ -382,35 +385,18 @@ def _q_arith_add(spark: SparkSession, sf_dir: str) -> DataFrame:
              _ARITH_SPEC, weight=w),
         _ARITH_SPEC,
     )
-    return sig_rounded((ha + hr).to_sparse())
+    return sig_rounded(((ha + hr) * 2.5).to_sparse())
 
 
+_inner_arith = fill_sql("lineitem", ["l_quantity"], _ARITH_SPEC,
+                        weight_sql="1.0 - l_discount",
+                        where="l_returnflag IN ('A', 'R')",
+                        round_digits=None)
 _register(
-    "hist_arith_add",
-    _q_arith_add,
-    fill_sql("lineitem", ["l_quantity"], _ARITH_SPEC,
-             weight_sql="1.0 - l_discount",
-             where="l_returnflag IN ('A', 'R')"),
-)
-
-
-def _q_arith_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = get_tables(spark, sf_dir)["lineitem"]
-    h = AggHistogram(
-        fill(li, ["l_quantity"], _ARITH_SPEC,
-             weight=F.expr("1.0 - l_discount")),
-        _ARITH_SPEC,
-    )
-    return sig_rounded((h * 2.5).to_sparse())
-
-
-_inner_scale = fill_sql("lineitem", ["l_quantity"], _ARITH_SPEC,
-                        weight_sql="1.0 - l_discount", round_digits=None)
-_register(
-    "hist_arith_scale",
-    _q_arith_scale,
+    "hist_arith",
+    _q_arith,
     f"SELECT bin_0, {sig_round_sql('value * 2.5')} AS value, "
-    f"{sig_round_sql('sumw2 * 2.5')} AS sumw2 FROM ({_inner_scale})",
+    f"{sig_round_sql('sumw2 * 2.5')} AS sumw2 FROM ({_inner_arith})",
 )
 
 # -- density (implemented for real; reference quirk documented §2.5)
@@ -486,35 +472,31 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
 
 
-def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import dedup_exact
+def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact + exact_dup_stats gated in ONE row set: the per-doc
+    survivors carry the (broadcast, 1-row) corpus dup profile as
+    constant columns, so both operators' outputs hash-compare."""
+    from .operators import dedup_exact, exact_dup_stats
 
-    return dedup_exact(_dup_corpus(spark, sf_dir), exact=True)
-
-
-_register(
-    "dedup_exact",
-    _q_dedup_exact,
-    f"SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM {_DUP_SQL} "
-    "GROUP BY text",
-)
-
-
-def _q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import exact_dup_stats
-
-    return exact_dup_stats(_dup_corpus(spark, sf_dir))
+    corpus = _dup_corpus(spark, sf_dir)
+    kept = dedup_exact(corpus, exact=True)
+    stats = exact_dup_stats(corpus)
+    return kept.crossJoin(F.broadcast(stats))
 
 
 _register(
-    "dedup_stats",
-    _q_dedup_stats,
+    "dedup_exact_stats",
+    _q_dedup_exact_stats,
     # CASTs: DuckDB types bare SUM(int) as HUGEINT -> pandas float64,
     # which hash-mismatches Spark's bigint even when values agree.
-    "SELECT COUNT(*) AS n_distinct, "
+    f"SELECT k.doc_id, k.n_copies, s.n_distinct, s.n_dup_groups, "
+    "s.n_removable FROM "
+    f"(SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM {_DUP_SQL} "
+    "GROUP BY text) k CROSS JOIN "
+    "(SELECT COUNT(*) AS n_distinct, "
     "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups, "
     "CAST(SUM(n - 1) AS BIGINT) AS n_removable FROM "
-    f"(SELECT COUNT(*) AS n FROM {_DUP_SQL} GROUP BY text)",
+    f"(SELECT COUNT(*) AS n FROM {_DUP_SQL} GROUP BY text)) s",
 )
 
 
@@ -525,10 +507,10 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=8, threshold=0.3)
 
 
-_register(
-    "ngram_jaccard",
-    _q_jaccard,
-    """
+# NOT registered as its own driver row (the maxdf variant below gates
+# the same ngram_jaccard_pairs operator at the scale-honest config);
+# the plain-config pair SQL feeds the dedup_clusters oracle.
+_JACCARD_PAIRS_SQL = """
 WITH ex AS (
   SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh FROM (
     SELECT doc_id, list_distinct([substr(text, i, 8)
@@ -540,8 +522,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
 GROUP BY 1, 2, a.n_sh, b.n_sh
 HAVING jaccard >= 0.3
-""",
-)
+"""
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,8 +535,6 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Recursive-CTE oracle: undirected transitive closure of the SAME pair
 # set (small by construction at oracle SF), then min label per node.
-_JACCARD_PAIRS_SQL = ORACLES["ngram_jaccard"]
-
 _register(
     "dedup_clusters",
     _q_dedup_clusters,
@@ -573,6 +552,69 @@ reach(a, b) AS (
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """,
 )
+
+
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP near-dup chain, one gated plan:
+    minhash LSH candidates -> exact jaccard verification on the pruned
+    pair set -> connected-component clustering.  This is the shape a
+    100 TB dedup actually runs: the only all-pairs-ish step is the
+    band-bucket equi-join, verification touches candidates only, and
+    clustering iterates min-label propagation over the verified edges.
+    """
+    from .operators import (
+        dedup_clusters,
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
+                                   hash_fn="fnv1a32")
+    verified = jaccard_verify_pairs(cands, corpus, k=8, threshold=0.5)
+    return dedup_clusters(verified)
+
+
+def _dedup_pipeline_oracle() -> str:
+    """Flat CTE chain reproducing the whole flagship: seeded-minhash
+    banding (same coefficient literals), candidate equi-join, exact
+    8-gram jaccard verification via list_intersect, then the recursive
+    transitive closure + min-label (same as the dedup_clusters oracle).
+    """
+    band_sql = _minhash_band_sql(bands=8, r=4).replace("FROM s", "FROM sig")
+    return f"""
+WITH RECURSIVE
+h AS (SELECT doc_id, {_MH_HS} AS hs FROM {_DUP_SQL}),
+sig AS (SELECT doc_id, {_MH_SIG} AS sig FROM h),
+bnd AS ({band_sql}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+   AND a.doc_id < b2.doc_id GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id, list_distinct([substr(text, i, 8)
+    FOR i IN range(1, greatest(len(text) - 7, 1) + 1)]) AS s
+  FROM {_DUP_SQL}
+),
+ver AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+        >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION SELECT id_b AS a, id_a AS b FROM ver
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""
 
 
 def _q_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,32 +679,16 @@ HAVING jaccard >= 0.3
 )
 
 
-def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import token_counts
-
-    return token_counts(get_tables(spark, sf_dir)["documents"])
-
-
-_register(
-    "text_token_counts",
-    _q_token_counts,
-    r"""
-SELECT doc_id,
-       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
-       length(text) AS n_chars,
-       ROUND((length(text) - len(string_split_regex(trim(lower(text)), '\s+')) + 1)
-             / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6)
-         AS avg_token_len,
-       CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_subwords
-FROM documents
-""",
-)
-
-
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import text_stats
+    """token_counts + text_stats in one gated row set: both are narrow
+    maps over the same scan, joined on the id (Catalyst collapses the
+    self-join of two projections of one cached table)."""
+    from .operators import text_stats, token_counts
 
-    return text_stats(get_tables(spark, sf_dir)["documents"])
+    d = get_tables(spark, sf_dir)["documents"]
+    extra = token_counts(d).select("doc_id", "avg_token_len",
+                                   "approx_subwords")
+    return text_stats(d).join(extra, "doc_id")
 
 
 def _ratio_sql(drop_pattern: str) -> str:
@@ -686,7 +712,11 @@ SELECT doc_id,
     + r"""ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
              t -> t IN ('the','a','of','and','to','in','is','that','it','for')))
          / GREATEST(len(string_split_regex(trim(lower(text)), '\s+'))::DOUBLE, 1.0), 6)
-         AS stopword_ratio
+         AS stopword_ratio,
+       ROUND((length(text) - len(string_split_regex(trim(lower(text)), '\s+')) + 1)
+             / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6)
+         AS avg_token_len,
+       CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_subwords
 FROM documents
 """
 )
@@ -694,10 +724,13 @@ FROM documents
 _register("text_stats", _q_text_stats, _TEXT_STATS_SQL)
 
 
-def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import quality_score
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_score + repetition_stats gated in one row set (same
+    same-scan join shape as the merged text_stats entry)."""
+    from .operators import quality_score, repetition_stats
 
-    return quality_score(get_tables(spark, sf_dir)["documents"])
+    d = get_tables(spark, sf_dir)["documents"]
+    return quality_score(d).join(repetition_stats(d), "doc_id")
 
 
 _QUALITY_GATES_SQL = """(
@@ -707,14 +740,35 @@ _QUALITY_GATES_SQL = """(
   + CASE WHEN non_ascii_ratio <= 0.1 THEN 1 ELSE 0 END
   + CASE WHEN stopword_ratio >= 0.05 THEN 1 ELSE 0 END)"""
 
+_REPETITION_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+  ROUND(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+    AS dup_2gram_ratio,
+  ROUND(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+    AS dup_3gram_ratio
+FROM (
+  SELECT doc_id,
+    [array_to_string(toks[i:i+1], ' ')
+     FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS g2,
+    [array_to_string(toks[i:i+2], ' ')
+     FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS g3
+  FROM t)
+"""
+
 _register(
-    "text_quality_score",
-    _q_quality_score,
+    "text_quality",
+    _q_quality,
     f"""
-SELECT doc_id, n_chars, n_tokens,
-       {_QUALITY_GATES_SQL} AS quality_score,
-       CASE WHEN {_QUALITY_GATES_SQL} >= 4 THEN 1 ELSE 0 END AS keep
-FROM ({_TEXT_STATS_SQL})
+SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality_score, q.keep,
+       r.dup_2gram_ratio, r.dup_3gram_ratio
+FROM (
+  SELECT doc_id, n_chars, n_tokens,
+         {_QUALITY_GATES_SQL} AS quality_score,
+         CASE WHEN {_QUALITY_GATES_SQL} >= 4 THEN 1 ELSE 0 END AS keep
+  FROM ({_TEXT_STATS_SQL})
+) q JOIN ({_REPETITION_SQL}) r ON q.doc_id = r.doc_id
 """,
 )
 
@@ -828,32 +882,28 @@ _register(
 )
 
 
-def _q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both embedding_near_dup_pairs modes — the oracle-exact all-pairs
+    form AND the hyperplane-LSH scale path — union-gated in one row set
+    (a ``mode`` tag keeps the two candidate sets distinct)."""
     from .operators import embedding_near_dup_pairs
 
     emb = get_tables(spark, sf_dir)["embeddings"]
-    return embedding_near_dup_pairs(emb, threshold=0.3, exact=True)
+    exact = (embedding_near_dup_pairs(emb, threshold=0.3, exact=True)
+             .withColumn("mode", F.lit("exact")))
+    lsh = (embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+           .withColumn("mode", F.lit("lsh")))
+    return exact.unionByName(lsh)
 
 
-_register(
-    "embedding_near_dup_exact",
-    _q_near_dup_exact,
-    """
+_NEAR_DUP_EXACT_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
-""",
-)
-
-
-def _q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import embedding_near_dup_pairs
-
-    emb = get_tables(spark, sf_dir)["embeddings"]
-    return embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+"""
 
 
 def _near_dup_lsh_oracle(planes: int = 8, dim: int = 64, seed: int = 23,
@@ -893,8 +943,15 @@ WHERE ROUND(list_cosine_similarity(a.v, b2.v), 6) >= {threshold}
 """
 
 
-_register("embedding_near_dup_lsh", _q_near_dup_lsh,
-          _near_dup_lsh_oracle())
+_register(
+    "embedding_near_dup",
+    _q_near_dup,
+    f"SELECT id_a, id_b, cos_sim, 'exact' AS mode "
+    f"FROM ({_NEAR_DUP_EXACT_SQL}) "
+    f"UNION ALL "
+    f"SELECT id_a, id_b, cos_sim, 'lsh' AS mode "
+    f"FROM ({_near_dup_lsh_oracle()})",
+)
 
 
 # DuckDB twin of the portable FNV-1a 32 hash over a string `t`'s code
@@ -982,7 +1039,11 @@ _MINHASH_CAND_SQL = (
     "AND a.doc_id < b2.doc_id GROUP BY 1, 2"
 )
 
-_register("minhash_lsh_candidates", _q_minhash_candidates, _MINHASH_CAND_SQL)
+# (minhash_lsh_candidates itself is gated through minhash_lsh_stats —
+# the stats twin runs the identical band join — and end-to-end through
+# dedup_pipeline below.)
+
+_register("dedup_pipeline", _q_dedup_pipeline, _dedup_pipeline_oracle())
 
 
 def _q_minhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,10 +1211,30 @@ FROM scored QUALIFY rank <= 5
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import attach_fake_media, decode_image_features
+    """BOTH multimodal kernels in one rows-only entry: per-doc image
+    features (posexploded to scalars) carry the clip's audio-frame
+    aggregate as constant per-doc columns — image decode AND audio
+    frame-sampling both execute and both feed the row hash.  (Rows-only
+    because the deterministic fake decoders are numpy kernels with no
+    SQL twin; the element-wise differential gate lives in
+    tests/test_operators.py::test_multimodal_numpy_twin.)"""
+    from .operators.multimodal import (
+        attach_fake_media,
+        decode_image_features,
+        sample_audio_frames,
+    )
 
     d = get_tables(spark, sf_dir)["documents"].limit(50)
-    feats = decode_image_features(attach_fake_media(d))
+    media = attach_fake_media(d)
+    feats = decode_image_features(media)
+    audio = (
+        sample_audio_frames(media)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.avg("rms"), 6).alias("mean_rms"),
+        )
+    )
     # posexplode feat to scalars (same trick as minhash_signatures): the
     # driver gate's canonicalizer lexsorts rows and cannot hash an
     # array<float> cell.
@@ -1163,23 +1244,12 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
         F.posexplode("feat").alias("feat_idx", "feat_val"),
-    ).withColumn("feat_val", F.round(F.col("feat_val").cast("double"), 4))
+    ).withColumn(
+        "feat_val", F.round(F.col("feat_val").cast("double"), 4)
+    ).join(audio, "doc_id")
 
 
-_register("multimodal_image_features", _q_multimodal)
-
-
-def _q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio frame-sampling plumbing (rows-only: the deterministic fake
-    waveform is a numpy kernel, not SQL-expressible)."""
-    from .operators.multimodal import attach_fake_media, sample_audio_frames
-
-    d = get_tables(spark, sf_dir)["documents"].limit(50)
-    frames = sample_audio_frames(attach_fake_media(d))
-    return frames.withColumn("rms", F.round("rms", 6))
-
-
-_register("multimodal_audio_frames", _q_audio_frames)
+_register("multimodal_features", _q_multimodal)
 
 
 _SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -1201,22 +1271,32 @@ _register(
 )
 
 
-def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import normalize_text
+def _q_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_text + redact_pii gated in one row set (both are
+    narrow regex maps over the same scan)."""
+    from .operators import normalize_text, redact_pii
 
     d = get_tables(spark, sf_dir)["documents"]
-    return normalize_text(d).select(
-        "doc_id", F.length("norm_text").alias("n_norm_chars"), "norm_text"
+    r = redact_pii(normalize_text(d))
+    return r.select(
+        "doc_id",
+        F.length("norm_text").alias("n_norm_chars"),
+        "norm_text",
+        "redacted_text",
+        (F.col("redacted_text") != F.col("text")).cast("int").alias("changed"),
     )
 
 
 from .operators.text import normalize_text_sql as _norm_sql  # noqa: E402
+from .operators.text import redact_pii_sql as _redact_sql  # noqa: E402
 
 _register(
-    "text_normalize",
-    _q_normalize_text,
+    "text_normalize_redact",
+    _q_normalize_redact,
     f"SELECT doc_id, length({_norm_sql()}) AS n_norm_chars, "
-    f"{_norm_sql()} AS norm_text FROM documents",
+    f"{_norm_sql()} AS norm_text, "
+    f"{_redact_sql()} AS redacted_text, "
+    f"CAST({_redact_sql()} != text AS INT) AS changed FROM documents",
 )
 
 
@@ -1244,54 +1324,8 @@ _register(
 )
 
 
-def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import repetition_stats
-
-    return repetition_stats(get_tables(spark, sf_dir)["documents"])
-
-
-_register(
-    "text_repetition_stats",
-    _q_repetition,
-    r"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-           FROM documents)
-SELECT doc_id,
-  ROUND(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
-    AS dup_2gram_ratio,
-  ROUND(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
-    AS dup_3gram_ratio
-FROM (
-  SELECT doc_id,
-    [array_to_string(toks[i:i+1], ' ')
-     FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS g2,
-    [array_to_string(toks[i:i+2], ' ')
-     FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS g3
-  FROM t)
-""",
-)
-
-
-def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import redact_pii
-
-    d = get_tables(spark, sf_dir)["documents"]
-    r = redact_pii(d)
-    return r.select(
-        "doc_id",
-        "redacted_text",
-        (F.col("redacted_text") != F.col("text")).cast("int").alias("changed"),
-    )
-
-
-from .operators.text import redact_pii_sql as _redact_sql  # noqa: E402
-
-_register(
-    "text_redact_pii",
-    _q_redact,
-    f"SELECT doc_id, {_redact_sql()} AS redacted_text, "
-    f"CAST({_redact_sql()} != text AS INT) AS changed FROM documents",
-)
+# (repetition_stats is gated through the merged text_quality row;
+# redact_pii through the merged text_normalize_redact row.)
 
 
 def _q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

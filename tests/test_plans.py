@@ -16,8 +16,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Queries with a *deliberate* O(n^2) or broadcast-NLJ stage, with why:
 CARTESIAN_ALLOWED = {
-    "embedding_near_dup_exact",   # exact mode exists for oracle checks only
-    "similarity_topk",            # broadcast NLJ: queries side is broadcast-tiny
+    "embedding_near_dup",   # union's exact half exists for oracle checks only
+    "similarity_topk",      # broadcast NLJ: queries side is broadcast-tiny
+    "dedup_exact_stats",    # cross join against a broadcast 1-ROW stats agg
 }
 
 
