@@ -1364,10 +1364,11 @@ def _q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = windowed_histogram(ev, "ts", ["value"], _WINDOWED_SPEC,
                            window="6 hours", slide="3 hours")
     # epoch seconds rather than timestamps so the oracle compare is
-    # timezone-representation-proof
+    # timezone-representation-proof; unix_timestamp, not cast("long"),
+    # because it accepts TIMESTAMP and TIMESTAMP_NTZ alike
     return w.select(
-        F.col("window_start").cast("long").alias("win_start_s"),
-        F.col("window_end").cast("long").alias("win_end_s"),
+        F.unix_timestamp("window_start").alias("win_start_s"),
+        F.unix_timestamp("window_end").alias("win_end_s"),
         "bin_0",
         "value",
     )

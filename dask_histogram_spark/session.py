@@ -32,10 +32,14 @@ def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # The test/bench parquet carries TIMESTAMP(NANOS) which vanilla
-        # Spark rejects (PARQUET_TYPE_ILLEGAL); read as long + convert
-        # in load_tables.
+        # Parquet TIMESTAMP(NANOS) is read as long under this conf (we
+        # convert back in _normalize_timestamps); TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) is read as TIMESTAMP_NTZ — also
+        # normalized there.  Pin the session zone so NTZ -> TIMESTAMP is
+        # a deterministic wall-clock identity that matches DuckDB's
+        # naive-timestamp reading of the same files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -58,33 +62,54 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
-    """Read the driver's parquet tables and register temp views.
+def _normalize_timestamps(df, path: str):
+    """Give every timestamp-ish column ONE downstream type: TimestampType.
 
-    timestamp[ns] columns are converted back to TimestampType at
-    microsecond precision (Spark's native resolution) so date/window
-    functions work and results line up with SQL oracles.
+    Branches on the OBSERVED Spark dtype, not on any conf, because the
+    same parquet file lands differently across Spark versions/testdata
+    revisions:
+
+    * parquet TIMESTAMP(NANOS) + ``nanosAsLong`` -> ``bigint`` of nanos:
+      integer-floor to microseconds and rebuild the timestamp.  Integer
+      arithmetic, not ``/``: double division loses ulp at 2024-epoch
+      nanos (~1.7e18) and floors to the wrong microsecond on ~12% of
+      rows; pmod-then-div gives FLOOR semantics on longs so pre-1970
+      (negative) nanos also map correctly (``div`` alone truncates
+      toward zero).
+    * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) ->
+      ``timestamp_ntz``: cast to TIMESTAMP.  With the session zone
+      pinned to UTC (get_spark) this is a wall-clock identity and
+      matches DuckDB's naive reading, and downstream window()/
+      unix_timestamp()/cast-to-long all behave uniformly.
     """
     from pyspark.sql import functions as F
 
+    nanos_cols = set(_nanos_timestamp_cols(path))
+    for c, t in df.dtypes:
+        if t == "bigint" and c in nanos_cols:
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(
+                    F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
+                ),
+            )
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
+    """Read the driver's parquet tables and register temp views.
+
+    Timestamp columns are normalized to TimestampType at microsecond
+    precision (see _normalize_timestamps) so date/window functions work
+    and results line up with SQL oracles.
+    """
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
-            for c in _nanos_timestamp_cols(path):
-                # integer arithmetic, not `/`: double division loses ulp
-                # at 2024-epoch nanos (~1.7e18) and floors to the wrong
-                # microsecond on ~12% of rows.  pmod-then-div gives FLOOR
-                # semantics on longs, so pre-1970 (negative) nanos also
-                # map to the correct microsecond (`div` alone truncates
-                # toward zero).
-                df = df.withColumn(
-                    c,
-                    F.timestamp_micros(
-                        F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
-                    ),
-                )
+            df = _normalize_timestamps(spark.read.parquet(path), path)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

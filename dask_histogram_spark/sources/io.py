@@ -54,26 +54,13 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None,
     for k, v in options.items():
         reader = reader.option(k, v)
     if fmt == "parquet":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
-        df = reader.parquet(path)
-        from ..session import _nanos_timestamp_cols
+        # nanosAsLong is set once at session construction (get_spark);
+        # readers must not flip global legacy confs mid-session.  The
+        # dtype branch in _normalize_timestamps handles both the
+        # nanos-as-long and the TIMESTAMP_NTZ-native worlds.
+        from ..session import _normalize_timestamps
 
-        from pyspark.sql import functions as F
-
-        for c in _nanos_timestamp_cols(path):
-            # pmod-then-div = floor division on longs: exact at
-            # 2024-epoch magnitudes AND correct for pre-1970 negative
-            # nanos (see session.py)
-            df = df.withColumn(
-                c,
-                F.timestamp_micros(
-                    F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
-                ),
-            )
-        return df
+        return _normalize_timestamps(reader.parquet(path), path)
     return reader.format(fmt).load(path)
 
 

@@ -72,16 +72,23 @@ def test_save_load_preserves_sample_shift(spark, gauss1d, tmp_path):
 
 
 def test_read_table_nanos_exact_microseconds(spark):
-    """Integer-div restore: every ts must equal pyarrow's ns//1000."""
+    """Timestamp restore is exact at microsecond precision regardless of
+    the parquet unit (ns testdata read as long, or us read as NTZ):
+    every ts must equal pyarrow's value floored to micros."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     path = "/root/testdata/sf0.001/events.parquet"
     df = read_table(spark, path)
+    assert dict(df.dtypes)["ts"] == "timestamp"
     got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
-    ns = pq.read_table(path, columns=["ts"])["ts"].cast("int64").to_numpy()
-    exp = sorted((ns // 1000).tolist())
-    assert got == exp
+    col = pq.read_table(path, columns=["ts"])["ts"]
+    unit = col.type.unit
+    ints = col.cast(pa.int64()).to_numpy()
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+    exp = ints // 1000 if unit == "ns" else ints * scale
+    assert got == sorted(exp.tolist())
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
