@@ -154,26 +154,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
-def minhash_banded(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", num_perm: int = 64,
-                   bands: int = 16, shingle_k: int = 5,
-                   seed: int = 17, hash_fn: str = "xxhash64") -> DataFrame:
-    """(id, band, bucket) LSH band-bucket membership per document —
-    the shared projection behind the batch self-join
-    (:func:`minhash_lsh_candidates`) and the streaming stateful
-    detector (streaming/dedup.py).  Pure Column expressions, so it
-    plans identically on batch and streaming DataFrames.
-
-    Bucket keys are 8-byte xxhash64 of the band's signature slice by
-    default; ``hash_fn="fnv1a32"`` keeps the raw value string so SQL
-    oracles can reproduce the buckets (hashing only compresses the
-    key — bucket membership, and hence candidates, are identical up to
-    xxhash collisions)."""
+def _band_explode(sigs: DataFrame, id_col: str, num_perm: int, bands: int,
+                  hash_fn: str) -> DataFrame:
+    """(id, band, bucket) from a (id, sig) projection — bucket keys are
+    8-byte xxhash64 of the band's signature slice by default;
+    ``hash_fn="fnv1a32"`` keeps the raw value string so SQL oracles can
+    reproduce the buckets (hashing only compresses the key — bucket
+    membership, and hence candidates, are identical up to xxhash
+    collisions)."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed,
-                              hash_fn)
 
     def band_key(b: int) -> Column:
         joined = F.concat_ws(",", *[
@@ -195,12 +186,27 @@ def minhash_banded(df: DataFrame, text_col: str = "text",
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def minhash_banded(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_perm: int = 64,
+                   bands: int = 16, shingle_k: int = 5,
+                   seed: int = 17, hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, band, bucket) LSH band-bucket membership per document —
+    the shared projection behind the batch self-join
+    (:func:`minhash_lsh_candidates`) and the streaming stateful
+    detector (streaming/dedup.py).  Pure Column expressions, so it
+    plans identically on batch and streaming DataFrames."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed,
+                              hash_fn)
+    return _band_explode(sigs, id_col, num_perm, bands, hash_fn)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
                            seed: int = 17, persist: bool = True,
                            hash_fn: str = "xxhash64",
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           min_sig_matches: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
 
     Banding: signature split into ``bands`` rows of r = num_perm/bands;
@@ -208,32 +214,51 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     the join on (band, band_hash) — no cross join anywhere, so the
     plan scales with bucket sizes, not n^2.
 
-    ``persist`` materializes the banded projection so the self-join
-    does not recompute the signature fold on both sides.  Measured:
-    at sf0.01 the persist round-trip costs slightly more than
-    recomputing (3.0 s vs 2.3 s), but at sf0.1 with the fnv1a32 fold
-    persist wins 3.3x (2.3 s vs 7.6 s) — signature cost grows with
-    corpus size while the persist overhead is per-query, so it
-    defaults ON.  In a production 100 TB dedup you would write the
-    banded set to a table once and join from that.
+    ``persist`` materializes the SIGNATURE projection (id + num_perm
+    longs — a few hundred bytes per document) so the expensive
+    signature fold runs exactly once; the band explode, bucket-count
+    cap, both self-join sides, and the ``min_sig_matches`` gate all
+    derive from the cache with trivial per-row work.  Measured at
+    sf0.1 (fnv1a32): 9.9 s vs 17.8 s without.  In a production 100 TB
+    dedup you would write the signature table once and join from that.
 
     ``max_bucket`` drops band buckets holding more than that many
     documents BEFORE the self-join — the standard skew guard: one
     degenerate bucket of b docs emits b^2 pairs (a 100k-doc bucket is
-    10^10 pairs in one key), and such mega-buckets signal a degenerate
-    band (boilerplate shingles), not near-duplication; true dups still
-    collide in their other bands.  The cap is a per-bucket count +
-    semi-join, fully parallel.
+    10^10 pairs in one key), and mega-buckets on a template-heavy
+    corpus are boilerplate clusters exact dedup already catches; pairs
+    that ALSO share a small (= discriminative) bucket survive.  The
+    cap is a per-bucket count + semi-join, fully parallel.
 
-    Cache lifetime: the persisted banded projection stays cached until
+    ``min_sig_matches`` requires at least that many of the num_perm
+    signature components to agree — the two-tier verification gate:
+    component agreement is the unbiased MinHash estimate of shingle
+    jaccard, costs one num_perm-long zip per pair off the cached
+    signatures (vs shipping full shingle sets to an exact verifier),
+    and is exactly reproducible in SQL.  The surviving pairs carry a
+    ``sig_matches`` column.
+
+    Cache lifetime: the persisted projection stays cached until
     released — repeated calls in a long-lived session would otherwise
     accumulate cached blocks.  The handle travels on the returned
     DataFrame as ``_dhs_persisted``; call
     :func:`release_candidates_cache` (or ``.unpersist()`` on the
     handle) once the candidate pairs are materialized.
     """
-    banded = minhash_banded(df, text_col, id_col, num_perm, bands,
-                            shingle_k, seed, hash_fn)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
+                              seed, hash_fn)
+    if persist:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize NOW: the downstream plan reads the projection from
+        # up to five sibling stages (two self-join sides, bucket count,
+        # two sig-gate sides) that the scheduler runs concurrently — a
+        # lazy cache would let each of them recompute the fold before
+        # any blocks land (measured 26 s vs 14 s at sf0.1).  This is
+        # the query-local analog of writing the signature table once.
+        sigs.count()
+    banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn)
     # Explicit partition count on the join key: the banded projection's
     # shuffle INPUT is tiny (bands rows/doc of 8-byte keys) so AQE would
     # coalesce it to ~1 task, but on a duplicate-heavy corpus the join
@@ -242,6 +267,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # task vs 64 at sf0.1).
     nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
     banded = banded.repartition(nparts, "band", "bucket")
+    capped = banded
     if max_bucket is not None:
         small = (
             banded.groupBy("band", "bucket")
@@ -249,13 +275,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             .where(F.col("__n") <= max_bucket)
             .drop("__n")
         )
-        banded = banded.join(small, ["band", "bucket"], "left_semi")
-    if persist:
-        from pyspark import StorageLevel
-
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.alias("a")
-    b = banded.alias("b")
+        capped = banded.join(small, ["band", "bucket"], "left_semi")
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(
             b,
@@ -269,13 +291,30 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+    if min_sig_matches is not None:
+        sa = sigs.select(F.col(id_col).alias("id_a"),
+                         F.col("sig").alias("__sa"))
+        sb = sigs.select(F.col(id_col).alias("id_b"),
+                         F.col("sig").alias("__sb"))
+        matches = F.size(
+            F.filter(
+                F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        pairs = (
+            pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("sig_matches", matches)
+            .where(F.col("sig_matches") >= min_sig_matches)
+            .drop("__sa", "__sb")
+        )
     if persist:
-        pairs._dhs_persisted = banded  # release handle (see docstring)
+        pairs._dhs_persisted = sigs  # release handle (see docstring)
     return pairs
 
 
 def release_candidates_cache(pairs: DataFrame) -> None:
-    """Unpersist the banded projection cached by
+    """Unpersist the signature projection cached by
     :func:`minhash_lsh_candidates` (no-op if none was persisted or the
     handle was already released)."""
     cached = getattr(pairs, "_dhs_persisted", None)
@@ -712,7 +751,9 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          k: int = 8, threshold: float = 0.5,
                          pair_a: str = "id_a",
-                         pair_b: str = "id_b") -> DataFrame:
+                         pair_b: str = "id_b",
+                         hashed: bool = True,
+                         persist: bool = False) -> DataFrame:
     """Exact character-k-gram Jaccard computed ONLY on candidate pairs —
     the verification step between LSH candidate generation and
     clustering (candidates -> verify -> :func:`dedup_clusters`).
@@ -725,6 +766,21 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
     ``array_intersect`` — per-pair cost O(|A| + |B|), no explode, no
     inverted-index blowup (the candidate set is assumed pruned; the
     full-corpus similarity join lives in :func:`ngram_jaccard_pairs`).
+
+    ``hashed`` (default) intersects xxhash64 longs instead of raw
+    k-char strings: each doc's shingle set is duplicated and SHUFFLED
+    once per pair it appears in, so the join payload is 8 bytes per
+    shingle instead of ~2k+ per string — same intersection counts up
+    to 64-bit collisions (~|A|*|B|/2^64 per pair, negligible), ~8x
+    less shuffle on the pair join.  Pass ``hashed=False`` for the
+    bit-exact raw-string configuration.
+
+    ``persist`` caches the per-document shingle projection so the two
+    pair-side joins don't shingle the corpus twice; the handle travels
+    on the result as ``_dhs_persisted`` (release with
+    :func:`release_candidates_cache` once materialized).  NOTE: the
+    ``pairs`` plan is consumed three times here (two involved-id scans
+    + the pair join) — checkpoint/persist it first if it is expensive.
 
     Output: (pair_a, pair_b, jaccard) for pairs with jaccard >=
     ``threshold`` over distinct-shingle sets — same definition as
@@ -739,6 +795,8 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
             lambda i: F.substring(F.col(text_col), i, k),
         )
     )
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     needed = (
         pairs.select(F.col(pair_a).alias(id_col))
         .unionByName(pairs.select(F.col(pair_b).alias(id_col)))
@@ -748,22 +806,43 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
         docs.join(needed, id_col, "left_semi")
         .select(F.col(id_col), sh.alias("__sh"))
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        shingled.count()  # eager: both join sides must hit the cache
     a = shingled.select(F.col(id_col).alias(pair_a),
                         F.col("__sh").alias("__sha"))
     b = shingled.select(F.col(id_col).alias(pair_b),
                         F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     jac = inter / (F.size("__sha") + F.size("__shb") - inter)
-    return (
+    out = (
         pairs.join(a, pair_a).join(b, pair_b)
         .select(pair_a, pair_b, F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    if persist:
+        out._dhs_persisted = shingled
+    return out
 
 
 # ---------------------------------------------------------------------------
 # Candidate-pair clustering (connected components)
 # ---------------------------------------------------------------------------
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a localCheckpoint'd DataFrame's backing
+    RDD blocks.  Spark exposes no public API for this (``unpersist()``
+    only clears CacheManager entries); the LogicalRDD handle has been
+    stable across 3.x/4.x — silently no-op if the internals move (the
+    ContextCleaner then reclaims the blocks on GC instead, just
+    later)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass
+
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 25) -> DataFrame:
@@ -802,6 +881,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .groupBy("a")
             .agg(F.min("blabel").alias("nmin"))
         )
+        # carry the per-node changed flag instead of re-joining old vs
+        # new labels afterwards: ONE shuffle round + one cheap agg over
+        # the checkpointed result per iteration (the extra join was
+        # ~half the per-round wall time on small graphs)
         new_labels = (
             labels.join(neighbor_min,
                         labels["node"] == neighbor_min["a"], "left")
@@ -811,19 +894,23 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                     F.col("label"),
                     F.coalesce(F.col("nmin"), F.col("label")),
                 ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label"))
+                 < F.col("label")).cast("int").alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.agg(F.sum("__chg")).first()[0]
+        # the superseded round's checkpoint blocks are dead weight now
+        # (new_labels is materialized and lineage-free) — free them
+        # instead of letting them accumulate one RDD per round
+        _release_local_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if not changed:
+            _release_local_checkpoint(edges)
             return labels.select(F.col("node").alias("doc_id"),
                                  F.col("label").alias("cluster_id"))
+    _release_local_checkpoint(edges)
+    _release_local_checkpoint(labels)
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iter} rounds; "
         "raise max_iter for long-chain graphs"

@@ -556,23 +556,59 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP near-dup chain, one gated plan:
-    minhash LSH candidates -> exact jaccard verification on the pruned
-    pair set -> connected-component clustering.  This is the shape a
-    100 TB dedup actually runs: the only all-pairs-ish step is the
-    band-bucket equi-join, verification touches candidates only, and
-    clustering iterates min-label propagation over the verified edges.
+    minhash LSH candidates -> n_bands pruning -> exact jaccard
+    verification on the pruned pair set -> connected-component
+    clustering.  This is the shape a 100 TB dedup actually runs: the
+    only all-pairs-ish step is the band-bucket equi-join, verification
+    touches candidates only, and clustering iterates min-label
+    propagation over the verified edges.
+
+    Candidate precision levers on this corpus (round-3 shape: 4.15M
+    candidates of which 0.14% verified at jaccard 0.5, 92 of 128 bench
+    seconds — and an n_bands >= 2 filter removes only 15% because the
+    documents table is template-heavy and collides on MANY bands):
+
+    * ``max_bucket=20`` — band buckets of thousands of near-identical
+      template docs dominate the pair blowup (measured at sf0.1: max
+      bucket 2,290 docs); capping keeps every pair that shares any
+      small (= discriminative) bucket and cuts candidates to ~65k.
+    * ``min_sig_matches=28`` (of 32) — the two-tier verify gate: the
+      MinHash component-agreement estimate costs a 32-long zip per
+      pair off the cached signatures; at sf0.1 every true 0.5-jaccard
+      pair agrees on >= 30 components while the capped-candidate
+      median is 23, so the gate keeps 100% of verified pairs and cuts
+      the exact-verify input ~9x (65k -> 7.4k pairs).
+
+    Verification then intersects 8-byte hashed shingles (see
+    :func:`jaccard_verify_pairs`), not raw strings.
     """
     from .operators import (
         dedup_clusters,
         jaccard_verify_pairs,
         minhash_lsh_candidates,
+        release_candidates_cache,
     )
+
+    from .operators.dedup import _release_local_checkpoint
 
     corpus = _dup_corpus(spark, sf_dir)
     cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
-                                   hash_fn="fnv1a32")
-    verified = jaccard_verify_pairs(cands, corpus, k=8, threshold=0.5)
-    return dedup_clusters(verified)
+                                   hash_fn="fnv1a32", max_bucket=20,
+                                   min_sig_matches=28)
+    # checkpoint the (tiny, ~7k-row) pruned pair set: the verify step
+    # consumes it three times (two involved-id scans + the pair join)
+    # and would otherwise re-run the band join each time
+    pruned = cands.localCheckpoint()
+    release_candidates_cache(cands)  # signature cache served its turn
+    verified = jaccard_verify_pairs(pruned, corpus, k=8, threshold=0.5,
+                                    persist=True)
+    # dedup_clusters is eager (localCheckpoint-per-round), so by the
+    # time it returns the verify join has fully run — release the
+    # cached projections before handing the result back.
+    clusters = dedup_clusters(verified)
+    release_candidates_cache(verified)
+    _release_local_checkpoint(pruned)
+    return clusters
 
 
 def _dedup_pipeline_oracle() -> str:
@@ -587,10 +623,23 @@ WITH RECURSIVE
 h AS (SELECT doc_id, {_MH_HS} AS hs FROM {_DUP_SQL}),
 sig AS (SELECT doc_id, {_MH_SIG} AS sig FROM h),
 bnd AS ({band_sql}),
-pairs AS (
+bok AS (
+  SELECT band, bucket FROM bnd GROUP BY band, bucket
+  HAVING COUNT(*) <= 20
+),
+bsm AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM bnd b JOIN bok k ON b.band = k.band AND b.bucket = k.bucket
+),
+pairs0 AS (
   SELECT a.doc_id AS id_a, b2.doc_id AS id_b
-  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+  FROM bsm a JOIN bsm b2 ON a.band = b2.band AND a.bucket = b2.bucket
    AND a.doc_id < b2.doc_id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT p.id_a, p.id_b FROM pairs0 p
+  JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 28
 ),
 sh AS (
   SELECT doc_id, list_distinct([substr(text, i, 8)
@@ -1049,11 +1098,23 @@ _register("dedup_pipeline", _q_dedup_pipeline, _dedup_pipeline_oracle())
 def _q_minhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-output twin of minhash_lsh_candidates for benching: the
     full band join runs, but only (n_pairs, sum_bands) comes back — a
-    100 TB dedup writes candidates to a table, it never collects them."""
-    return _q_minhash_candidates(spark, sf_dir).agg(
+    100 TB dedup writes candidates to a table, it never collects them.
+
+    The 1-row aggregate is materialized eagerly HERE so this wrapper
+    owns the persisted banded projection's lifetime (release after the
+    collect) — otherwise every driver/bench invocation leaves an 80k-row
+    projection pinned MEMORY_AND_DISK.
+    """
+    from .operators import release_candidates_cache
+
+    cands = _q_minhash_candidates(spark, sf_dir)
+    agg = cands.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("n_bands").alias("sum_bands"),
     )
+    rows = agg.collect()
+    release_candidates_cache(cands)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 _register(

@@ -794,3 +794,19 @@ def test_hash_split_negative_ids_cross_engine(spark):
     assert got == exp
     # negative ids equidistribute rather than all landing in split 0
     assert {got[i] for i in range(-50, 0)} == {"train", "val"}
+
+
+def test_registry_paths_leave_no_cached_blocks(spark):
+    """The registry wrappers own the persisted-projection lifetime:
+    after materializing minhash_lsh_stats and dedup_pipeline, no cached
+    RDD blocks remain except the pipeline result's own localCheckpoint
+    (it IS the returned data; superseded per-round checkpoints and the
+    banded projection must all be gone)."""
+    from dask_histogram_spark.queries import QUERIES
+
+    sc = spark.sparkContext._jsc.sc()
+    base = sc.getPersistentRDDs().size()
+    QUERIES["minhash_lsh_stats"](spark, SF_DIR).collect()
+    assert sc.getPersistentRDDs().size() == base
+    QUERIES["dedup_pipeline"](spark, SF_DIR).collect()
+    assert sc.getPersistentRDDs().size() <= base + 1
