@@ -148,6 +148,18 @@ def fill(
     The plan is a single scan -> project(bin exprs) -> hash aggregate;
     partial aggregation per input partition and the final merge are
     Spark's native two-phase agg (SURVEY.md §3, lifecycle A).
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> import dask_histogram_spark as dhs
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> df = spark.createDataFrame([(0.5,), (1.5,), (1.7,), (3.5,)], "x double")
+    >>> spec = dhs.HistogramSpec(axes=(dhs.Regular(4, 0.0, 4.0),),
+    ...                          storage=dhs.Storage.DOUBLE)
+    >>> h = dhs.AggHistogram(dhs.fill(df, ["x"], spec), spec)
+    >>> h.values().tolist()
+    [1.0, 2.0, 0.0, 1.0]
     """
     return fill_multi([FillSpec(df, tuple(cols), weight, sample)], spec)
 

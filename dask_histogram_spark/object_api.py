@@ -39,7 +39,22 @@ __all__ = ["Histogram"]
 
 
 class Histogram:
-    """Lazily-filled histogram over Spark DataFrames."""
+    """Lazily-filled histogram over Spark DataFrames.
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> import dask_histogram_spark as dhs
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> df = spark.createDataFrame([(0.5, 2.0), (1.5, 3.0), (1.7, 1.0)],
+    ...                            "x double, w double")
+    >>> h = dhs.Histogram(dhs.Regular(2, 0.0, 2.0))
+    >>> _ = h.fill(df, "x").fill(df, "x", weight="w")  # staged, no jobs yet
+    >>> len(h.staged_fills())
+    2
+    >>> h.compute().values().tolist()  # ONE scan computes both fills
+    [3.0, 6.0]
+    """
 
     def __init__(self, *axes: AxisLike, storage: Storage = Storage.DOUBLE,
                  metadata: Any = None, sample_shift: float = 0.0) -> None:
@@ -103,6 +118,13 @@ class Histogram:
         """Execute the staged fills (one Spark job) and return the
         computed result object."""
         return self.to_agg().compute()
+
+    def to_boost(self):
+        """Compute into a concrete ``boost_histogram.Histogram`` (the
+        reference's postcompute target ``_in_memory_type``,
+        boost.py:139-146) — requires the optional boost_histogram
+        package; see :meth:`AggHistogram.to_boost`."""
+        return self.to_agg().to_boost()
 
     # -- result passthroughs -------------------------------------------
     def to_numpy(self, flow: bool = False, dd: bool = True,

@@ -244,6 +244,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     DataFrame as ``_dhs_persisted``; call
     :func:`release_candidates_cache` (or ``.unpersist()`` on the
     handle) once the candidate pairs are materialized.
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> from dask_histogram_spark.operators import (
+    ...     minhash_lsh_candidates, release_candidates_cache)
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> docs = spark.createDataFrame(
+    ...     [(1, "the quick brown fox jumps over the lazy dog"),
+    ...      (2, "the quick brown fox jumps over the lazy dog"),
+    ...      (3, "an entirely different document about spark")],
+    ...     "doc_id long, text string")
+    >>> cands = minhash_lsh_candidates(docs, num_perm=16, bands=4)
+    >>> sorted((r.id_a, r.id_b, r.n_bands) for r in cands.collect())
+    [(1, 2, 4)]
+    >>> release_candidates_cache(cands)
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               seed, hash_fn)
@@ -563,6 +579,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     so the self-join does not recompute both sides; measured slower at
     small SF (cache round-trip > recompute), kept for expensive
     upstream pipelines.
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> from dask_histogram_spark.operators import ngram_jaccard_pairs
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> docs = spark.createDataFrame(
+    ...     [(1, "the quick brown fox jumps"),
+    ...      (2, "the quick brown fox jumps"),
+    ...      (3, "zzzzzzzzzzzzzzzzzzzzzzzzz")],
+    ...     "doc_id long, text string")
+    >>> pairs = ngram_jaccard_pairs(docs, k=8, threshold=0.5)
+    >>> sorted((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
+    [(1, 2, 1.0)]
     """
     shingles = F.array_distinct(
         F.transform(

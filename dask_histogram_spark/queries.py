@@ -1127,6 +1127,89 @@ _register(
 )
 
 
+def _q_streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the STREAMING LSH detector (streaming/dedup.py):
+    replay the dup corpus as a bounded multi-file stream
+    (availableNow), run the stateful anchor-star detector, and check
+    the deterministic component-recall invariant — every batch
+    candidate pair's endpoints share a bucket, all of a bucket's
+    members link to its anchor, so the streaming pair graph must
+    connect BOTH endpoints of EVERY batch candidate pair regardless of
+    arrival order (same argument as
+    tests/test_streaming.py::test_streaming_minhash_matches_batch_twin).
+
+    Returns ONE deterministic row (n_batch_pairs, n_uncovered=0); the
+    oracle recomputes n_batch_pairs from the seeded-minhash SQL twin.
+    The streaming pair SET itself is arrival-order-dependent (anchor =
+    first seen), hence not directly hashable — the component invariant
+    is the strongest order-free contract.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators import minhash_lsh_candidates, release_candidates_cache
+    from .streaming import streaming_minhash_candidates
+
+    corpus = _dup_corpus(spark, sf_dir).select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="dhs_stream_replay_")
+    name = "dhs_smh_replay_" + uuid.uuid4().hex[:8]
+    try:
+        corpus.repartition(6).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(corpus.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(d)
+        q = (
+            streaming_minhash_candidates(stream, num_perm=32, bands=8,
+                                         hash_fn="fnv1a32")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        stream_pairs = [
+            (r.id_a, r.id_b)
+            for r in spark.table(name).select("id_a", "id_b").collect()
+        ]
+        cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
+                                       hash_fn="fnv1a32")
+        batch_pairs = [
+            (r.id_a, r.id_b)
+            for r in cands.select("id_a", "id_b").collect()
+        ]
+        release_candidates_cache(cands)
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in stream_pairs:
+            parent[find(a)] = find(b)
+        uncovered = sum(1 for a, b in batch_pairs if find(a) != find(b))
+        return spark.createDataFrame(
+            [(len(batch_pairs), uncovered)],
+            "n_batch_pairs bigint, n_uncovered bigint",
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_register(
+    "streaming_minhash_replay",
+    _q_streaming_minhash_replay,
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_pairs, "
+    f"CAST(0 AS BIGINT) AS n_uncovered FROM ({_MINHASH_CAND_SQL})",
+)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import simhash_candidates
 

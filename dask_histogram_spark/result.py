@@ -283,6 +283,95 @@ class AggHistogram:
         self._collect()
         return self
 
+    def to_boost(self):
+        """Compute and return a concrete ``boost_histogram.Histogram``
+        (reference ``AggHistogram.to_boost``, core.py:677-683; the
+        reference's postcompute wraps into ``_in_memory_type`` —
+        boost.py:139-146 — which downstream libraries isinstance-check).
+
+        Requires the optional ``boost_histogram`` package; raises
+        ``ModuleNotFoundError`` with guidance when absent (the engine
+        itself never depends on it — numpy accessors cover the data).
+        Axis names travel as boost axis ``metadata`` (the picklable
+        channel ``hist``-style wrappers read); spec metadata becomes
+        ``h.metadata``.
+        """
+        try:
+            import boost_histogram as bh
+        except ModuleNotFoundError as e:  # pragma: no cover - env-dependent
+            raise ModuleNotFoundError(
+                "AggHistogram.to_boost() needs the optional "
+                "'boost_histogram' package (pip install boost-histogram); "
+                "use .values()/.variances()/.to_numpy() for the same data "
+                "as numpy arrays"
+            ) from e
+        from .spec import Boolean, IntCategory, Integer, Regular, StrCategory, Variable
+
+        def conv_axis(ax, cats):
+            if isinstance(ax, Regular):
+                out = bh.axis.Regular(ax.n, ax.lo, ax.hi)
+            elif isinstance(ax, Variable):
+                out = bh.axis.Variable(ax.edge_list)
+            elif isinstance(ax, Integer):
+                out = bh.axis.Integer(ax.lo, ax.hi)
+            elif isinstance(ax, Boolean):
+                out = bh.axis.Boolean()
+            elif isinstance(ax, IntCategory):
+                out = bh.axis.IntCategory(cats or [], growth=ax.growth)
+            elif isinstance(ax, StrCategory):
+                out = bh.axis.StrCategory(cats or [], growth=ax.growth)
+            else:  # pragma: no cover - exhaustive over spec axes
+                raise TypeError(type(ax).__name__)
+            if ax.name is not None:
+                out.metadata = ax.name
+            return out
+
+        st = self.spec.storage
+        storage = {
+            Storage.DOUBLE: bh.storage.Double,
+            Storage.INT64: bh.storage.Int64,
+            Storage.ATOMIC_INT64: bh.storage.AtomicInt64,
+            Storage.WEIGHT: bh.storage.Weight,
+            Storage.MEAN: bh.storage.Mean,
+            Storage.WEIGHTED_MEAN: bh.storage.WeightedMean,
+        }[st]()
+        # materialize once; resolves growth-category values too
+        a = self._dense(flow=True)
+        cats = self._resolved_categories
+        h = bh.Histogram(
+            *[conv_axis(ax, cats[d]) for d, ax in enumerate(self.spec.axes)],
+            storage=storage,
+        )
+        h.metadata = self.spec.metadata
+        view = h.view(flow=True)
+        if st in (Storage.DOUBLE, Storage.INT64, Storage.ATOMIC_INT64):
+            view[...] = self.values(flow=True)
+        elif st is Storage.WEIGHT:
+            view["value"] = a["value"]
+            view["variance"] = a["sumw2"]
+        elif st is Storage.MEAN:
+            view["count"] = a["count"]
+            view["value"] = self.values(flow=True)
+            # boost accumulates sum of squared deltas from the running
+            # mean; variance() * (n-1) reconstructs it exactly
+            n = a["count"]
+            view["_sum_of_deltas_squared"] = (
+                self.variances(flow=True) * np.maximum(n - 1, 0)
+            )
+        elif st is Storage.WEIGHTED_MEAN:
+            sw, sw2 = a["sum_w"], a["sum_w2"]
+            view["sum_of_weights"] = sw
+            view["sum_of_weights_squared"] = sw2
+            view["value"] = self.values(flow=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                denom = sw - np.where(sw > 0, sw2 / sw, 0.0)
+            view["_sum_of_weighted_deltas_squared"] = (
+                self.variances(flow=True) * np.maximum(denom, 0)
+            )
+        else:  # pragma: no cover - exhaustive
+            raise AssertionError(st)
+        return h
+
     def project(self, *axes: int) -> "AggHistogram":
         """Marginalize onto the given axes (sum over the dropped ones) —
         the sparse analog of boost's ``h.project(i, ...)``: a re-group

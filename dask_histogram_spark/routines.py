@@ -130,7 +130,20 @@ def histogram(
     density: bool = False,
     **kwargs: Any,
 ) -> AggHistogram:
-    """1D histogram (np.histogram-style; reference routines.py:29-128)."""
+    """1D histogram (np.histogram-style; reference routines.py:29-128).
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> import dask_histogram_spark as dhs
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> df = spark.createDataFrame([(0.5,), (1.5,), (1.7,), (3.5,)], "x double")
+    >>> counts, edges = dhs.histogram(df, "x", bins=4, range=(0.0, 4.0)).to_numpy()
+    >>> counts.tolist()
+    [1.0, 2.0, 0.0, 1.0]
+    >>> edges[0].tolist()
+    [0.0, 1.0, 2.0, 3.0, 4.0]
+    """
     return histogramdd(df, [col], bins=bins, range=range, normed=normed,
                        weights=weights, density=density, **kwargs)
 

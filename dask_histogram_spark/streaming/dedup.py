@@ -74,7 +74,8 @@ def streaming_dedup_exact(df: DataFrame, text_col: str = "text",
 def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id", num_perm: int = 64,
                                  bands: int = 16, shingle_k: int = 5,
-                                 seed: int = 17) -> DataFrame:
+                                 seed: int = 17,
+                                 hash_fn: str = "xxhash64") -> DataFrame:
     """Streaming near-duplicate candidate detection by MinHash LSH.
 
     The band-bucket projection (operators/dedup.py ``minhash_banded``)
@@ -132,7 +133,7 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
             )
 
     banded = minhash_banded(df, text_col, id_col, num_perm, bands,
-                            shingle_k, seed)
+                            shingle_k, seed, hash_fn)
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         detect,
         outputStructType=out_schema,
