@@ -1144,24 +1144,42 @@ def _q_streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     first seen), hence not directly hashable — the component invariant
     is the strongest order-free contract.
     """
-    import shutil
-    import tempfile
-    import uuid
-
     from .operators import minhash_lsh_candidates, release_candidates_cache
     from .streaming import streaming_minhash_candidates
 
     corpus = _dup_corpus(spark, sf_dir).select("doc_id", "text")
+    stream_pairs = _stream_replay(
+        spark, corpus,
+        lambda s: streaming_minhash_candidates(s, num_perm=32, bands=8,
+                                               hash_fn="fnv1a32"),
+    )
+    cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
+                                   hash_fn="fnv1a32")
+    batch_pairs = [
+        (r.id_a, r.id_b) for r in cands.select("id_a", "id_b").collect()
+    ]
+    release_candidates_cache(cands)
+    return _coverage_row(spark, stream_pairs, batch_pairs)
+
+
+def _stream_replay(spark: SparkSession, corpus: DataFrame,
+                   build) -> list[tuple]:
+    """Write ``corpus`` as a multi-file parquet stream source, run
+    ``build(stream)`` through an availableNow memory sink, and return
+    the collected (id_a, id_b) rows."""
+    import shutil
+    import tempfile
+    import uuid
+
     d = tempfile.mkdtemp(prefix="dhs_stream_replay_")
-    name = "dhs_smh_replay_" + uuid.uuid4().hex[:8]
+    name = "dhs_replay_" + uuid.uuid4().hex[:8]
     try:
         corpus.repartition(6).write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(corpus.schema).option(
             "maxFilesPerTrigger", 2
         ).parquet(d)
         q = (
-            streaming_minhash_candidates(stream, num_perm=32, bands=8,
-                                         hash_fn="fnv1a32")
+            build(stream)
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
@@ -1169,37 +1187,36 @@ def _q_streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        stream_pairs = [
+        return [
             (r.id_a, r.id_b)
             for r in spark.table(name).select("id_a", "id_b").collect()
         ]
-        cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
-                                       hash_fn="fnv1a32")
-        batch_pairs = [
-            (r.id_a, r.id_b)
-            for r in cands.select("id_a", "id_b").collect()
-        ]
-        release_candidates_cache(cands)
-
-        parent: dict = {}
-
-        def find(x):
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in stream_pairs:
-            parent[find(a)] = find(b)
-        uncovered = sum(1 for a, b in batch_pairs if find(a) != find(b))
-        return spark.createDataFrame(
-            [(len(batch_pairs), uncovered)],
-            "n_batch_pairs bigint, n_uncovered bigint",
-        )
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _coverage_row(spark: SparkSession, stream_pairs: list[tuple],
+                  batch_pairs: list[tuple]) -> DataFrame:
+    """Union-find over the streaming pair graph; count batch pairs whose
+    endpoints it fails to connect (deterministically 0 — see the
+    replay-row docstrings)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in stream_pairs:
+        parent[find(a)] = find(b)
+    uncovered = sum(1 for a, b in batch_pairs if find(a) != find(b))
+    return spark.createDataFrame(
+        [(len(batch_pairs), uncovered)],
+        "n_batch_pairs bigint, n_uncovered bigint",
+    )
 
 
 _register(
@@ -1207,6 +1224,42 @@ _register(
     _q_streaming_minhash_replay,
     "SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_pairs, "
     f"CAST(0 AS BIGINT) AS n_uncovered FROM ({_MINHASH_CAND_SQL})",
+)
+
+
+def _q_streaming_dedup_exact_replay(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Driver gate for the STREAMING exact-dedup operator: replay the
+    dup corpus as a bounded file stream and check the first-arrival-
+    wins contract — exactly ONE winner per distinct text across
+    micro-batches, regardless of arrival order.  Which doc wins is
+    order-dependent; (n_winners, n_distinct_hashes) is deterministic
+    and equals the corpus's distinct-text count (xxhash64 collisions at
+    oracle SF: ~n^2/2^64, ignorable)."""
+    from .streaming import streaming_dedup_exact
+
+    corpus = _dup_corpus(spark, sf_dir).select("doc_id", "text")
+    winners = _stream_replay(
+        spark,
+        corpus,
+        lambda s: streaming_dedup_exact(s).select(
+            F.col("doc_id").alias("id_a"),
+            F.col("content_hash").alias("id_b"),
+        ),
+    )
+    hashes = [b for _, b in winners]
+    return spark.createDataFrame(
+        [(len(winners), len(set(hashes)))],
+        "n_winners bigint, n_distinct_hashes bigint",
+    )
+
+
+_register(
+    "streaming_dedup_exact_replay",
+    _q_streaming_dedup_exact_replay,
+    f"SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_winners, "
+    f"CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_hashes "
+    f"FROM {_DUP_SQL}",
 )
 
 
@@ -1249,6 +1302,41 @@ SELECT id_a, id_b, bit_count(xor(sa.s, sb.s)) AS hamming
 FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
 WHERE bit_count(xor(sa.s, sb.s)) <= 3
 """,
+)
+
+
+def _q_streaming_simhash_replay(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Driver gate for the STREAMING SimHash detector: same
+    component-recall invariant as :func:`_q_streaming_minhash_replay`
+    over chunk buckets — every batch candidate pair (the
+    Hamming-verified set is a subset of the bucket relation) shares a
+    chunk bucket, so the streaming anchor-star graph connects both of
+    its endpoints deterministically."""
+    from .operators import simhash_candidates
+    from .streaming import streaming_simhash_candidates
+
+    corpus = _dup_corpus(spark, sf_dir).select("doc_id", "text")
+    stream_pairs = _stream_replay(
+        spark, corpus,
+        lambda s: streaming_simhash_candidates(s, max_hamming=3,
+                                               hash_fn="fnv1a32"),
+    )
+    batch_pairs = [
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(corpus, max_hamming=3,
+                                    hash_fn="fnv1a32")
+        .select("id_a", "id_b").collect()
+    ]
+    return _coverage_row(spark, stream_pairs, batch_pairs)
+
+
+_register(
+    "streaming_simhash_replay",
+    _q_streaming_simhash_replay,
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_pairs, "
+    "CAST(0 AS BIGINT) AS n_uncovered FROM "
+    f"({ORACLES['simhash_candidates']})",
 )
 
 
