@@ -810,3 +810,47 @@ def test_registry_paths_leave_no_cached_blocks(spark):
     assert sc.getPersistentRDDs().size() == base
     QUERIES["dedup_pipeline"](spark, SF_DIR).collect()
     assert sc.getPersistentRDDs().size() <= base + 1
+
+
+def test_sig_agreement_gate_keeps_all_verified_winners(spark, tables):
+    """The dedup_pipeline's two-tier verify gate (>= 28/32 signature
+    components agree) must be a pure precision lever on real data: the
+    exact-verified pair set from gated candidates equals the one from
+    ungated candidates (the gate only discards pairs the 0.5-jaccard
+    verifier would reject anyway)."""
+    from dask_histogram_spark.operators import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+        release_candidates_cache,
+    )
+
+    d = tables["documents"].select("doc_id", "text")
+    corpus = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    kw = dict(num_perm=32, bands=8, hash_fn="fnv1a32", max_bucket=20)
+    ungated = minhash_lsh_candidates(corpus, **kw)
+    gated = minhash_lsh_candidates(corpus, min_sig_matches=28, **kw)
+    assert "sig_matches" in gated.columns
+    v_all = {(r.id_a, r.id_b) for r in
+             jaccard_verify_pairs(ungated, corpus, k=8, threshold=0.5).collect()}
+    v_gated = {(r.id_a, r.id_b) for r in
+               jaccard_verify_pairs(gated, corpus, k=8, threshold=0.5).collect()}
+    release_candidates_cache(ungated)
+    release_candidates_cache(gated)
+    assert v_all  # the dup corpus must actually produce winners
+    assert v_gated == v_all
+
+
+def test_verify_pairs_intersects_hashed_longs(spark, tables):
+    """jaccard_verify_pairs must ship 8-byte hashed shingles through
+    the pair joins by default (the round-3 plan shuffled raw k-char
+    string arrays once per pair)."""
+    from dask_histogram_spark.operators import jaccard_verify_pairs
+
+    d = tables["documents"].select("doc_id", "text").limit(50)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = (jaccard_verify_pairs(pairs, d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "xxhash64" in plan, plan[:800]
+    raw = (jaccard_verify_pairs(pairs, d, hashed=False)
+           ._jdf.queryExecution().executedPlan().toString())
+    assert "xxhash64" not in raw, raw[:800]
