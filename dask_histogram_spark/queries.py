@@ -1003,6 +1003,41 @@ _register(
 )
 
 
+def _q_embedding_dedup_pipeline(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The text flagship's shape on the EMBEDDING modality: hyperplane-
+    LSH near-dup pairs (the scale path — bucketed sign-signature
+    equi-join, no cross join) -> connected-component clustering.
+    Demonstrates that `dedup_clusters` composes over any pair source;
+    one canonical vector per near-duplicate embedding group."""
+    from .operators import dedup_clusters, embedding_near_dup_pairs
+
+    emb = get_tables(spark, sf_dir)["embeddings"]
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+_register(
+    "embedding_dedup_pipeline",
+    _q_embedding_dedup_pipeline,
+    f"""
+WITH RECURSIVE pr AS ({_near_dup_lsh_oracle()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION SELECT id_b AS a, id_a AS b FROM pr
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+""",
+)
+
+
 # DuckDB twin of the portable FNV-1a 32 hash over a string `t`'s code
 # points (used by fingerprint and the minhash shingle hash, both with
 # hash_fn="fnv1a32").  list_reduce uses the first element as the
