@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # the per-operator entries miss — clustering's iteration count x
     # shuffle cost on a duplicate-heavy corpus
     "dedup_pipeline",
+    # same shape on the embedding modality: hyperplane-LSH pairs ->
+    # connected components (~3.8 s steady at sf0.1)
+    "embedding_dedup_pipeline",
 ]
 
 
