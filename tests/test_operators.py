@@ -854,3 +854,19 @@ def test_verify_pairs_intersects_hashed_longs(spark, tables):
     raw = (jaccard_verify_pairs(pairs, d, hashed=False)
            ._jdf.queryExecution().executedPlan().toString())
     assert "xxhash64" not in raw, raw[:800]
+
+
+def test_dedup_clusters_long_chain_converges_fast(spark):
+    """Pointer doubling makes convergence O(log diameter): a 300-node
+    path graph (diameter 299 — min-label propagation alone would blow
+    the 25-round cap) must cluster to a single component."""
+    from dask_histogram_spark.operators import dedup_clusters
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = dedup_clusters(pairs)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {0}
