@@ -10,6 +10,7 @@ Arrow-batched Pandas UDFs where vector math genuinely needs it.
 from .dedup import (
     dedup_clusters,
     dedup_exact,
+    dedup_incremental,
     word_ngram_jaccard_pairs,
     exact_dup_stats,
     jaccard_verify_pairs,
@@ -46,6 +47,7 @@ __all__ = [
     "brute_force_topk",
     "dedup_clusters",
     "dedup_exact",
+    "dedup_incremental",
     "embedding_near_dup_pairs",
     "embedding_norms",
     "exact_dup_stats",

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 __all__ = [
     "dedup_clusters",
     "dedup_exact",
+    "dedup_incremental",
     "exact_dup_stats",
     "jaccard_verify_pairs",
     "minhash_signatures",
@@ -61,6 +62,42 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     key = F.col(text_col) if exact else F.xxhash64(F.col(text_col))
     return (
         df.groupBy(key.alias("__k"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__k")
+    )
+
+
+def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      exact: bool = False) -> DataFrame:
+    """Cross-RUN dedup: keep only documents whose content was not seen
+    in a previous run — the incremental ingest step of a continuously
+    growing corpus (run N's new crawl against runs 1..N-1's winners).
+
+    Anti-join on the 8-byte ``xxhash64`` content key (``exact=True``
+    joins on the full text), then within-batch duplicates collapse to
+    the min-id winner, so chaining runs produces exactly the winners a
+    single global :func:`dedup_exact` over the union would.  At scale,
+    persist the seen side bucketed on the content hash
+    (``sources.write_bucketed``) — the anti-join then co-locates
+    without an exchange on the (big) seen table.
+
+    Returns (id, n_copies) per NEW surviving document, like
+    :func:`dedup_exact`.
+    """
+    def key(c: Column) -> Column:
+        return c if exact else F.xxhash64(c)
+
+    seen_keys = seen_df.select(key(F.col(text_col)).alias("__k")).distinct()
+    fresh = (
+        new_df.select(F.col(id_col), key(F.col(text_col)).alias("__k"))
+        .join(seen_keys, "__k", "left_anti")
+    )
+    return (
+        fresh.groupBy("__k")
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),

@@ -500,6 +500,41 @@ _register(
 )
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup gate: run N's crawl (exact re-crawls of every
+    seen doc + a revised edition of each) against run N-1's corpus —
+    only the revised editions survive, collapsed to min-id winners."""
+    from .operators import dedup_incremental
+
+    seen = get_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    new = seen.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).unionByName(
+        seen.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"),
+        )
+    )
+    return dedup_incremental(new, seen)
+
+
+_register(
+    "dedup_incremental",
+    _q_dedup_incremental,
+    """
+WITH nw AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' (rev2)' AS text
+  FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM nw WHERE text NOT IN (SELECT text FROM documents)
+GROUP BY text
+""",
+)
+
+
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ngram_jaccard_pairs
 

@@ -870,3 +870,25 @@ def test_dedup_clusters_long_chain_converges_fast(spark):
     rows = labels.collect()
     assert len(rows) == n
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_dedup_incremental_chained_equals_global(spark, tables):
+    """Chaining incremental runs must reproduce a single global
+    dedup_exact: winners(run1) + incremental(run2 vs run1) ==
+    winners(global union), by (min-id, content) pairs."""
+    from dask_histogram_spark.operators import dedup_exact, dedup_incremental
+
+    d = tables["documents"].select("doc_id", "text")
+    run1 = d
+    run2 = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text") \
+        .unionByName(
+            d.select((F.col("doc_id") + 200000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    w1 = {r.doc_id for r in dedup_exact(run1).collect()}
+    w2 = {r.doc_id for r in dedup_incremental(run2, run1).collect()}
+    glob = {r.doc_id for r in
+            dedup_exact(run1.unionByName(run2)).collect()}
+    assert w1 | w2 == glob
+    assert w1.isdisjoint(w2)
+    # the exact re-crawls (ids +100000) never survive
+    assert all(i >= 200000 for i in w2)
