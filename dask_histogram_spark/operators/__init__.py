@@ -31,7 +31,7 @@ from .similarity import (
     quantize_embeddings,
     quantized_cosine_expr,
 )
-from .pipeline import hash_split, pack_sequences, token_vocabulary
+from .pipeline import hash_sample, hash_split, pack_sequences, token_vocabulary
 from .text import (
     fingerprint,
     language_id,
@@ -53,6 +53,7 @@ __all__ = [
     "exact_dup_stats",
     "fingerprint",
     "fit_centroids",
+    "hash_sample",
     "hash_split",
     "ivf_topk",
     "jaccard_verify_pairs",

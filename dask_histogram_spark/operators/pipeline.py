@@ -13,9 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["prepare_training_corpus", "corpus_stats", "hash_split",
-           "hash_split_sql", "pack_sequences", "pack_sequences_sql",
-           "token_vocabulary"]
+__all__ = ["prepare_training_corpus", "corpus_stats", "hash_sample",
+           "hash_sample_sql", "hash_split", "hash_split_sql",
+           "pack_sequences", "pack_sequences_sql", "token_vocabulary"]
 
 
 def prepare_training_corpus(
@@ -178,6 +178,39 @@ def hash_split_sql(ratios: dict[str, float], id_col: str = "doc_id",
         whens.append(f"WHEN {frac} < {cum!r} THEN '{name}'")
     return (f"CASE {' '.join(whens)} ELSE '{names[-1]}' END AS {out_col}"
             if whens else f"'{names[-1]}' AS {out_col}")
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
+                seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli corpus sample by id hash — the
+    reproducible counterpart of ``df.sample()``: membership depends
+    only on (id, seed), never on partitioning, row order or an RNG
+    stream, so reruns, different cluster sizes, and other engines
+    (the SQL twin) select the IDENTICAL subset.  Narrow map, zero
+    shuffle.
+
+    Same golden-ratio multiplicative hash as :func:`hash_split`;
+    ``seed`` xors into the folded id so different seeds give
+    (near-)independent samples of the same corpus.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    x = F.col(id_col).cast("long").bitwiseXOR(F.lit(int(seed)))
+    folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
+    h = F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
+    frac = h.cast("double") / F.lit(float(_SPLIT_M))
+    return df.where(frac < F.lit(float(fraction)))
+
+
+def hash_sample_sql(fraction: float, id_col: str = "doc_id",
+                    seed: int = 0) -> str:
+    """DuckDB twin predicate of :func:`hash_sample` (same constants,
+    same arithmetic; `%` wrapped non-negative like hash_split_sql)."""
+    x = f"xor({id_col}, {int(seed)})"
+    inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
+             f"+ {_SPLIT_M}) % {_SPLIT_M})")
+    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {float(fraction)!r}"
 
 
 def pack_sequences(df: DataFrame, max_tokens: int,

@@ -1573,6 +1573,25 @@ _register(
 )
 
 
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample: membership is a pure function
+    of (doc_id, seed), so the SQL oracle selects the identical ids."""
+    from .operators import hash_sample
+
+    d = get_tables(spark, sf_dir)["documents"]
+    return hash_sample(d, 0.25, seed=7).select("doc_id", "n_chars")
+
+
+from .operators.pipeline import hash_sample_sql as _sample_sql  # noqa: E402
+
+_register(
+    "corpus_hash_sample",
+    _q_corpus_sample,
+    "SELECT doc_id, n_chars FROM documents WHERE "
+    + _sample_sql(0.25, seed=7),
+)
+
+
 def _q_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """normalize_text + redact_pii gated in one row set (both are
     narrow regex maps over the same scan)."""

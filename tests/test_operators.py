@@ -892,3 +892,19 @@ def test_dedup_incremental_chained_equals_global(spark, tables):
     assert w1.isdisjoint(w2)
     # the exact re-crawls (ids +100000) never survive
     assert all(i >= 200000 for i in w2)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """hash_sample membership is a pure function of (id, seed): same
+    ids at any partitioning; different seeds give a different subset;
+    rate lands near the requested fraction."""
+    from dask_histogram_spark.operators import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    s1 = {r.doc_id for r in hash_sample(df, 0.25, seed=7).collect()}
+    s2 = {r.doc_id for r in
+          hash_sample(df.repartition(13), 0.25, seed=7).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 4000 < 0.3
+    other = {r.doc_id for r in hash_sample(df, 0.25, seed=8).collect()}
+    assert other != s1  # seeds decorrelate
