@@ -908,3 +908,27 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     assert 0.2 < len(s1) / 4000 < 0.3
     other = {r.doc_id for r in hash_sample(df, 0.25, seed=8).collect()}
     assert other != s1  # seeds decorrelate
+
+
+def test_hash_sample_negative_ids_cross_engine(spark):
+    """The seed-xor + fold must select identical ids in Spark and
+    DuckDB for negative ids too (sign-extension and % semantics differ
+    between the engines; the SQL twin wraps them)."""
+    import duckdb
+
+    from dask_histogram_spark.operators import hash_sample
+    from dask_histogram_spark.operators.pipeline import hash_sample_sql
+
+    ids = list(range(-200, 200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(r.doc_id for r in hash_sample(df, 0.3, seed=11).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i})" for i in ids) + ") v(doc_id)"
+    )
+    exp = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM t WHERE {hash_sample_sql(0.3, seed=11)}"
+    ).fetchall())
+    assert got == exp
+    assert any(i < 0 for i in got)  # negatives actually participate
