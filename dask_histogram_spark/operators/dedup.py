@@ -87,6 +87,20 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
 
     Returns (id, n_copies) per NEW surviving document, like
     :func:`dedup_exact`.
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> from dask_histogram_spark.operators import dedup_incremental
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> seen = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+    ...                              "doc_id long, text string")
+    >>> new = spark.createDataFrame(
+    ...     [(10, "alpha"), (11, "gamma"), (12, "gamma")],
+    ...     "doc_id long, text string")
+    >>> sorted((r.doc_id, r.n_copies)
+    ...        for r in dedup_incremental(new, seen).collect())
+    [(11, 2)]
     """
     def key(c: Column) -> Column:
         return c if exact else F.xxhash64(c)

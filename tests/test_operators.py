@@ -932,3 +932,17 @@ def test_hash_sample_negative_ids_cross_engine(spark):
     ).fetchall())
     assert got == exp
     assert any(i < 0 for i in got)  # negatives actually participate
+
+
+def test_dedup_incremental_shuffles_hash_not_text(spark, tables):
+    """The cross-run anti-join must exchange 8-byte content hashes,
+    never document text."""
+    from dask_histogram_spark.operators import dedup_incremental
+
+    d = tables["documents"].select("doc_id", "text")
+    plan = (dedup_incremental(d, d)
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+    assert "xxhash64" in plan
