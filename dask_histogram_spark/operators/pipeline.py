@@ -192,6 +192,19 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
     Same golden-ratio multiplicative hash as :func:`hash_split`;
     ``seed`` xors into the folded id so different seeds give
     (near-)independent samples of the same corpus.
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> from dask_histogram_spark.operators import hash_sample
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    >>> ids = sorted(r.doc_id for r in hash_sample(df, 0.3, seed=7).collect())
+    >>> ids
+    [2, 5, 7, 8, 10, 13, 16]
+    >>> sorted(r.doc_id for r in
+    ...        hash_sample(df.repartition(5), 0.3, seed=7).collect()) == ids
+    True
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")

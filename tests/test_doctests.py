@@ -21,6 +21,7 @@ MODULES = [
     "dask_histogram_spark.fill",
     "dask_histogram_spark.object_api",
     "dask_histogram_spark.operators.dedup",
+    "dask_histogram_spark.operators.pipeline",
 ]
 
 
