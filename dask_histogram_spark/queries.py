@@ -141,11 +141,6 @@ _hist_query(
 )
 
 _hist_query(
-    "hist1d_int64", "lineitem", ["l_quantity"],
-    HistogramSpec(axes=(Regular(25, 0.0, 50.0),), storage=Storage.INT64),
-)
-
-_hist_query(
     "hist1d_variable", "lineitem", ["l_quantity"],
     HistogramSpec(axes=(Variable([0, 1, 5, 10, 20, 30, 40, 50]),),
                   storage=Storage.WEIGHT),
@@ -186,34 +181,98 @@ _hist_query(
 # NULL-sentinel overflow slot in BOTH engines (binning.bin_column /
 # bin_sql emit the same CASE) — orders has status P outside the pinned
 # {O, F} set, l_linenumber has 4..7 outside the pinned {1,2,3} set.
-_hist_query(
-    "hist_strcat_pinned", "orders", ["o_orderstatus", "o_totalprice"],
-    HistogramSpec(
-        axes=(StrCategory(("O", "F"), growth=False),
-              Regular(10, 0.0, 500000.0)),
-        storage=Storage.DOUBLE,
-    ),
+# Both pinned variants gate in ONE driver row (registry consolidated to
+# the driver's 50-row budget, COVERAGE.md round-5 table): union under a
+# `kind` tag with the category cast to string so str- and int-category
+# share a schema; the DOUBLE-storage side carries a NULL sumw2.
+
+_PINNED_STR_SPEC = HistogramSpec(
+    axes=(StrCategory(("O", "F"), growth=False), Regular(10, 0.0, 500000.0)),
+    storage=Storage.DOUBLE,
+)
+_PINNED_INT_SPEC = HistogramSpec(
+    axes=(IntCategory((1, 2, 3), growth=False), Regular(10, 0.0, 100000.0)),
+    storage=Storage.WEIGHT,
 )
 
-_hist_query(
-    "hist_intcat_pinned", "lineitem", ["l_linenumber", "l_extendedprice"],
-    HistogramSpec(
-        axes=(IntCategory((1, 2, 3), growth=False),
-              Regular(10, 0.0, 100000.0)),
-        storage=Storage.WEIGHT,
-    ),
-    weight_sql="l_quantity",
+
+def _q_pinned_cats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = get_tables(spark, sf_dir)
+    s = sig_rounded(fill(t["orders"],
+                         [F.expr("o_orderstatus"), F.expr("o_totalprice")],
+                         _PINNED_STR_SPEC))
+    i = sig_rounded(fill(t["lineitem"],
+                         [F.expr("l_linenumber"), F.expr("l_extendedprice")],
+                         _PINNED_INT_SPEC, weight=F.expr("l_quantity")))
+    return s.select(
+        F.lit("str").alias("kind"),
+        F.col("bin_0").cast("string").alias("cat"),
+        "bin_1", "value",
+        F.lit(None).cast("double").alias("sumw2"),
+    ).unionByName(i.select(
+        F.lit("int").alias("kind"),
+        F.col("bin_0").cast("string").alias("cat"),
+        "bin_1", "value", "sumw2",
+    ))
+
+
+_PINNED_STR_SQL = fill_sql("orders", ["o_orderstatus", "o_totalprice"],
+                           _PINNED_STR_SPEC)
+_PINNED_INT_SQL = fill_sql("lineitem", ["l_linenumber", "l_extendedprice"],
+                           _PINNED_INT_SPEC, weight_sql="l_quantity")
+
+_register(
+    "hist_pinned_cats",
+    _q_pinned_cats,
+    f"SELECT 'str' AS kind, CAST(bin_0 AS VARCHAR) AS cat, bin_1, value, "
+    f"CAST(NULL AS DOUBLE) AS sumw2 FROM ({_PINNED_STR_SQL}) "
+    f"UNION ALL SELECT 'int' AS kind, CAST(bin_0 AS VARCHAR) AS cat, bin_1, "
+    f"value, sumw2 FROM ({_PINNED_INT_SQL})",
 )
 
-_hist_query(
-    "hist_integer_axis", "lineitem", ["l_linenumber"],
-    HistogramSpec(axes=(Integer(1, 8),), storage=Storage.INT64),
-)
+# -- merged small-axis row (same consolidation): the INT64-storage 1D
+# fill, the Integer axis, and the Boolean-predicate axis are three
+# fills over the same lineitem scan; union under a `kind` tag, counts
+# cast to double so INT64 and DOUBLE storages share one schema.
 
-_hist_query(
-    "hist_boolean_axis", "lineitem", ["(l_quantity > 25)"],
-    HistogramSpec(axes=(Boolean(),), storage=Storage.DOUBLE),
-)
+_INT64_SPEC = HistogramSpec(axes=(Regular(25, 0.0, 50.0),),
+                            storage=Storage.INT64)
+_INTEGER_SPEC = HistogramSpec(axes=(Integer(1, 8),), storage=Storage.INT64)
+_BOOL_SPEC = HistogramSpec(axes=(Boolean(),), storage=Storage.DOUBLE)
+
+
+def _q_int_bool_axes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = get_tables(spark, sf_dir)["lineitem"]
+
+    def one(kind: str, col: str, spec: HistogramSpec) -> DataFrame:
+        h = sig_rounded(fill(li, [F.expr(col)], spec))
+        return h.select(
+            F.lit(kind).alias("kind"),
+            F.col("bin_0").cast("long").alias("bin_0"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    return (
+        one("int64", "l_quantity", _INT64_SPEC)
+        .unionByName(one("integer", "l_linenumber", _INTEGER_SPEC))
+        .unionByName(one("boolean", "(l_quantity > 25)", _BOOL_SPEC))
+    )
+
+
+def _int_bool_axes_sql() -> str:
+    parts = [
+        ("int64", fill_sql("lineitem", ["l_quantity"], _INT64_SPEC)),
+        ("integer", fill_sql("lineitem", ["l_linenumber"], _INTEGER_SPEC)),
+        ("boolean", fill_sql("lineitem", ["(l_quantity > 25)"], _BOOL_SPEC)),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{k}' AS kind, CAST(bin_0 AS BIGINT) AS bin_0, "
+        f"CAST(value AS DOUBLE) AS value FROM ({q})"
+        for k, q in parts
+    )
+
+
+_register("hist_int_bool_axes", _q_int_bool_axes, _int_bool_axes_sql())
 
 
 _PROJECT_2D = HistogramSpec(
@@ -809,12 +868,31 @@ _register("text_stats", _q_text_stats, _TEXT_STATS_SQL)
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality_score + repetition_stats gated in one row set (same
-    same-scan join shape as the merged text_stats entry)."""
-    from .operators import quality_score, repetition_stats
+    """quality_score + repetition_stats + normalize_text + redact_pii
+    gated in ONE row set (registry consolidated to the driver's 50-row
+    budget, COVERAGE.md round-5 table): all four are narrow maps over
+    the same documents scan; Catalyst collapses the joins of
+    projections of one cached table."""
+    from .operators import (
+        normalize_text,
+        quality_score,
+        redact_pii,
+        repetition_stats,
+    )
 
     d = get_tables(spark, sf_dir)["documents"]
-    return quality_score(d).join(repetition_stats(d), "doc_id")
+    nr = redact_pii(normalize_text(d)).select(
+        "doc_id",
+        F.length("norm_text").alias("n_norm_chars"),
+        "norm_text",
+        "redacted_text",
+        (F.col("redacted_text") != F.col("text")).cast("int").alias("changed"),
+    )
+    return (
+        quality_score(d)
+        .join(repetition_stats(d), "doc_id")
+        .join(nr, "doc_id")
+    )
 
 
 _QUALITY_GATES_SQL = """(
@@ -841,18 +919,29 @@ FROM (
   FROM t)
 """
 
+from .operators.text import normalize_text_sql as _norm_sql  # noqa: E402
+from .operators.text import redact_pii_sql as _redact_sql  # noqa: E402
+
 _register(
     "text_quality",
     _q_quality,
     f"""
 SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality_score, q.keep,
-       r.dup_2gram_ratio, r.dup_3gram_ratio
+       r.dup_2gram_ratio, r.dup_3gram_ratio,
+       n.n_norm_chars, n.norm_text, n.redacted_text, n.changed
 FROM (
   SELECT doc_id, n_chars, n_tokens,
          {_QUALITY_GATES_SQL} AS quality_score,
          CASE WHEN {_QUALITY_GATES_SQL} >= 4 THEN 1 ELSE 0 END AS keep
   FROM ({_TEXT_STATS_SQL})
 ) q JOIN ({_REPETITION_SQL}) r ON q.doc_id = r.doc_id
+JOIN (
+  SELECT doc_id, length({_norm_sql()}) AS n_norm_chars,
+         {_norm_sql()} AS norm_text,
+         {_redact_sql()} AS redacted_text,
+         CAST({_redact_sql()} != text AS INT) AS changed
+  FROM documents
+) n ON q.doc_id = n.doc_id
 """,
 )
 
@@ -892,18 +981,13 @@ def _language_id_oracle() -> str:
 _register("text_language_id", _q_language_id, _language_id_oracle())
 
 
-def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import embedding_norms
-
-    return embedding_norms(get_tables(spark, sf_dir)["embeddings"])
-
-
-_register(
-    "embedding_norms",
-    _q_embedding_norms,
+# embedding_norms is gated through the merged embedding_norms_quantize
+# row (registered with the quantization entry below — same embeddings
+# scan, norm columns constant per vec).
+_EMB_NORMS_SQL = (
     "SELECT vec_id, ROUND(sqrt(list_aggregate(list_transform("
     "CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm, "
-    "len(embedding) AS dim FROM embeddings",
+    "len(embedding) AS dim FROM embeddings"
 )
 
 
@@ -1289,12 +1373,7 @@ def _coverage_row(spark: SparkSession, stream_pairs: list[tuple],
     )
 
 
-_register(
-    "streaming_minhash_replay",
-    _q_streaming_minhash_replay,
-    "SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_pairs, "
-    f"CAST(0 AS BIGINT) AS n_uncovered FROM ({_MINHASH_CAND_SQL})",
-)
+# (registered through the merged streaming_replay_invariants row below)
 
 
 def _q_streaming_dedup_exact_replay(spark: SparkSession,
@@ -1324,13 +1403,7 @@ def _q_streaming_dedup_exact_replay(spark: SparkSession,
     )
 
 
-_register(
-    "streaming_dedup_exact_replay",
-    _q_streaming_dedup_exact_replay,
-    f"SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_winners, "
-    f"CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_hashes "
-    f"FROM {_DUP_SQL}",
-)
+# (registered through the merged streaming_replay_invariants row below)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,12 +1474,45 @@ def _q_streaming_simhash_replay(spark: SparkSession,
     return _coverage_row(spark, stream_pairs, batch_pairs)
 
 
+def _q_streaming_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE streaming dedup detectors gated in ONE driver row
+    (registry consolidated to the driver's 50-row budget, COVERAGE.md
+    round-5 table): each availableNow file-stream replay runs in full
+    and contributes one (kind, n_primary, n_check) sub-row —
+    ``minhash``/``simhash`` carry (n_batch_pairs, n_uncovered=0) from
+    the component-recall invariant, ``exact`` carries (n_winners,
+    n_distinct_hashes) from the first-arrival-wins contract.  The
+    invariants themselves are unchanged from the round-4 standalone
+    rows (see the per-replay docstrings above)."""
+    mh = _q_streaming_minhash_replay(spark, sf_dir).select(
+        F.lit("minhash").alias("kind"),
+        F.col("n_batch_pairs").alias("n_primary"),
+        F.col("n_uncovered").alias("n_check"),
+    )
+    ex = _q_streaming_dedup_exact_replay(spark, sf_dir).select(
+        F.lit("exact").alias("kind"),
+        F.col("n_winners").alias("n_primary"),
+        F.col("n_distinct_hashes").alias("n_check"),
+    )
+    sh = _q_streaming_simhash_replay(spark, sf_dir).select(
+        F.lit("simhash").alias("kind"),
+        F.col("n_batch_pairs").alias("n_primary"),
+        F.col("n_uncovered").alias("n_check"),
+    )
+    return mh.unionByName(ex).unionByName(sh)
+
+
 _register(
-    "streaming_simhash_replay",
-    _q_streaming_simhash_replay,
-    "SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_pairs, "
-    "CAST(0 AS BIGINT) AS n_uncovered FROM "
-    f"({ORACLES['simhash_candidates']})",
+    "streaming_replay_invariants",
+    _q_streaming_replays,
+    "SELECT 'minhash' AS kind, CAST(COUNT(*) AS BIGINT) AS n_primary, "
+    f"CAST(0 AS BIGINT) AS n_check FROM ({_MINHASH_CAND_SQL}) "
+    "UNION ALL SELECT 'exact' AS kind, "
+    "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_primary, "
+    f"CAST(COUNT(DISTINCT text) AS BIGINT) AS n_check FROM {_DUP_SQL} "
+    "UNION ALL SELECT 'simhash' AS kind, "
+    "CAST(COUNT(*) AS BIGINT) AS n_primary, "
+    f"CAST(0 AS BIGINT) AS n_check FROM ({ORACLES['simhash_candidates']})",
 )
 
 
@@ -1430,30 +1536,39 @@ _register(
 )
 
 
-def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import quantize_embeddings
+def _q_norms_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantize_embeddings + embedding_norms gated in ONE row set
+    (registry consolidated to the driver's 50-row budget): the
+    posexploded int8 quantization rows carry the vec's L2 norm and dim
+    as constant columns — both operators' outputs hash-compare."""
+    from .operators import embedding_norms, quantize_embeddings
 
-    q = quantize_embeddings(get_tables(spark, sf_dir)["embeddings"])
-    return q.select("vec_id", "scale",
-                    F.posexplode("qvec").alias("idx", "qval"))
+    emb = get_tables(spark, sf_dir)["embeddings"]
+    q = quantize_embeddings(emb).select(
+        "vec_id", "scale", F.posexplode("qvec").alias("idx", "qval"))
+    return q.join(
+        embedding_norms(emb).select("vec_id", "l2_norm", "dim"), "vec_id")
 
 
 _register(
-    "embedding_quantize",
-    _q_quantize,
+    "embedding_norms_quantize",
+    _q_norms_quantize,
     # same arithmetic order: amax fold -> /127 -> per-element round;
     # parallel UNNEST zips index and value like the minhash oracle
-    """
+    f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (SELECT vec_id, v,
         list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
                     (a, b) -> greatest(a, b)) / 127.0 AS scale_raw
-      FROM v)
-SELECT vec_id, ROUND(scale_raw, 9) AS scale,
-       UNNEST(range(len(v))) AS idx,
-       UNNEST([CAST(COALESCE(ROUND(x / nullif(scale_raw, 0.0), 0), 0.0)
-                    AS INT) FOR x IN v]) AS qval
-FROM s
+      FROM v),
+q AS (
+  SELECT vec_id, ROUND(scale_raw, 9) AS scale,
+         UNNEST(range(len(v))) AS idx,
+         UNNEST([CAST(COALESCE(ROUND(x / nullif(scale_raw, 0.0), 0), 0.0)
+                      AS INT) FOR x IN v]) AS qval
+  FROM s)
+SELECT q.vec_id, q.scale, q.idx, q.qval, n.l2_norm, n.dim
+FROM q JOIN ({_EMB_NORMS_SQL}) n ON q.vec_id = n.vec_id
 """,
 )
 
@@ -1565,71 +1680,84 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("multimodal_features", _q_multimodal)
 
 
-_SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata/bytes half of the multimodal surface — fully
+    SQL-expressible even with the pixel decoder stubbed:
+    ``attach_fake_media``'s payload is the sha2-256 hex digest of the
+    id and the meta struct is plain arithmetic on it, so DuckDB
+    recomputes the identical payload (``sha256``) and fields.  This is
+    the multimodal family's first hash-matched oracle row; the
+    decoded-pixel/audio features remain rows-only + numpy-twin
+    (``multimodal_features`` above)."""
+    from .operators.multimodal import attach_fake_media
 
-
-def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import hash_split
-
-    d = get_tables(spark, sf_dir)["documents"]
-    return hash_split(d, _SPLIT_RATIOS).select("doc_id", "split")
-
-
-from .operators.pipeline import hash_split_sql as _split_sql  # noqa: E402
-
-_register(
-    "corpus_hash_split",
-    _q_corpus_split,
-    f"SELECT doc_id, {_split_sql(_SPLIT_RATIOS)} FROM documents",
-)
-
-
-def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 25% corpus sample: membership is a pure function
-    of (doc_id, seed), so the SQL oracle selects the identical ids."""
-    from .operators import hash_sample
-
-    d = get_tables(spark, sf_dir)["documents"]
-    return hash_sample(d, 0.25, seed=7).select("doc_id", "n_chars")
-
-
-from .operators.pipeline import hash_sample_sql as _sample_sql  # noqa: E402
-
-_register(
-    "corpus_hash_sample",
-    _q_corpus_sample,
-    "SELECT doc_id, n_chars FROM documents WHERE "
-    + _sample_sql(0.25, seed=7),
-)
-
-
-def _q_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """normalize_text + redact_pii gated in one row set (both are
-    narrow regex maps over the same scan)."""
-    from .operators import normalize_text, redact_pii
-
-    d = get_tables(spark, sf_dir)["documents"]
-    r = redact_pii(normalize_text(d))
-    return r.select(
+    d = get_tables(spark, sf_dir)["documents"].select("doc_id")
+    m = attach_fake_media(d)
+    return m.select(
         "doc_id",
-        F.length("norm_text").alias("n_norm_chars"),
-        "norm_text",
-        "redacted_text",
-        (F.col("redacted_text") != F.col("text")).cast("int").alias("changed"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.format").alias("format"),
+        F.octet_length("media").cast("int").alias("n_bytes"),
+        F.col("media").cast("string").alias("payload_hex"),
+        (F.col("media_meta.width").cast("bigint")
+         * F.col("media_meta.height")).alias("n_pixels"),
+        F.round(F.col("media_meta.width") / F.col("media_meta.height"),
+                6).alias("aspect"),
     )
 
 
-from .operators.text import normalize_text_sql as _norm_sql  # noqa: E402
-from .operators.text import redact_pii_sql as _redact_sql  # noqa: E402
+_register(
+    "multimodal_meta_features",
+    _q_multimodal_meta,
+    "SELECT doc_id, "
+    "CAST((doc_id % 8) * 64 + 64 AS INT) AS width, "
+    "CAST((doc_id % 6) * 64 + 64 AS INT) AS height, "
+    "'fake/rgb8' AS format, "
+    "CAST(length(sha256(CAST(doc_id AS VARCHAR))) AS INT) AS n_bytes, "
+    "sha256(CAST(doc_id AS VARCHAR)) AS payload_hex, "
+    "CAST((doc_id % 8) * 64 + 64 AS BIGINT) * ((doc_id % 6) * 64 + 64) "
+    "AS n_pixels, "
+    "ROUND(((doc_id % 8) * 64 + 64) / ((doc_id % 6) * 64 + 64.0), 6) "
+    "AS aspect "
+    "FROM documents",
+)
+
+
+_SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash_split + hash_sample gated in ONE driver row (registry
+    consolidated to the driver's 50-row budget): every doc's
+    deterministic split label plus its (doc_id, seed)-pure 25% sample
+    membership as a 0/1 flag.  The left join against the sampled ids is
+    gate-row plumbing only — production callers use the operators
+    directly (hash_sample filters inline, zero shuffle)."""
+    from .operators import hash_sample, hash_split
+
+    d = get_tables(spark, sf_dir)["documents"]
+    split = hash_split(d, _SPLIT_RATIOS).select("doc_id", "split", "n_chars")
+    samp = hash_sample(d, 0.25, seed=7).select(
+        "doc_id", F.lit(1).alias("in_sample"))
+    return split.join(samp, "doc_id", "left").withColumn(
+        "in_sample", F.coalesce(F.col("in_sample"), F.lit(0)))
+
+
+from .operators.pipeline import hash_sample_sql as _sample_sql  # noqa: E402
+from .operators.pipeline import hash_split_sql as _split_sql  # noqa: E402
 
 _register(
-    "text_normalize_redact",
-    _q_normalize_redact,
-    f"SELECT doc_id, length({_norm_sql()}) AS n_norm_chars, "
-    f"{_norm_sql()} AS norm_text, "
-    f"{_redact_sql()} AS redacted_text, "
-    f"CAST({_redact_sql()} != text AS INT) AS changed FROM documents",
+    "corpus_split_sample",
+    _q_corpus_split_sample,
+    f"SELECT doc_id, {_split_sql(_SPLIT_RATIOS)}, "
+    f"CAST(CASE WHEN {_sample_sql(0.25, seed=7)} THEN 1 ELSE 0 END AS INT) "
+    "AS in_sample, n_chars FROM documents",
 )
+
+
+# (normalize_text + redact_pii are gated through the merged
+# text_quality row above.)
 
 
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,6 +1847,65 @@ _register(
     f"{_bin_sql(_WINDOWED_SPEC.axes[0], 'value')} AS bin_0, "
     "CAST(COUNT(*) AS DOUBLE) AS value FROM w GROUP BY 1, 2, 3",
 )
+
+
+# ---------------------------------------------------------------------------
+# driver-budget guard (round 5): the driver records at most 50
+# correctness rows, in registration order.  Round 4 silently grew the
+# registry to 56 and rotated 6 queries (including round-3's red
+# windowed_histogram) out of the driver's sample.  The registry is now
+# consolidated back under the budget and the final order is made
+# DELIBERATE here — families grouped, every formerly-rotated row well
+# inside the budget.  Adding a query beyond the budget trips the
+# assert: consolidate first (COVERAGE.md round-3/round-5 merge tables
+# show the patterns).
+# ---------------------------------------------------------------------------
+
+_DRIVER_ROW_BUDGET = 50
+
+_ORDER = [
+    # §2 histogram parity family
+    "hist1d_double", "hist1d_weight", "hist1d_variable",
+    "hist2d", "hist3d",
+    "hist_strcat", "hist_intcat", "hist_pinned_cats", "hist_int_bool_axes",
+    "hist_project", "hist_mean", "hist_weighted_mean", "hist_mean_shifted",
+    "hist_customer2d", "hist_orders_status", "hist_filtered",
+    "hist_join_weighted", "hist_multifill", "hist_partitioned_collapse",
+    "hist_arith", "hist_density", "hist_events_daily",
+    "windowed_histogram",
+    # dedup family
+    "dedup_exact_stats", "dedup_incremental", "dedup_clusters",
+    "ngram_jaccard_maxdf", "word_ngram_jaccard",
+    "minhash_signatures", "minhash_lsh_stats", "simhash_candidates",
+    "dedup_pipeline",
+    # text family
+    "text_stats", "text_quality", "text_language_id", "text_fingerprint",
+    # embedding / similarity family
+    "embedding_norms_quantize", "similarity_topk", "similarity_ivf_topk",
+    "embedding_near_dup", "embedding_dedup_pipeline",
+    # corpus pipeline family
+    "pipeline_prepare_corpus", "pipeline_corpus_stats",
+    "corpus_split_sample", "pipeline_pack_sequences", "token_vocabulary",
+    # streaming invariants
+    "streaming_replay_invariants",
+    # multimodal (meta oracled; decoded features rows-only by contract)
+    "multimodal_meta_features", "multimodal_features",
+]
+
+assert len(_ORDER) <= _DRIVER_ROW_BUDGET, (
+    f"registry over the driver budget: {len(_ORDER)} > {_DRIVER_ROW_BUDGET}"
+)
+assert set(_ORDER) == set(QUERIES), (
+    "registry/_ORDER drift: "
+    f"missing={sorted(set(QUERIES) - set(_ORDER))} "
+    f"stale={sorted(set(_ORDER) - set(QUERIES))}"
+)
+_ordered_q = {n: QUERIES[n] for n in _ORDER}
+QUERIES.clear()
+QUERIES.update(_ordered_q)
+_ordered_o = {n: ORACLES[n] for n in _ORDER if n in ORACLES}
+ORACLES.clear()
+ORACLES.update(_ordered_o)
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -50,13 +50,15 @@ def test_histogram_scans_are_column_pruned(plans):
     """Every lineitem histogram scan must read only the filled columns
     (ReadSchema pushdown) — never the full 11-column row."""
     for name in ("hist1d_double", "hist1d_weight", "hist2d", "hist3d",
-                 "hist_mean", "hist_filtered", "hist_integer_axis",
-                 "hist_boolean_axis", "hist_project"):
+                 "hist_mean", "hist_filtered", "hist_int_bool_axes",
+                 "hist_project"):
         plan = plans[name]
         assert "ReadSchema" in plan
-        schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-        assert "l_orderkey" not in schema_line, f"{name}: scan not pruned"
-        assert "l_shipdate" not in schema_line, f"{name}: scan not pruned"
+        # merged rows (hist_int_bool_axes) scan lineitem more than once —
+        # EVERY scan must be pruned, not just the first
+        for schema_line in (l for l in plan.splitlines() if "ReadSchema" in l):
+            assert "l_orderkey" not in schema_line, f"{name}: scan not pruned"
+            assert "l_shipdate" not in schema_line, f"{name}: scan not pruned"
 
 
 def test_filter_reaches_the_scan(plans):
