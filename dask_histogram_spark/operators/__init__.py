@@ -17,6 +17,7 @@ from .dedup import (
     minhash_signatures,
     minhash_banded,
     minhash_lsh_candidates,
+    minhash_lsh_stats,
     ngram_jaccard_pairs,
     release_candidates_cache,
     simhash_signatures,
@@ -63,6 +64,7 @@ __all__ = [
     "pack_sequences",
     "minhash_banded",
     "minhash_lsh_candidates",
+    "minhash_lsh_stats",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_candidates",

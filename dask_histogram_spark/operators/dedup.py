@@ -160,6 +160,30 @@ def _shingle_hashes(text: Column, k: int,
     raise ValueError(f"unknown shingle hash_fn: {hash_fn!r}")
 
 
+def _fnv1a32_shingles_np(s: str, k: int) -> np.ndarray:
+    """numpy twin of ``_shingle_hashes(..., hash_fn="fnv1a32")``: FNV-1a
+    32-bit over the code points of every k-char window (uint32 wrap
+    multiply == the Column fold's ``pmod(x * 16777619, 2^32)``).
+
+    Skips the Column path's string-level dedup — duplicate hashes
+    cannot change a min, which is the only consumer.  Short/empty text
+    follows the Column edge case: one shingle = the whole text;
+    ``ascii('') == 0`` for the empty string."""
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) >= k:
+        W = np.lib.stride_tricks.sliding_window_view(cp, k)
+        h = np.full(W.shape[0], 2166136261, dtype=np.uint32)
+        for j in range(k):
+            h = (h ^ W[:, j]) * np.uint32(16777619)
+        return h.astype(np.uint64)
+    if len(cp) == 0:
+        cp = np.zeros(1, dtype=np.uint32)  # ascii('') == 0
+    h = np.uint32(2166136261)
+    for c in cp:
+        h = (h ^ c) * np.uint32(16777619)
+    return np.array([h], dtype=np.uint64)
+
+
 def _perm_coeffs(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
     rng = np.random.default_rng(seed)
     # a odd, < 2^29 so a*h < 2^61 stays well inside signed-long range
@@ -171,17 +195,86 @@ def _perm_coeffs(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        shingle_k: int = 5, seed: int = 17,
-                       hash_fn: str = "xxhash64") -> DataFrame:
+                       hash_fn: str = "xxhash64",
+                       method: str = "auto") -> DataFrame:
     """(id, sig: array<long>[num_perm]) MinHash signature per document.
 
     Universal hashing h_j(x) = (a_j*x + b_j) mod M61 over 32-bit shingle
-    hashes; min per permutation.  All Column expressions — whole rows
-    never leave the JVM.  ``hash_fn="fnv1a32"`` makes the whole pipeline
-    reproducible in plain SQL (permutation coefficients are seeded, so
-    only the base hash separated this from an oracle).
+    hashes; min per permutation.  Shingle hashing is ALWAYS JVM Column
+    expressions (so xxhash64 and the SQL-portable fnv1a32 stay exact);
+    ``hash_fn="fnv1a32"`` makes the whole pipeline reproducible in
+    plain SQL (permutation coefficients are seeded, so only the base
+    hash separated this from an oracle).
+
+    ``method`` picks the permutation-min fold:
+
+    - ``"arrow"`` (the ``"auto"`` default): a vectorized numpy kernel
+      over Arrow batches — the hash arrays ship columnar, each batch is
+      one concatenate + num_perm fused multiply-mod passes with
+      segmented minima (``np.minimum.reduceat``).  Bit-identical to the
+      Column fold (uint64 intermediates < 2^62, exact ``% M61``) and
+      measured ~4x faster at sf0.1 (the Column HOF fold evaluates
+      a num_perm-wide transform per shingle in the interpreter).
+    - ``"column"``: pure Column higher-order-function fold — zero
+      Python in the plan; the portable reference implementation the
+      Arrow kernel is differentially tested against.
     """
     hashes = _shingle_hashes(F.col(text_col), shingle_k, hash_fn)
     coeffs = _perm_coeffs(num_perm, seed)
+    if method == "auto":
+        method = "arrow"
+    if method == "arrow":
+        An = np.array([a for a, _ in coeffs], dtype=np.uint64)
+        Bn = np.array([b for _, b in coeffs], dtype=np.uint64)
+        M = np.uint64(_MERSENNE61)
+        k = shingle_k
+
+        def perm_mins(arrs: list) -> pd.Series:
+            # every doc yields >= 1 shingle (greatest(..., 1)), so
+            # segments are never empty
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            H = np.concatenate(arrs).astype(np.uint64)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sigs = np.empty((len(lens), len(An)), dtype=np.int64)
+            for j in range(len(An)):
+                v = (H * An[j] + Bn[j]) % M
+                sigs[:, j] = np.minimum.reduceat(v, offsets).astype(np.int64)
+            return pd.Series(list(sigs))
+
+        if hash_fn == "fnv1a32":
+            # hash AND fold in one numpy kernel straight off the text:
+            # FNV-1a32 is per-code-point uint32 wrap arithmetic, exactly
+            # the Column fold's pmod(... * 16777619, 2^32) (differential
+            # test: test_operators.test_minhash_arrow_column_identical).
+            # (The Column hash expression cannot feed a pandas_udf —
+            # its nested aggregate lambda is not interpretable inside
+            # the Arrow eval boundary — and shipping text once is no
+            # more shuffle than shipping the hash arrays.)
+            @F.pandas_udf(T.ArrayType(T.LongType()))
+            def fold_text(texts: pd.Series) -> pd.Series:
+                if len(texts) == 0:
+                    return pd.Series([], dtype=object)
+                return perm_mins(
+                    [_fnv1a32_shingles_np(t or "", k) for t in texts])
+
+            return df.select(F.col(id_col),
+                             fold_text(F.col(text_col)).alias("sig"))
+
+        # xxhash64 must stay JVM-side (no exact Python twin): hash via
+        # the Column transform (interpretable — no nested aggregate),
+        # fold the hash arrays in numpy.
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def fold(hs: pd.Series) -> pd.Series:
+            if len(hs) == 0:
+                return pd.Series([], dtype=object)
+            return perm_mins([np.asarray(a, dtype=np.int64) for a in hs])
+
+        return df.select(F.col(id_col), fold(hashes).alias("sig"))
+
+    if method != "column":
+        raise ValueError(f"unknown minhash fold method: {method!r}")
     A = F.array(*[F.lit(a) for a, _ in coeffs])
     B = F.array(*[F.lit(b) for _, b in coeffs])
     # One fold over the shingle array: the shingle+hash subexpression is
@@ -394,6 +487,91 @@ def release_candidates_cache(pairs: DataFrame) -> None:
     if cached is not None:
         cached.unpersist()
         pairs._dhs_persisted = None
+
+
+def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 5, seed: int = 17,
+                      hash_fn: str = "xxhash64",
+                      max_bucket: int = 64) -> DataFrame:
+    """One-row LSH candidate-volume profile WITHOUT the uncapped
+    self-join — the skew-proof way to measure an LSH configuration.
+
+    A materialized band self-join puts sum-over-buckets-of C(n_b, 2)
+    generated pairs on the cluster, and every pair of one bucket lands
+    in ONE task (the join key is the bucket) — a single mega-bucket of
+    b docs is C(b, 2) rows in one task, quadratic in the corpus's
+    template density.  This operator splits the two quantities the
+    profile actually needs:
+
+    - ``sum_bands`` — total (pair, band) bucket co-occurrences — is
+      pure per-bucket arithmetic: Σ C(n_b, 2) over the bucket-size
+      distribution.  No join at all, exact for ANY skew, and the
+      bucket-size aggregation is the same partial-agg shuffle shape as
+      a histogram fill (≤ one row per bucket).
+    - ``n_pairs_capped`` — DISTINCT candidate pairs — is the only
+      quantity that genuinely needs the self-join.  It runs under the
+      ``max_bucket`` production skew guard (the same cap
+      :func:`minhash_lsh_candidates` exposes), so per-bucket blowup is
+      bounded by C(max_bucket, 2) and stays parallel.
+    - the capped-away mass is REPORTED, not silently dropped:
+      ``n_capped_buckets`` and ``max_bucket_size`` quantify what the
+      cap excluded (mega-buckets on a template-heavy corpus are
+      boilerplate clusters exact dedup already catches).
+
+    Returns one row: (n_pairs_capped, sum_bands, n_buckets,
+    max_bucket_size, n_capped_buckets).
+
+    Physical shape: ONE shuffle of the banded projection (8-byte
+    bucket keys) into per-bucket id lists; sizes, the Σ C(n, 2)
+    arithmetic, and the capped pair generation (a ≤ C(max_bucket, 2)
+    local expansion per bucket, empty for capped buckets) all derive
+    from that single grouped pass — the signature fold is consumed
+    exactly once, so nothing needs to persist; the only other shuffle
+    is the distinct over the generated pair set itself.
+    """
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    sigs = minhash_signatures(df.repartition(nparts), text_col, id_col,
+                              num_perm, shingle_k, seed, hash_fn)
+    banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn)
+    buckets = (
+        banded.repartition(nparts, "band", "bucket")
+        .groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .select(F.size("__ids").alias("__n"), "__ids")
+    )
+    pair_gen = F.filter(
+        F.flatten(
+            F.transform(
+                "__ids",
+                lambda x: F.transform(
+                    "__ids",
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p.id_a < p.id_b,
+    )
+    buckets = buckets.withColumn(
+        "__pairs",
+        F.when(F.col("__n") <= max_bucket, pair_gen)
+        .otherwise(F.array().cast("array<struct<id_a:long,id_b:long>>")),
+    )
+    bucket_stats = buckets.agg(
+        (F.sum(F.col("__n") * (F.col("__n") - 1)) / 2)
+        .cast("long").alias("sum_bands"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("__n").cast("long").alias("max_bucket_size"),
+        F.sum((F.col("__n") > max_bucket).cast("long"))
+        .alias("n_capped_buckets"),
+    )
+    n_pairs = (
+        buckets.select(F.explode("__pairs").alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_pairs_capped"))
+    )
+    return n_pairs.crossJoin(F.broadcast(bucket_stats))
 
 
 # ---------------------------------------------------------------------------

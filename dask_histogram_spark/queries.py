@@ -1211,13 +1211,6 @@ _register(
 )
 
 
-def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import minhash_lsh_candidates
-
-    return minhash_lsh_candidates(_dup_corpus(spark, sf_dir),
-                                  num_perm=32, bands=8, hash_fn="fnv1a32")
-
-
 def _minhash_band_sql(bands: int, r: int) -> str:
     """Band keys as raw value strings (1-based DuckDB list indexing),
     zip-unnested with the band number."""
@@ -1249,35 +1242,53 @@ _MINHASH_CAND_SQL = (
 _register("dedup_pipeline", _q_dedup_pipeline, _dedup_pipeline_oracle())
 
 
+_LSH_STATS_MAX_BUCKET = 64
+
+
 def _q_minhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-output twin of minhash_lsh_candidates for benching: the
-    full band join runs, but only (n_pairs, sum_bands) comes back — a
-    100 TB dedup writes candidates to a table, it never collects them.
+    """Skew-proof LSH profile row (round 5; was the uncapped self-join
+    through round 4, whose one mega-bucket — 2,290 docs at sf0.1 —
+    generated ~2.6M pairs in a single task, 9.25 s in BENCH_r04):
+    ``sum_bands`` comes from per-bucket arithmetic (Σ C(n_b, 2), no
+    join, exact for the FULL uncapped distribution), and only the
+    distinct-pair count runs the self-join, under the production
+    ``max_bucket`` guard, with the capped-away mass reported.
 
-    The 1-row aggregate is materialized eagerly HERE so this wrapper
-    owns the persisted banded projection's lifetime (release after the
-    collect) — otherwise every driver/bench invocation leaves an 80k-row
-    projection pinned MEMORY_AND_DISK.
-    """
-    from .operators import release_candidates_cache
+    Nothing persists (the fold is consumed once in the grouped pass),
+    so no cache lifetime to manage here."""
+    from .operators import minhash_lsh_stats
 
-    cands = _q_minhash_candidates(spark, sf_dir)
-    agg = cands.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("n_bands").alias("sum_bands"),
-    )
-    rows = agg.collect()
-    release_candidates_cache(cands)
-    return spark.createDataFrame(rows, agg.schema)
+    return minhash_lsh_stats(_dup_corpus(spark, sf_dir), num_perm=32,
+                             bands=8, hash_fn="fnv1a32",
+                             max_bucket=_LSH_STATS_MAX_BUCKET)
 
 
 _register(
     "minhash_lsh_stats",
     _q_minhash_stats,
     # BIGINT casts: DuckDB SUM/COUNT land in pandas as float64/HUGEINT
-    "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-    "CAST(SUM(n_bands) AS BIGINT) AS sum_bands "
-    f"FROM ({_MINHASH_CAND_SQL})",
+    f"""
+WITH h AS (SELECT doc_id, {_MH_HS} AS hs FROM {_DUP_SQL}),
+s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h),
+b AS ({_minhash_band_sql(bands=8, r=4)}),
+sz AS (SELECT band, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+stats AS (
+  SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS sum_bands,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(MAX(n) AS BIGINT) AS max_bucket_size,
+         CAST(SUM(CASE WHEN n > {_LSH_STATS_MAX_BUCKET} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_capped_buckets
+  FROM sz),
+ok AS (SELECT band, bucket FROM sz WHERE n <= {_LSH_STATS_MAX_BUCKET}),
+bs AS (SELECT b.doc_id, b.band, b.bucket
+       FROM b JOIN ok ON b.band = ok.band AND b.bucket = ok.bucket),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bs a JOIN bs b2
+        ON a.band = b2.band AND a.bucket = b2.bucket
+       AND a.doc_id < b2.doc_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs_capped,
+       stats.* FROM stats
+""",
 )
 
 

@@ -79,6 +79,53 @@ def test_minhash_signature_properties(spark, tables):
     assert {r.doc_id: r.sig for r in sigs} == {r.doc_id: r.sig for r in sigs2}
 
 
+def test_minhash_arrow_column_identical(spark, tables):
+    """The Arrow (numpy) permutation-min fold must be bit-identical to
+    the pure-Column HOF fold for BOTH hash functions, including the
+    short/empty/non-ASCII text edge cases (uint32 wrap arithmetic and
+    the ascii('') == 0 rule are replicated exactly)."""
+    from dask_histogram_spark.operators.dedup import minhash_signatures as ms
+
+    d = tables["documents"]
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "abc"), (100003, "résumé ünïcode")],
+        "doc_id long, text string",
+    )
+    corpus = d.select("doc_id", "text").unionByName(edge)
+    for hf in ("fnv1a32", "xxhash64"):
+        arrow = {r.doc_id: list(r.sig)
+                 for r in ms(corpus, num_perm=16, hash_fn=hf,
+                             method="arrow").collect()}
+        column = {r.doc_id: list(r.sig)
+                  for r in ms(corpus, num_perm=16, hash_fn=hf,
+                              method="column").collect()}
+        assert arrow == column
+
+
+def test_minhash_lsh_stats_matches_candidates(spark, docs_with_dups):
+    """The single-shuffle stats operator must agree with the join-based
+    candidate operator it profiles: n_pairs_capped == the distinct pair
+    count under the same max_bucket cap, and sum_bands == the sum of
+    n_bands over the UNCAPPED candidate set."""
+    from dask_histogram_spark.operators import (
+        minhash_lsh_stats,
+        release_candidates_cache,
+    )
+
+    df, n = docs_with_dups
+    row = minhash_lsh_stats(df, num_perm=32, bands=8, max_bucket=8).collect()[0]
+    capped = minhash_lsh_candidates(df, num_perm=32, bands=8, max_bucket=8)
+    n_capped = capped.count()
+    release_candidates_cache(capped)
+    uncapped = minhash_lsh_candidates(df, num_perm=32, bands=8)
+    sum_bands = uncapped.agg(F.sum("n_bands")).collect()[0][0]
+    release_candidates_cache(uncapped)
+    assert row.n_pairs_capped == n_capped
+    assert row.sum_bands == sum_bands
+    assert row.max_bucket_size >= 2  # every doc duplicated once
+    assert row.n_buckets > 0
+
+
 def test_ngram_jaccard_exact_dups_score_one(spark, docs_with_dups):
     df, n = docs_with_dups
     pairs = ngram_jaccard_pairs(df, k=8, threshold=0.99).collect()

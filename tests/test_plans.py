@@ -19,6 +19,7 @@ CARTESIAN_ALLOWED = {
     "embedding_near_dup",   # union's exact half exists for oracle checks only
     "similarity_topk",      # broadcast NLJ: queries side is broadcast-tiny
     "dedup_exact_stats",    # cross join against a broadcast 1-ROW stats agg
+    "minhash_lsh_stats",    # 1-row pair count x 1-row bucket stats assembly
 }
 
 
