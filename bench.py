@@ -4,7 +4,14 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Methodology: one warmup action to absorb JVM/session startup, then
 each query timed as plan-build + collect (results are sparse bin
-tables / small row sets, so collect is the honest cost).
+tables / small row sets, so collect is the honest cost).  Each query
+reports the MEDIAN of 3 timed runs taken immediately after its own
+warmup run: single-shot timings at sf0.1 sit on Spark's ~0.2-0.3 s
+per-job scheduling floor with +/-0.1-0.2 s scheduler/GC noise, and
+the round-3/4 drift analysis (BASELINE.md) traced every apparent
+sub-second "regression" to that noise.  The median kills the outlier
+without hiding a real regression (a true slowdown moves all three
+reps).  Per-run spreads are reported under "spread" for audit.
 """
 
 from __future__ import annotations
@@ -88,13 +95,20 @@ def main() -> None:
     # aftermath out of the next query's timing: measured at sf0.1, the
     # 221M-row jaccard join inflated every later sub-second query 5-10x
     # under the two-pass scheme.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         fn(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(round(time.perf_counter() - t0, 4))
+        runs.sort()
+        timings[name] = runs[len(runs) // 2]
+        spreads[name] = runs
 
     total = round(sum(timings.values()), 4)
     print(
@@ -104,6 +118,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "reps": reps,
                 "sf": sf,
                 "cpus": cpus,
             }
