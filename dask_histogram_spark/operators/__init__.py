@@ -20,6 +20,7 @@ from .dedup import (
     minhash_lsh_stats,
     ngram_jaccard_pairs,
     release_candidates_cache,
+    release_clusters_checkpoint,
     simhash_signatures,
     simhash_candidates,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "ivf_topk",
     "jaccard_verify_pairs",
     "release_candidates_cache",
+    "release_clusters_checkpoint",
     "language_id",
     "normalize_text",
     "pack_sequences",

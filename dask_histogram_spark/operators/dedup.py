@@ -79,9 +79,16 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
 
     Anti-join on the 8-byte ``xxhash64`` content key (``exact=True``
     joins on the full text), then within-batch duplicates collapse to
-    the min-id winner, so chaining runs produces exactly the winners a
-    single global :func:`dedup_exact` over the union would.  At scale,
-    persist the seen side bucketed on the content hash
+    the min-id winner.  Semantics are FIRST-RUN-WINS: a document seen
+    in an earlier run keeps its earlier winner even if a later run
+    carries a smaller id for the same text, and ``n_copies`` counts
+    within-batch copies only (earlier-run copies were counted by the
+    run that first saw them).  Chaining runs therefore reproduces a
+    single global :func:`dedup_exact` over the union exactly when ids
+    are monotone across runs (each run's ids exceed all prior runs'
+    ids — the natural shape for crawl snapshots); with non-monotone
+    ids the winner is the first RUN's min-id, not the global min-id.
+    At scale, persist the seen side bucketed on the content hash
     (``sources.write_bucketed``) — the anti-join then co-locates
     without an exchange on the (big) seen table.
 
@@ -1102,7 +1109,17 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     only clears CacheManager entries); the LogicalRDD handle has been
     stable across 3.x/4.x — silently no-op if the internals move (the
     ContextCleaner then reclaims the blocks on GC instead, just
-    later)."""
+    later).
+
+    .. warning:: Only call on a SUPERSEDED checkpoint — one whose
+       DataFrame will never be scanned again.  A localCheckpoint'd
+       plan is lineage-truncated: once its blocks are dropped the
+       DataFrame is unrecoverable (it cannot recompute), so releasing
+       a still-referenced checkpoint breaks every later action on it.
+       This is the reason the helper is module-private; external
+       callers should prefer :func:`release_clusters_checkpoint` /
+       :func:`release_candidates_cache`, which only release handles
+       the producing operator has explicitly marked as disposable."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(True)
     except Exception:
@@ -1128,6 +1145,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     2-3 shuffles; the doubling join is on the (node-id) label key and
     costs one extra small shuffle per round.  Raises if ``max_iter``
     rounds don't converge.
+
+    The result is backed by the final round's ``localCheckpoint``
+    (eagerly materialized — re-scanning it is a block read, not a
+    recompute).  In a long-lived session, call
+    :func:`release_clusters_checkpoint` on the returned DataFrame once
+    its contents are consumed, or repeated invocations accumulate one
+    pinned RDD each.
     """
     e = pairs.select(F.col(id_a).cast("long").alias("a"),
                      F.col(id_b).cast("long").alias("b"))
@@ -1196,11 +1220,26 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if not changed:
             _release_local_checkpoint(edges)
-            return labels.select(F.col("node").alias("doc_id"),
-                                 F.col("label").alias("cluster_id"))
+            out = labels.select(F.col("node").alias("doc_id"),
+                                F.col("label").alias("cluster_id"))
+            # release handle for the backing checkpoint (see docstring)
+            out._dhs_checkpoint = labels
+            return out
     _release_local_checkpoint(edges)
     _release_local_checkpoint(labels)
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iter} rounds; "
         "raise max_iter for long-chain graphs"
     )
+
+
+def release_clusters_checkpoint(clusters: DataFrame) -> None:
+    """Free the final-labels checkpoint backing a
+    :func:`dedup_clusters` result once its contents are consumed.
+    The DataFrame must not be scanned again afterwards (the checkpoint
+    is its only storage — there is no lineage to recompute from).
+    No-op if already released or not a clusters result."""
+    cp = getattr(clusters, "_dhs_checkpoint", None)
+    if cp is not None:
+        _release_local_checkpoint(cp)
+        clusters._dhs_checkpoint = None

@@ -1597,9 +1597,14 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings); cache the 4-row collect per (session, sf_dir) —
     # production IVF amortizes its index over every search, so repeated
     # invocations (bench steady state) should time assignment+search,
-    # not the one-off driver fetch.
-    key = (id(spark), sf_dir)
+    # not the one-off driver fetch.  Keyed on applicationId (stable and
+    # unique per session — CPython can reuse id(spark) after a stop)
+    # and bounded; assumes sf_dir's parquet is immutable in-process
+    # (true for the driver's testdata).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CENT_CACHE:
+        while len(_IVF_CENT_CACHE) >= 8:
+            _IVF_CENT_CACHE.pop(next(iter(_IVF_CENT_CACHE)))
         _IVF_CENT_CACHE[key] = np.stack([
             np.array(r.embedding, dtype=np.float64)
             for r in emb.where(F.col("vec_id") < 4).collect()

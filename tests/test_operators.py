@@ -469,7 +469,10 @@ def test_dedup_clusters_matches_union_find(spark):
 
     from pyspark.sql import SparkSession
 
-    from dask_histogram_spark.operators import dedup_clusters
+    from dask_histogram_spark.operators import (
+        dedup_clusters,
+        release_clusters_checkpoint,
+    )
 
     rng = random.Random(13)
     edges = set()
@@ -482,8 +485,9 @@ def test_dedup_clusters_matches_union_find(spark):
             edges.add((min(a, b), max(a, b)))
     s = SparkSession.getActiveSession()
     pairs = s.createDataFrame(sorted(edges), "id_a LONG, id_b LONG")
-    got = {r.doc_id: r.cluster_id
-           for r in dedup_clusters(pairs, max_iter=40).collect()}
+    clusters = dedup_clusters(pairs, max_iter=40)
+    got = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    release_clusters_checkpoint(clusters)
 
     parent: dict = {}
 
@@ -849,14 +853,34 @@ def test_registry_paths_leave_no_cached_blocks(spark):
     RDD blocks remain except the pipeline result's own localCheckpoint
     (it IS the returned data; superseded per-round checkpoints and the
     banded projection must all be gone)."""
+    import gc
+    import time
+
     from dask_histogram_spark.queries import QUERIES
 
+    from dask_histogram_spark.operators import release_clusters_checkpoint
+
     sc = spark.sparkContext._jsc.sc()
+    # settle the async ContextCleaner first: blocks leaked by EARLIER
+    # tests are reclaimed when their Python handles are gc'd, and a
+    # reclaim landing mid-test would make `base` stale
+    gc.collect()
     base = sc.getPersistentRDDs().size()
+    for _ in range(20):
+        time.sleep(0.25)
+        cur = sc.getPersistentRDDs().size()
+        if cur == base:
+            break
+        base = cur
     QUERIES["minhash_lsh_stats"](spark, SF_DIR).collect()
     assert sc.getPersistentRDDs().size() == base
-    QUERIES["dedup_pipeline"](spark, SF_DIR).collect()
+    clusters = QUERIES["dedup_pipeline"](spark, SF_DIR)
+    clusters.collect()
     assert sc.getPersistentRDDs().size() <= base + 1
+    # the one surviving block is the result's own final-labels
+    # checkpoint; its release handle drains it back to base
+    release_clusters_checkpoint(clusters)
+    assert sc.getPersistentRDDs().size() == base
 
 
 def test_sig_agreement_gate_keeps_all_verified_winners(spark, tables):
@@ -907,7 +931,10 @@ def test_dedup_clusters_long_chain_converges_fast(spark):
     """Pointer doubling makes convergence O(log diameter): a 300-node
     path graph (diameter 299 — min-label propagation alone would blow
     the 25-round cap) must cluster to a single component."""
-    from dask_histogram_spark.operators import dedup_clusters
+    from dask_histogram_spark.operators import (
+        dedup_clusters,
+        release_clusters_checkpoint,
+    )
 
     n = 300
     pairs = spark.createDataFrame(
@@ -915,6 +942,7 @@ def test_dedup_clusters_long_chain_converges_fast(spark):
     )
     labels = dedup_clusters(pairs)
     rows = labels.collect()
+    release_clusters_checkpoint(labels)
     assert len(rows) == n
     assert {r.cluster_id for r in rows} == {0}
 
