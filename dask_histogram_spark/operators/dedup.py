@@ -72,7 +72,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
-                      exact: bool = False) -> DataFrame:
+                      exact: bool = False,
+                      seen_key_col: str | None = None) -> DataFrame:
     """Cross-RUN dedup: keep only documents whose content was not seen
     in a previous run — the incremental ingest step of a continuously
     growing corpus (run N's new crawl against runs 1..N-1's winners).
@@ -88,9 +89,16 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
     are monotone across runs (each run's ids exceed all prior runs'
     ids — the natural shape for crawl snapshots); with non-monotone
     ids the winner is the first RUN's min-id, not the global min-id.
-    At scale, persist the seen side bucketed on the content hash
-    (``sources.write_bucketed``) — the anti-join then co-locates
-    without an exchange on the (big) seen table.
+    At scale, persist the seen side bucketed on a MATERIALIZED content
+    hash column (``sources.write_bucketed``) and pass its name as
+    ``seen_key_col``: the anti-join then joins on the stored bucketed
+    column directly, so the (big) seen table co-locates without an
+    exchange — only the (small) new batch shuffles.  Bucketed
+    co-location requires the join key to BE the bucketed column; a
+    recomputed ``xxhash64(text)`` expression would not qualify, which
+    is why the precomputed-key path exists.  (Asserted by
+    ``tests/test_plans.py::test_incremental_bucketed_seen_join_has_no_
+    seen_side_exchange``.)
 
     Returns (id, n_copies) per NEW surviving document, like
     :func:`dedup_exact`.
@@ -112,7 +120,14 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
     def key(c: Column) -> Column:
         return c if exact else F.xxhash64(c)
 
-    seen_keys = seen_df.select(key(F.col(text_col)).alias("__k")).distinct()
+    if seen_key_col is not None:
+        seen_keys = seen_df.select(
+            F.col(seen_key_col).alias("__k")
+        ).distinct()
+    else:
+        seen_keys = seen_df.select(
+            key(F.col(text_col)).alias("__k")
+        ).distinct()
     fresh = (
         new_df.select(F.col(id_col), key(F.col(text_col)).alias("__k"))
         .join(seen_keys, "__k", "left_anti")

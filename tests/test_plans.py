@@ -96,6 +96,53 @@ def test_pipeline_dedup_shuffles_hash_key_not_text(plans):
     assert "Filter" in plan[first_exchange:], "gates not pushed before shuffle"
 
 
+def test_incremental_bucketed_seen_join_has_no_seen_side_exchange(
+        spark, tmp_path):
+    """dedup_incremental's prescribed at-scale shape: the seen table is
+    written bucketed on a materialized content-key column
+    (write_bucketed) and joined via seen_key_col — the anti-join must
+    then read the seen side bucketed (co-located) and shuffle ONLY the
+    new batch.  This is the plan that makes incremental dedup viable
+    when the seen corpus is 1000x the nightly batch."""
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.operators import dedup_incremental
+    from dask_histogram_spark.sources import write_bucketed
+
+    seen = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64(F.concat(F.lit("doc-"), F.col("id")))
+         .alias("content_key"),
+    )
+    write_bucketed(seen, "seen_winners_bkt", "content_key", 8,
+                   path=str(tmp_path / "seen"))
+    try:
+        seen_tbl = spark.table("seen_winners_bkt")
+        new = spark.range(5_000, 15_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        )
+        out = dedup_incremental(new, seen_tbl, seen_key_col="content_key")
+        plan = _executed_plan(out)
+        # the anti-join ran as a real join (not a fallback NLJ)
+        assert "LeftAnti" in plan, plan[:800]
+        # the seen scan is a bucketed read...
+        assert "Bucketed: true" in plan, plan[:800]
+        # ...and NO exchange repartitions the seen side: every shuffle
+        # in the plan keys on the new batch's computed hash, never on
+        # the stored content_key column
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "content_key" not in line, line
+        # correctness of the precomputed-key path itself: ids 5000-9999
+        # are already seen, 10000-14999 survive
+        rows = out.collect()
+        assert len(rows) == 5_000
+        assert min(r.doc_id for r in rows) == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_winners_bkt")
+
+
 def test_histograms_partial_aggregate_before_exchange(plans):
     """The fill must run its partial hash-agg map-side: the plan order is
     HashAggregate (partial) -> Exchange -> HashAggregate (final), so the
