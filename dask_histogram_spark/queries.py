@@ -1865,6 +1865,77 @@ _register(
 )
 
 
+def _q_streaming_histogram_replay(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TRUE ``writeStream`` gate for the streaming histogram: the
+    windowed_histogram row above runs the SAME plan batch-shaped; this
+    row drives it through Structured Streaming for real — events
+    replayed as an unordered multi-file parquet stream (availableNow,
+    2 files per micro-batch), watermark wider than the data span so
+    the replay order cannot drop rows, update-mode memory sink.  The
+    sink holds each (window, bin) key's latest value per micro-batch;
+    counts under positive weights are monotone, so max-over-updates is
+    the final accumulator — reduced here and compared hash-exact
+    against the eager tumbling-window oracle.  The ``collect`` is the
+    gate harness (bounded: n_windows x nbins rows), not the operator.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import windowed_histogram
+
+    ev = get_tables(spark, sf_dir)["events"].select("ts", "value")
+    d = tempfile.mkdtemp(prefix="dhs_stream_hist_")
+    name = "dhs_swh_" + uuid.uuid4().hex[:8]
+    try:
+        ev.repartition(6).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(d)
+        out = windowed_histogram(stream, "ts", ["value"], _WINDOWED_SPEC,
+                                 window="1 day", watermark="60 days")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.table(name)
+            .groupBy("window_start", "bin_0")
+            .agg(F.max("value").alias("value"))
+            .select(
+                F.unix_timestamp("window_start").alias("win_start_s"),
+                (F.unix_timestamp("window_start") + F.lit(86400))
+                .alias("win_end_s"),
+                "bin_0",
+                "value",
+            )
+            .collect()
+        )
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "win_start_s long, win_end_s long, bin_0 long, value double"
+    )
+
+
+_register(
+    "streaming_histogram_replay",
+    _q_streaming_histogram_replay,
+    "SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400 "
+    "AS win_start_s, "
+    "CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400 + 86400 "
+    "AS win_end_s, "
+    f"{_bin_sql(_WINDOWED_SPEC.axes[0], 'value')} AS bin_0, "
+    "CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY 1, 2, 3",
+)
+
+
 # ---------------------------------------------------------------------------
 # driver-budget guard (round 5): the driver records at most 50
 # correctness rows, in registration order.  Round 4 silently grew the
@@ -1888,7 +1959,7 @@ _ORDER = [
     "hist_customer2d", "hist_orders_status", "hist_filtered",
     "hist_join_weighted", "hist_multifill", "hist_partitioned_collapse",
     "hist_arith", "hist_density", "hist_events_daily",
-    "windowed_histogram",
+    "windowed_histogram", "streaming_histogram_replay",
     # dedup family
     "dedup_exact_stats", "dedup_incremental", "dedup_clusters",
     "ngram_jaccard_maxdf", "word_ngram_jaccard",

@@ -31,8 +31,8 @@ def _executed_plan(df) -> str:
 def plans(spark):
     out = {}
     for name, fn in QUERIES.items():
-        if name == "windowed_histogram":
-            continue  # streaming-shaped plan, audited in test_streaming
+        if name in ("windowed_histogram", "streaming_histogram_replay"):
+            continue  # streaming-shaped plans, audited in test_streaming
         out[name] = _executed_plan(fn(spark, SF_DIR))
     return out
 
