@@ -372,29 +372,45 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            seed: int = 17, persist: bool = True,
                            hash_fn: str = "xxhash64",
                            max_bucket: int | None = None,
-                           min_sig_matches: int | None = None) -> DataFrame:
+                           min_sig_matches: int | None = None,
+                           strategy: str = "auto") -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
 
     Banding: signature split into ``bands`` rows of r = num_perm/bands;
     docs sharing any band bucket become candidates.  The only shuffle is
-    the join on (band, band_hash) — no cross join anywhere, so the
+    keyed on (band, band_hash) — no cross join anywhere, so the
     plan scales with bucket sizes, not n^2.
 
     ``persist`` materializes the SIGNATURE projection (id + num_perm
     longs — a few hundred bytes per document) so the expensive
-    signature fold runs exactly once; the band explode, bucket-count
-    cap, both self-join sides, and the ``min_sig_matches`` gate all
-    derive from the cache with trivial per-row work.  Measured at
-    sf0.1 (fnv1a32): 9.9 s vs 17.8 s without.  In a production 100 TB
-    dedup you would write the signature table once and join from that.
+    signature fold runs exactly once; the band explode, the pair
+    generation, and the ``min_sig_matches`` gate all derive from the
+    cache with trivial per-row work.  In a production 100 TB dedup you
+    would write the signature table once and join from that.
 
     ``max_bucket`` drops band buckets holding more than that many
-    documents BEFORE the self-join — the standard skew guard: one
+    documents BEFORE any pair is emitted — the standard skew guard: one
     degenerate bucket of b docs emits b^2 pairs (a 100k-doc bucket is
     10^10 pairs in one key), and mega-buckets on a template-heavy
     corpus are boilerplate clusters exact dedup already catches; pairs
-    that ALSO share a small (= discriminative) bucket survive.  The
-    cap is a per-bucket count + semi-join, fully parallel.
+    that ALSO share a small (= discriminative) bucket survive.
+
+    ``strategy`` picks the pair-generation plan:
+
+    - ``"fused"`` (the ``"auto"`` default when ``max_bucket`` is set):
+      ONE shuffle groups band rows into per-bucket id arrays
+      (``collect_list``), the cap filters on ``size(ids)``, and the
+      C(n,2) combinations explode narrowly from each surviving array —
+      no per-bucket count pre-pass, no semi-join, no self-join.  Pair
+      blowup is bounded at C(max_bucket, 2) per bucket row.  The
+      transient cost is materializing a to-be-dropped mega-bucket as
+      one array before the size filter (8 bytes/doc — a pathological
+      10M-doc bucket is an 80 MB row), which is why this path requires
+      a cap.  Measured at sf0.1: 1.7 s vs 4.4 s for the semi-join plan.
+    - ``"semijoin"`` (the ``"auto"`` default when uncapped): per-bucket
+      count + left-semi prefilter (when capped) feeding a band-bucket
+      equi-self-join.  Never materializes a bucket membership list, so
+      it is the safe plan for adversarial corpora or uncapped runs.
 
     ``min_sig_matches`` requires at least that many of the num_perm
     signature components to agree — the two-tier verification gate:
@@ -448,37 +464,77 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         # the query-local analog of writing the signature table once.
         sigs.count()
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn)
-    # Explicit partition count on the join key: the banded projection's
-    # shuffle INPUT is tiny (bands rows/doc of 8-byte keys) so AQE would
-    # coalesce it to ~1 task, but on a duplicate-heavy corpus the join
-    # OUTPUT is sum over buckets of |bucket|^2 — the explicit count keeps
-    # the blowup parallel (same fix as _jaccard_index_join; measured 1
-    # task vs 64 at sf0.1).
-    banded = banded.repartition(nparts, "band", "bucket")
-    capped = banded
-    if max_bucket is not None:
-        small = (
+    if strategy == "auto":
+        strategy = "fused" if max_bucket is not None else "semijoin"
+    if strategy == "fused":
+        if max_bucket is None:
+            raise ValueError(
+                "strategy='fused' requires max_bucket (an uncapped bucket "
+                "would collect unboundedly — use strategy='semijoin')")
+        # ONE shuffle: bucket membership arrays, capped by size, then a
+        # narrow C(n,2) combination explode (<= C(max_bucket, 2) pairs
+        # per bucket row).  Buckets of one doc emit nothing and are
+        # dropped by the same size filter.
+        # repartition AFTER the size filter: the groupBy's shuffle
+        # output is small enough for AQE to coalesce to ~1 task, but
+        # the combination explode below is an up-to-C(max_bucket,2)x
+        # narrow blowup — spread the surviving buckets so it stays
+        # parallel without forcing width on the downstream pair set
+        buckets = (
             banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_bucket)
-            .drop("__n")
+            .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+            .where(F.size("__ids").between(2, max_bucket))
+            .repartition(nparts)
         )
-        capped = banded.join(small, ["band", "bucket"], "left_semi")
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        combos = F.flatten(F.transform(
+            F.sequence(F.lit(0), F.size("__ids") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                lambda idb: F.struct(F.col("__ids")[i].alias("id_a"),
+                                     idb.alias("id_b")),
+            ),
+        ))
+        pairs = (
+            buckets.select(F.explode(combos).alias("__p"))
+            .groupBy(F.col("__p.id_a").alias("id_a"),
+                     F.col("__p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands"))
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    elif strategy == "semijoin":
+        # Explicit partition count on the join key: the banded
+        # projection's shuffle INPUT is tiny (bands rows/doc of 8-byte
+        # keys) so AQE would coalesce it to ~1 task, but on a
+        # duplicate-heavy corpus the join OUTPUT is sum over buckets of
+        # |bucket|^2 — the explicit count keeps the blowup parallel
+        # (same fix as _jaccard_index_join; measured 1 task vs 64 at
+        # sf0.1).
+        banded = banded.repartition(nparts, "band", "bucket")
+        capped = banded
+        if max_bucket is not None:
+            small = (
+                banded.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") <= max_bucket)
+                .drop("__n")
+            )
+            capped = banded.join(small, ["band", "bucket"], "left_semi")
+        a = capped.alias("a")
+        b = capped.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_bands"))
         )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    else:
+        raise ValueError(f"unknown candidate strategy: {strategy!r}")
     if min_sig_matches is not None:
         sa = sigs.select(F.col(id_col).alias("id_a"),
                          F.col("sig").alias("__sa"))
@@ -1173,9 +1229,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()
+    # Seed labels with round 0 fused into the init aggregation:
+    # label0(u) = min(u, min over neighbors) costs the same one shuffle
+    # as materializing the distinct node set (edges are symmetrized, so
+    # grouping on `a` covers every node) but starts the loop one
+    # propagation step ahead — a near-clique converges in 1 verified
+    # round instead of 2.
     labels = (
-        edges.select(F.col("a").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("__nb"))
+        .select(F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("__nb")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):

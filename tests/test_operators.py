@@ -648,6 +648,27 @@ def test_minhash_max_bucket_cap(spark):
     assert boiler_pairs <= full                 # ...but present uncapped
 
 
+def test_minhash_fused_matches_semijoin(spark, tables):
+    """The one-shuffle fused candidate plan (bucket collect_list +
+    combination explode) returns EXACTLY the pairs and n_bands counts
+    of the semi-join + self-join plan under the same cap, and refuses
+    to run uncapped (unbounded bucket collection)."""
+    d = tables["documents"].select("doc_id", "text")
+    corpus = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    kw = dict(num_perm=32, bands=8, hash_fn="fnv1a32", max_bucket=20,
+              persist=False)
+    fused = {(r.id_a, r.id_b): r.n_bands
+             for r in minhash_lsh_candidates(
+                 corpus, strategy="fused", **kw).collect()}
+    semi = {(r.id_a, r.id_b): r.n_bands
+            for r in minhash_lsh_candidates(
+                corpus, strategy="semijoin", **kw).collect()}
+    assert fused == semi and fused
+    with pytest.raises(ValueError, match="fused"):
+        minhash_lsh_candidates(corpus, num_perm=32, bands=8,
+                               strategy="fused", persist=False)
+
+
 def test_brute_force_topk_arrow_matches_column(spark, tables):
     """The BLAS mapInPandas scoring path returns exactly the rows of
     the pure-Column fold path."""
