@@ -1197,29 +1197,60 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _min_label_numpy(a: "np.ndarray", b: "np.ndarray") -> tuple:
+    """Vectorized connected components over an edge list: (unique nodes,
+    per-node index of the component's minimum node).  Same algorithm as
+    the distributed loop — min-label propagation with pointer jumping —
+    run in index space, where ``np.unique``'s sort makes index order
+    agree with id order (so a min over indices IS a min over ids)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, prev):
+            return nodes, lab
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25,
+                   small_graph_edges: int = 1_000_000) -> DataFrame:
     """Connected components over candidate pairs -> (doc_id, cluster_id)
     with ``cluster_id`` = the minimum doc id in the component — the step
     after LSH + verification that picks ONE canonical document per
     near-duplicate group.
 
-    Spark-native iterative min-label propagation WITH pointer doubling:
-    each round (a) joins the (undirected) edge list to the current
-    labels and takes the min over neighbors, then (b) compresses one
-    indirection — ``label(u) <- min(label(u), label(label(u)))`` — so
-    label information hops two steps per round and convergence is
-    O(log diameter) instead of O(diameter) (a 10^6-node chain needs
-    ~20 rounds, not 10^6).  ``localCheckpoint`` truncates lineage per
-    round so the plan stays bounded.  LSH candidate graphs (near-
-    cliques / anchor stars — see streaming/dedup.py) still converge in
-    2-3 shuffles; the doubling join is on the (node-id) label key and
-    costs one extra small shuffle per round.  Raises if ``max_iter``
-    rounds don't converge.
+    Size-based plan selection, the same decision AQE makes for
+    broadcast joins: the input here is the VERIFIED near-duplicate edge
+    list — already orders of magnitude smaller than the corpus after
+    the LSH cap + signature gate + exact verify — so when it holds at
+    most ``small_graph_edges`` edges (16 bytes/edge -> <= ~16 MB, a
+    broadcast-sized transfer) the components are solved in one
+    vectorized numpy min-label kernel on the driver and returned as a
+    local DataFrame: zero iterative shuffles, identical labels.  The
+    count that picks the plan is a block-read over the already-
+    checkpointed edge list, not an extra evaluation.  Set
+    ``small_graph_edges=0`` to force the distributed path.
 
-    The result is backed by the final round's ``localCheckpoint``
-    (eagerly materialized — re-scanning it is a block read, not a
-    recompute).  In a long-lived session, call
+    Above the threshold, the Spark-native iterative loop runs: min-label
+    propagation WITH pointer doubling — each round (a) joins the
+    (undirected) edge list to the current labels and takes the min over
+    neighbors, then (b) compresses one indirection — ``label(u) <-
+    min(label(u), label(label(u)))`` — so label information hops two
+    steps per round and convergence is O(log diameter) instead of
+    O(diameter) (a 10^6-node chain needs ~20 rounds, not 10^6).
+    ``localCheckpoint`` truncates lineage per round so the plan stays
+    bounded.  LSH candidate graphs (near-cliques / anchor stars — see
+    streaming/dedup.py) still converge in 2-3 shuffles; the doubling
+    join is on the (node-id) label key and costs one extra small
+    shuffle per round.  Raises if ``max_iter`` rounds don't converge.
+
+    On the distributed path the result is backed by the final round's
+    ``localCheckpoint`` (eagerly materialized — re-scanning it is a
+    block read, not a recompute).  In a long-lived session, call
     :func:`release_clusters_checkpoint` on the returned DataFrame once
     its contents are consumed, or repeated invocations accumulate one
     pinned RDD each.
@@ -1229,6 +1260,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        pdf = edges.toPandas()
+        _release_local_checkpoint(edges)
+        nodes, lab = _min_label_numpy(pdf["a"].to_numpy(),
+                                      pdf["b"].to_numpy())
+        out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[lab]})
+        return pairs.sparkSession.createDataFrame(
+            out, schema="doc_id long, cluster_id long")
     # Seed labels with round 0 fused into the init aggregation:
     # label0(u) = min(u, min over neighbors) costs the same one shuffle
     # as materializing the distinct node set (edges are symmetrized, so

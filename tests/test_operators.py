@@ -488,6 +488,12 @@ def test_dedup_clusters_matches_union_find(spark):
     clusters = dedup_clusters(pairs, max_iter=40)
     got = {r.doc_id: r.cluster_id for r in clusters.collect()}
     release_clusters_checkpoint(clusters)
+    # the distributed loop (forced by small_graph_edges=0) must agree
+    # with the small-graph numpy plan bit-for-bit
+    dist = dedup_clusters(pairs, max_iter=40, small_graph_edges=0)
+    got_dist = {r.doc_id: r.cluster_id for r in dist.collect()}
+    release_clusters_checkpoint(dist)
+    assert got_dist == got
 
     parent: dict = {}
 
@@ -961,7 +967,8 @@ def test_dedup_clusters_long_chain_converges_fast(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    labels = dedup_clusters(pairs)
+    # force the distributed loop — the doubling bound is what's under test
+    labels = dedup_clusters(pairs, small_graph_edges=0)
     rows = labels.collect()
     release_clusters_checkpoint(labels)
     assert len(rows) == n
