@@ -730,8 +730,32 @@ def _jaccard_index_join(df: DataFrame, shingles: Column, id_col: str,
     )
 
 
+def _fnv1a64_shingles_np(s: str, k: int) -> np.ndarray:
+    """64-bit sibling of :func:`_fnv1a32_shingles_np` (offset/prime from
+    the published FNV-1a 64-bit spec, wrap multiply on uint64) — used
+    where 32 bits would birthday-collide over a corpus-wide shingle
+    universe (~260 expected collisions at 1.5M shingles) but the hash
+    stays strategy-internal, so no SQL twin is needed."""
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    offset = np.uint64(14695981039346656037)
+    prime = np.uint64(1099511628211)
+    if len(cp) >= k:
+        W = np.lib.stride_tricks.sliding_window_view(cp, k)
+        h = np.full(W.shape[0], offset, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ W[:, j]) * prime
+        return h.view(np.int64)
+    if len(cp) == 0:
+        cp = np.zeros(1, dtype=np.uint64)
+    h = offset
+    for c in cp:
+        h = (h ^ c) * prime
+    return np.array([h], dtype=np.uint64).view(np.int64)
+
+
 def _jaccard_bincount(df: DataFrame, shingles: Column, id_col: str,
-                      threshold: float, max_df: float | None) -> DataFrame:
+                      threshold: float, max_df: float | None,
+                      char_kgram: tuple[str, int] | None = None) -> DataFrame:
     """Broadcast-inverted-index similarity join for DENSE corpora.
 
     When the shingle vocabulary is small relative to the corpus (every
@@ -746,25 +770,43 @@ def _jaccard_bincount(df: DataFrame, shingles: Column, id_col: str,
     faster at high density, zero shuffle.
     """
     spark = df.sparkSession
-    hs = F.transform(shingles, lambda s: F.xxhash64(s))
-    # Arrow collect: the list column arrives as one offsets+values buffer,
-    # so the flat hash array and per-doc lengths are O(1) views — no
-    # per-row object conversion.
-    tbl = df.select(F.col(id_col), hs.alias("hs")).toArrow().combine_chunks()
-
     out_schema = T.StructType([
         T.StructField("id_a", df.schema[id_col].dataType),
         T.StructField("id_b", df.schema[id_col].dataType),
         T.StructField("jaccard", T.DoubleType()),
     ])
-    if tbl.num_rows == 0:
-        return spark.createDataFrame([], out_schema)
-
-    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-    hs_arr = tbl.column("hs").chunk(0)
-    offsets = hs_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    lens0 = np.diff(offsets)
-    allh = hs_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    if char_kgram is not None:
+        # Char-k-gram fast path: ship the raw text once (smaller than
+        # the hash arrays) and shingle+hash in one vectorized numpy
+        # kernel — the Column transform/xxhash64 pipeline is an
+        # interpreted HOF that dominated this strategy's wall
+        # (measured 1.9 s vs 0.2 s for 5k docs / 1.5M shingles).
+        text_col, k = char_kgram
+        tt = df.select(F.col(id_col), F.col(text_col)).toArrow()
+        if tt.num_rows == 0:
+            return spark.createDataFrame([], out_schema)
+        ids = tt.column(id_col).to_numpy(zero_copy_only=False)
+        per_doc = [np.unique(_fnv1a64_shingles_np(t or "", k))
+                   for t in tt.column(text_col).to_pylist()]
+        lens0 = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
+                            count=len(per_doc))
+        allh = (np.concatenate(per_doc) if per_doc
+                else np.zeros(0, dtype=np.int64))
+    else:
+        hs = F.transform(shingles, lambda s: F.xxhash64(s))
+        # Arrow collect: the list column arrives as one offsets+values
+        # buffer, so the flat hash array and per-doc lengths are O(1)
+        # views — no per-row object conversion.
+        tbl = (df.select(F.col(id_col), hs.alias("hs"))
+               .toArrow().combine_chunks())
+        if tbl.num_rows == 0:
+            return spark.createDataFrame([], out_schema)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        hs_arr = tbl.column("hs").chunk(0)
+        offsets = hs_arr.offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens0 = np.diff(offsets)
+        allh = hs_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     vocab, inv = np.unique(allh, return_inverse=True)
     if max_df is not None:
         keep_v = np.bincount(inv, minlength=len(vocab)) <= max_df * len(ids)
@@ -836,7 +878,8 @@ def _jaccard_bincount(df: DataFrame, shingles: Column, id_col: str,
 def _jaccard_pairs_impl(df: DataFrame, shingles: Column, id_col: str,
                         threshold: float, strategy: str,
                         max_df: float | None, persist: bool,
-                        nnz_bound: Column | None = None) -> DataFrame:
+                        nnz_bound: Column | None = None,
+                        char_kgram: tuple[str, int] | None = None) -> DataFrame:
     if strategy == "auto":
         # Size gate for the broadcast path.  nnz_bound is a per-row UPPER
         # bound on the shingle count that avoids materializing the
@@ -847,7 +890,8 @@ def _jaccard_pairs_impl(df: DataFrame, shingles: Column, id_col: str,
         nnz = df.select(F.sum(est)).first()[0] or 0
         strategy = "bincount" if nnz <= _BINCOUNT_MAX_NNZ else "index"
     if strategy == "bincount":
-        return _jaccard_bincount(df, shingles, id_col, threshold, max_df)
+        return _jaccard_bincount(df, shingles, id_col, threshold, max_df,
+                                 char_kgram=char_kgram)
     if strategy == "index":
         return _jaccard_index_join(df, shingles, id_col, threshold, max_df,
                                    persist)
@@ -915,7 +959,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     return _jaccard_pairs_impl(df, shingles, id_col, threshold, strategy,
                                max_df, persist,
-                               nnz_bound=F.length(F.col(text_col)))
+                               nnz_bound=F.length(F.col(text_col)),
+                               char_kgram=(text_col, k))
 
 
 # ---------------------------------------------------------------------------
