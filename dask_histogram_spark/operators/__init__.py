@@ -33,7 +33,14 @@ from .similarity import (
     quantize_embeddings,
     quantized_cosine_expr,
 )
-from .pipeline import hash_sample, hash_split, pack_sequences, token_vocabulary
+from .pipeline import (
+    contamination_check,
+    hash_sample,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    token_vocabulary,
+)
 from .text import (
     fingerprint,
     language_id,
@@ -47,6 +54,7 @@ from .text import (
 
 __all__ = [
     "brute_force_topk",
+    "contamination_check",
     "dedup_clusters",
     "dedup_exact",
     "dedup_incremental",
@@ -71,6 +79,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_candidates",
     "simhash_signatures",
+    "stratified_sample",
     "text_stats",
     "token_vocabulary",
     "quality_score",

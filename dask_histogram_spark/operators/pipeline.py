@@ -10,12 +10,17 @@ is covered by the DuckDB oracle gate end-to-end.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["prepare_training_corpus", "corpus_stats", "hash_sample",
            "hash_sample_sql", "hash_split", "hash_split_sql",
-           "pack_sequences", "pack_sequences_sql", "token_vocabulary"]
+           "pack_sequences", "pack_sequences_sql", "token_vocabulary",
+           "stratified_sample", "stratified_sample_sql",
+           "contamination_check"]
 
 
 def prepare_training_corpus(
@@ -298,3 +303,132 @@ def token_vocabulary(df: DataFrame, text_col: str = "text",
         w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
         counts = counts.withColumn("rank", F.row_number().over(w))
     return counts
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      group_col: str, id_col: str = "doc_id",
+                      seed: int = 0, default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-group Bernoulli sample — the corpus-mixing
+    primitive (e.g. downsample boilerplate-heavy languages or domains
+    to a target mixture): each row keeps with its GROUP's rate, but
+    membership is still a pure function of (id, seed) via the same
+    golden-ratio hash as :func:`hash_sample`, so reruns, partitionings
+    and the SQL twin select the identical subset, and a row's fate
+    never depends on which other rows exist.
+
+    Zero shuffle: the rate lookup is a CASE chain over ``group_col``
+    (``rates`` is a small dict — the "broadcast side" is literals in
+    the plan), the hash is a narrow map, and the filter pushes down to
+    the scan like any predicate.  Groups absent from ``rates`` keep
+    with ``default_rate`` (0.0 = drop, 1.0 = keep all).
+
+    Examples
+    --------
+    >>> from dask_histogram_spark.session import get_spark
+    >>> from dask_histogram_spark.operators import (
+    ...     hash_sample, stratified_sample)
+    >>> spark = get_spark("doctest", cpus=2)
+    >>> df = spark.createDataFrame(
+    ...     [(i, "en" if i % 2 else "de") for i in range(40)],
+    ...     "doc_id long, lang string")
+    >>> got = stratified_sample(df, {"en": 0.5, "de": 0.1}, "lang", seed=7)
+    >>> en = [r.doc_id for r in got.collect() if r.lang == "en"]
+    >>> en == [r.doc_id for r in hash_sample(
+    ...     df.where(F.col("lang") == "en"), 0.5, seed=7).collect()]
+    True
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    rate = None
+    for g, r in rates.items():
+        branch = (F.col(group_col) == F.lit(g), F.lit(float(r)))
+        rate = (F.when(*branch) if rate is None else rate.when(*branch))
+    rate = (rate.otherwise(F.lit(float(default_rate)))
+            if rate is not None else F.lit(float(default_rate)))
+    x = F.col(id_col).cast("long").bitwiseXOR(F.lit(int(seed)))
+    folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
+    h = F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
+    frac = h.cast("double") / F.lit(float(_SPLIT_M))
+    return df.where(frac < rate)
+
+
+def stratified_sample_sql(rates: dict[str, float], group_col: str,
+                          id_col: str = "doc_id", seed: int = 0,
+                          default_rate: float = 0.0) -> str:
+    """DuckDB twin predicate of :func:`stratified_sample` (same hash
+    arithmetic as :func:`hash_sample_sql`, same CASE order).
+    ``group_col`` may be any SQL expression producing the group."""
+    x = f"xor({id_col}, {int(seed)})"
+    inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
+             f"+ {_SPLIT_M}) % {_SPLIT_M})")
+    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    whens = " ".join(f"WHEN {g!r} THEN {float(r)!r}"
+                     for g, r in rates.items())
+    rate = f"(CASE {group_col} {whens} ELSE {float(default_rate)!r} END)"
+    return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {rate}"
+
+
+def contamination_check(train: DataFrame, benchmark: DataFrame,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.2) -> DataFrame:
+    """Benchmark-contamination scan: for every training document, the
+    count and fraction of its distinct word n-grams that appear
+    ANYWHERE in the benchmark corpus — the standard train/eval overlap
+    check run before an LLM training job ships.
+
+    Output: (id, n_grams, n_hits, contamination_ratio, contaminated)
+    for every training document (``contaminated`` = ratio >=
+    ``threshold``).
+
+    Scale shape: the benchmark side is tiny by definition (eval suites
+    are MBs; the training corpus is the 100 TB side), so its distinct
+    n-gram hashes are collected ONCE and broadcast — the training
+    table is then a single NARROW pass: n-gram extraction and hashing
+    stay JVM Column expressions, and the membership count is one
+    vectorized Arrow kernel (sorted ``np.isin``) per batch against the
+    broadcast array.  No join, no shuffle, no second scan of the train
+    side; the plan is a scan + project, so it composes with partition
+    pruning and runs at full scan speed.  Gram hashing is xxhash64;
+    a cross-gram collision (~|grams|^2 / 2^64) could only nudge a
+    count by 1.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    gram_hashes = F.transform(grams, lambda g: F.xxhash64(g))
+
+    bench = np.unique(
+        benchmark.select(F.explode(gram_hashes).alias("h"))
+        .toArrow().column("h").to_numpy(zero_copy_only=False)
+    )
+    bc = train.sparkSession.sparkContext.broadcast(bench)
+
+    @F.pandas_udf(T.IntegerType())
+    def n_hits(hs: pd.Series) -> pd.Series:
+        b = bc.value
+        return pd.Series(
+            [int(np.isin(np.asarray(h, dtype=np.int64), b).sum())
+             for h in hs],
+            dtype="int32")
+
+    out = train.select(
+        F.col(id_col),
+        gram_hashes.alias("__gh"),
+    ).select(
+        id_col,
+        F.size("__gh").alias("n_grams"),
+        n_hits(F.col("__gh")).alias("n_hits"),
+    ).withColumn(
+        "contamination_ratio",
+        F.round(F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)), 6),
+    ).withColumn(
+        "contaminated",
+        (F.col("contamination_ratio") >= F.lit(float(threshold))).cast("int"),
+    )
+    return out

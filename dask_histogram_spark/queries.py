@@ -947,9 +947,15 @@ JOIN (
 
 
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import language_id
+    """language_id + fingerprint gated in ONE row set (registry
+    consolidated to the driver's 50-row budget): both are narrow maps
+    over the same documents scan, joined on the id."""
+    from .operators import fingerprint, language_id
 
-    return language_id(get_tables(spark, sf_dir)["documents"])
+    d = get_tables(spark, sf_dir)["documents"]
+    # fnv1a32 is the oracle-checkable hash configuration (xxhash64,
+    # the fast default, has no DuckDB twin)
+    return language_id(d).join(fingerprint(d, hash_fn="fnv1a32"), "doc_id")
 
 
 def _lang_score_sql(words: tuple[str, ...]) -> str:
@@ -978,7 +984,8 @@ def _language_id_oracle() -> str:
     )
 
 
-_register("text_language_id", _q_language_id, _language_id_oracle())
+# (text_language_id is registered below, merged with the fingerprint
+# row — its oracle needs _FNV_TOKEN, defined later in this module.)
 
 
 # embedding_norms is gated through the merged embedding_norms_quantize
@@ -1527,23 +1534,19 @@ _register(
 )
 
 
-def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import fingerprint
-
-    # fnv1a32 is the oracle-checkable hash configuration (xxhash64, the
-    # fast default, has no DuckDB twin)
-    return fingerprint(get_tables(spark, sf_dir)["documents"],
-                       hash_fn="fnv1a32")
-
-
-_register(
-    "text_fingerprint",
-    _q_fingerprint,
+_FP_SQL = (
     "SELECT doc_id, list_reduce("
     "list_prepend(CAST(0 AS BIGINT), list_sort("
     f"[{_FNV_TOKEN} FOR t IN string_split_regex(trim(lower(text)), '\\s+')])), "
     "(acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint "
-    "FROM documents",
+    "FROM documents"
+)
+
+_register(
+    "text_language_id",
+    _q_language_id,
+    f"SELECT l.*, f.fingerprint FROM ({_language_id_oracle()}) l "
+    f"JOIN ({_FP_SQL}) f ON l.doc_id = f.doc_id",
 )
 
 
@@ -1743,32 +1746,107 @@ _register(
 _SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
+_STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+
+
 def _q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hash_split + hash_sample gated in ONE driver row (registry
-    consolidated to the driver's 50-row budget): every doc's
-    deterministic split label plus its (doc_id, seed)-pure 25% sample
-    membership as a 0/1 flag.  The left join against the sampled ids is
-    gate-row plumbing only — production callers use the operators
-    directly (hash_sample filters inline, zero shuffle)."""
-    from .operators import hash_sample, hash_split
+    """hash_split + hash_sample + stratified_sample gated in ONE driver
+    row (registry consolidated to the driver's 50-row budget): every
+    doc's deterministic split label, its (doc_id, seed)-pure 25% sample
+    membership, and its per-language stratified-sample membership
+    (language downmixing — rates keyed on pred_lang) as 0/1 flags.
+    The left joins against the sampled ids are gate-row plumbing only —
+    production callers use the operators directly (both samplers
+    filter inline, zero shuffle)."""
+    from .operators import hash_sample, hash_split, language_id, stratified_sample
 
     d = get_tables(spark, sf_dir)["documents"]
     split = hash_split(d, _SPLIT_RATIOS).select("doc_id", "split", "n_chars")
     samp = hash_sample(d, 0.25, seed=7).select(
         "doc_id", F.lit(1).alias("in_sample"))
-    return split.join(samp, "doc_id", "left").withColumn(
-        "in_sample", F.coalesce(F.col("in_sample"), F.lit(0)))
+    langed = d.join(language_id(d).select("doc_id", "pred_lang"), "doc_id")
+    strat = stratified_sample(
+        langed, _STRAT_RATES, "pred_lang", seed=11, default_rate=0.1
+    ).select("doc_id", F.lit(1).alias("in_strat"))
+    return (
+        split.join(samp, "doc_id", "left")
+        .join(strat, "doc_id", "left")
+        .withColumn("in_sample", F.coalesce(F.col("in_sample"), F.lit(0)))
+        .withColumn("in_strat", F.coalesce(F.col("in_strat"), F.lit(0)))
+    )
 
 
 from .operators.pipeline import hash_sample_sql as _sample_sql  # noqa: E402
 from .operators.pipeline import hash_split_sql as _split_sql  # noqa: E402
+from .operators.pipeline import stratified_sample_sql as _strat_sql  # noqa: E402
+
+
+def _lang_case_sql() -> str:
+    """Self-contained DuckDB expression for pred_lang (the CASE from
+    _language_id_oracle with the score subquery aliases inlined) —
+    usable inside a single-table SELECT."""
+    from .operators.text import STOPWORDS
+
+    scores = {lang: _lang_score_sql(ws) for lang, ws in STOPWORDS.items()}
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {best} > 0 AND {scores[l]} = {best} THEN '{l}'"
+        for l in STOPWORDS
+    )
+    return f"CASE {cases} ELSE 'unknown' END"
+
 
 _register(
     "corpus_split_sample",
     _q_corpus_split_sample,
     f"SELECT doc_id, {_split_sql(_SPLIT_RATIOS)}, "
     f"CAST(CASE WHEN {_sample_sql(0.25, seed=7)} THEN 1 ELSE 0 END AS INT) "
-    "AS in_sample, n_chars FROM documents",
+    "AS in_sample, "
+    f"CAST(CASE WHEN {_strat_sql(_STRAT_RATES, 'grp', seed=11, default_rate=0.1)} "
+    "THEN 1 ELSE 0 END AS INT) AS in_strat, n_chars FROM "
+    f"(SELECT doc_id, n_chars, {_lang_case_sql()} AS grp FROM documents)",
+)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: documents with doc_id % 97 == 0
+    stand in for the (tiny) eval suite; every remaining training doc
+    gets its word-3-gram overlap count/fraction against the broadcast
+    benchmark gram set.  One narrow pass over the training side — no
+    join, no shuffle (see operators.pipeline.contamination_check)."""
+    from .operators import contamination_check
+
+    d = get_tables(spark, sf_dir)["documents"]
+    train = d.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    return contamination_check(train, bench, n=3, threshold=0.2)
+
+
+_register(
+    "contamination_check",
+    _q_contamination,
+    r"""
+WITH g AS (
+  SELECT doc_id, list_distinct([
+      array_to_string(toks[i : i + 2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents)),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0),
+hits AS (
+  SELECT tg.doc_id, COUNT(*) AS n_hits
+  FROM tg JOIN bg USING (gram) GROUP BY 1)
+SELECT g.doc_id, CAST(len(grams) AS INT) AS n_grams,
+       CAST(COALESCE(n_hits, 0) AS INT) AS n_hits,
+       ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+             / GREATEST(len(grams), 1), 6) AS contamination_ratio,
+       CAST(ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
+             / GREATEST(len(grams), 1), 6) >= 0.2 AS INT) AS contaminated
+FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+WHERE g.doc_id % 97 != 0
+""",
 )
 
 
@@ -1965,14 +2043,15 @@ _ORDER = [
     "ngram_jaccard_maxdf", "word_ngram_jaccard",
     "minhash_signatures", "minhash_lsh_stats", "simhash_candidates",
     "dedup_pipeline",
-    # text family
-    "text_stats", "text_quality", "text_language_id", "text_fingerprint",
+    # text family (language_id row carries the fingerprint columns)
+    "text_stats", "text_quality", "text_language_id",
     # embedding / similarity family
     "embedding_norms_quantize", "similarity_topk", "similarity_ivf_topk",
     "embedding_near_dup", "embedding_dedup_pipeline",
     # corpus pipeline family
     "pipeline_prepare_corpus", "pipeline_corpus_stats",
     "corpus_split_sample", "pipeline_pack_sequences", "token_vocabulary",
+    "contamination_check",
     # streaming invariants
     "streaming_replay_invariants",
     # multimodal (meta oracled; decoded features rows-only by contract)

@@ -410,8 +410,10 @@ def test_fingerprint_fnv_matches_duckdb_unicode(spark):
     import pandas as pd
 
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
-    exp = {int(r[0]): int(r[1])
-           for r in con.sql(ORACLES["text_fingerprint"]).fetchall()}
+    # the fingerprint columns live on the merged text_language_id row
+    exp = {int(r[0]): int(r[1]) for r in con.sql(
+        f"SELECT doc_id, fingerprint FROM ({ORACLES['text_language_id']})"
+    ).fetchall()}
     assert got == exp
 
 
@@ -1035,6 +1037,81 @@ def test_hash_sample_negative_ids_cross_engine(spark):
     ).fetchall())
     assert got == exp
     assert any(i < 0 for i in got)  # negatives actually participate
+
+
+def test_stratified_sample_per_group_and_cross_engine(spark):
+    """stratified_sample == hash_sample restricted per group (same
+    hash, same seed), membership is partition-invariant, unlisted
+    groups fall back to default_rate, and the SQL twin selects the
+    identical ids in DuckDB."""
+    import duckdb
+
+    from dask_histogram_spark.operators import hash_sample, stratified_sample
+    from dask_histogram_spark.operators.pipeline import stratified_sample_sql
+
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(-300, 300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.6, "de": 0.2}
+    got = {r.doc_id for r in
+           stratified_sample(df, rates, "lang", seed=5,
+                             default_rate=0.05).collect()}
+    assert got == {r.doc_id for r in
+                   stratified_sample(df.repartition(7), rates, "lang",
+                                     seed=5, default_rate=0.05).collect()}
+    for lang, rate in [("en", 0.6), ("de", 0.2), ("xx", 0.05)]:
+        sub = df.where(F.col("lang") == lang)
+        exp_g = {r.doc_id for r in hash_sample(sub, rate, seed=5).collect()}
+        assert {i for i in got
+                if dict(rows)[i] == lang} == exp_g, lang
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{g}')" for i, g in rows) + ") v(doc_id, lang)"
+    )
+    exp = {r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE " + stratified_sample_sql(
+            rates, "lang", seed=5, default_rate=0.05)
+    ).fetchall()}
+    assert got == exp
+
+
+def test_contamination_check_counts(spark):
+    """Known-overlap corpus: per-doc hit counts, ratio and flag match
+    hand-computed values; benchmark docs never appear in the output."""
+    from dask_histogram_spark.operators import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a sleeping cat"),   # shares grams
+         (2, "entirely different text with no overlap at all"),
+         (3, "the quick brown fox jumps over the lazy dog")],    # exact copy
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           contamination_check(train, bench, n=3, threshold=0.5).collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 3 is a verbatim copy: every gram hits
+    assert got[3].n_hits == got[3].n_grams and got[3].contaminated == 1
+    assert got[2].n_hits == 0 and got[2].contaminated == 0
+    # doc 1 shares exactly the 3-grams of the common prefix
+    # "the quick brown fox jumps over": 4 of its 7 grams
+    assert got[1].n_grams == 7 and got[1].n_hits == 4
+    assert got[1].contaminated == (1 if 4 / 7 >= 0.5 else 0)
+
+
+def test_contamination_check_train_side_is_narrow(spark, tables):
+    """The training side must be a single pass: no Exchange anywhere in
+    the plan (benchmark grams are a broadcast numpy array, not a join
+    side)."""
+    from dask_histogram_spark.operators import contamination_check
+
+    d = tables["documents"].select("doc_id", "text")
+    train = d.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    plan = (contamination_check(train, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan[:1200]
 
 
 def test_dedup_incremental_shuffles_hash_not_text(spark, tables):
