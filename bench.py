@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "text_language_id",
     "similarity_topk",
     "pipeline_prepare_corpus",
+    # broadcast-gram contamination scan: one narrow pass over the
+    # training side (the 100 TB-shaped plan — no join, no shuffle)
+    "contamination_check",
     "similarity_ivf_topk",
     # The two heavy joins go LAST so their GC/cache aftermath cannot
     # inflate the sub-second queries (same reasoning as the per-query

@@ -1100,6 +1100,23 @@ def test_contamination_check_counts(spark):
     assert got[1].contaminated == (1 if 4 / 7 >= 0.5 else 0)
 
 
+def test_contamination_check_arrow_matches_column(spark, tables):
+    """The one-kernel Arrow path (blake2b gram hashes) returns exactly
+    the rows of the Column/xxhash64 reference path on real data."""
+    from dask_histogram_spark.operators import contamination_check
+
+    d = tables["documents"].select("doc_id", "text")
+    train = d.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    import pandas as pd
+
+    a = (contamination_check(train, bench, method="arrow")
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    b = (contamination_check(train, bench, method="column")
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_contamination_check_train_side_is_narrow(spark, tables):
     """The training side must be a single pass: no Exchange anywhere in
     the plan (benchmark grams are a broadcast numpy array, not a join
