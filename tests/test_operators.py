@@ -1100,6 +1100,20 @@ def test_contamination_check_counts(spark):
     assert got[1].contaminated == (1 if 4 / 7 >= 0.5 else 0)
 
 
+def test_fingerprint_arrow_matches_column(spark, tables):
+    """The Arrow fingerprint kernel == the pure-Column fnv1a32 fold on
+    real data plus whitespace/unicode edge rows."""
+    rows = [(100, "  leading spaces"), (101, "\ttab nbsp mix"),
+            (102, ""), (103, "héllo wörld 日本語")]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    for df in (tables["documents"].select("doc_id", "text"), edge):
+        a = {r.doc_id: r.fingerprint for r in
+             fingerprint(df, hash_fn="fnv1a32", method="arrow").collect()}
+        b = {r.doc_id: r.fingerprint for r in
+             fingerprint(df, hash_fn="fnv1a32", method="column").collect()}
+        assert a == b
+
+
 def test_contamination_check_arrow_matches_column(spark, tables):
     """The one-kernel Arrow path (blake2b gram hashes) returns exactly
     the rows of the Column/xxhash64 reference path on real data."""
