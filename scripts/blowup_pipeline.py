@@ -39,26 +39,31 @@ from dask_histogram_spark.session import get_spark  # noqa: E402
 
 def synth_corpus(spark: SparkSession, n_docs: int,
                  vocab: int = 5000, words: int = 16,
-                 dup_rate: float = 0.10) -> DataFrame:
+                 dup_rate: float = 0.10, id_offset: int = 0) -> DataFrame:
     """(doc_id, text) corpus: ``n_docs`` total, of which ``dup_rate``
     are planted near-dups (base text + ' qqz' suffix) of the first
-    ``n_docs * dup_rate`` base docs."""
+    ``n_docs * dup_rate`` base docs.  ``id_offset`` shifts ids BEFORE
+    text generation (word choice hashes the id), giving a corpus with
+    texts disjoint from an unshifted one."""
     n_dup = int(n_docs * dup_rate)
     n_base = n_docs - n_dup
     base = spark.range(n_base).select(
-        F.col("id").alias("doc_id"),
+        (F.col("id") + id_offset).alias("doc_id")
+    ).select(
+        "doc_id",
         F.concat_ws(
             " ",
             *[
                 F.concat(
                     F.lit("w"),
-                    F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(vocab)),
+                    F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)),
+                           F.lit(vocab)),
                 )
                 for i in range(words)
             ],
         ).alias("text"),
     )
-    dups = base.filter(F.col("doc_id") < n_dup).select(
+    dups = base.filter(F.col("doc_id") < id_offset + n_dup).select(
         (F.col("doc_id") + n_base).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qqz")).alias("text"),
     )
