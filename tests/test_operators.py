@@ -496,6 +496,10 @@ def test_dedup_clusters_matches_union_find(spark):
     got_dist = {r.doc_id: r.cluster_id for r in dist.collect()}
     release_clusters_checkpoint(dist)
     assert got_dist == got
+    # empty edge list: both paths return an empty (doc_id, cluster_id)
+    empty = s.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).collect() == []
+    assert dedup_clusters(empty, small_graph_edges=0).collect() == []
 
     parent: dict = {}
 
