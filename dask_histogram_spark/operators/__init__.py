@@ -44,6 +44,7 @@ from .pipeline import (
 from .text import (
     fingerprint,
     language_id,
+    text_profile,
     normalize_text,
     quality_score,
     redact_pii,
@@ -81,6 +82,7 @@ __all__ = [
     "simhash_signatures",
     "stratified_sample",
     "text_stats",
+    "text_profile",
     "token_vocabulary",
     "quality_score",
     "quantize_embeddings",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["token_counts", "text_stats", "language_id", "fingerprint",
+           "text_profile",
            "quality_score", "normalize_text", "normalize_text_sql",
            "repetition_stats", "redact_pii", "redact_pii_sql",
            "PII_PATTERNS", "STOPWORDS"]
@@ -235,6 +236,76 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         lambda acc, h: F.pmod(acc * F.lit(1000003) + h, F.lit(mod)),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 mod: int = (1 << 31) - 1) -> DataFrame:
+    """One-pass per-document text profile: everything
+    :func:`language_id` and :func:`fingerprint` (fnv1a32) produce, in a
+    SINGLE Arrow-batched kernel — tokenize once, count stopword votes
+    for all languages and fold the fingerprint from the same token
+    list.  Output: (id, pred_lang, s_<lang>..., fingerprint).
+
+    At 100 TB this is the shape you want for multi-feature text
+    passes: each operator alone is one narrow scan, but chaining k of
+    them joins k scans; the profile computes them from one
+    tokenization.  Differentially tested against the two single-
+    feature operators (tests/test_operators.py)."""
+    import re
+
+    split_ws = re.compile(r"\s+", re.ASCII)
+    langs = list(STOPWORDS)
+    nl = len(langs)
+    # one dict lookup per token: token -> tuple of language indices it
+    # votes for (a token may sit in several lists, e.g. 'de' and 'la')
+    stop_map: dict[str, tuple[int, ...]] = {}
+    for li, ws in enumerate(STOPWORDS.values()):
+        for w in ws:
+            stop_map[w] = stop_map.get(w, ()) + (li,)
+    fields = ", ".join(
+        ["pred_lang string"] + [f"s_{l} int" for l in langs]
+        + ["fingerprint long"])
+
+    @F.pandas_udf(fields)
+    def profile(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+        score_cols: list[list[int]] = [[] for _ in range(nl)]
+        preds, fps = [], []
+        for t in texts:
+            toks = split_ws.split((t or "").lower().strip(" "))
+            scores = [0] * nl
+            hs = []
+            for tok in toks:
+                hit = stop_map.get(tok)
+                if hit is not None:
+                    for li in hit:
+                        scores[li] += 1
+                h = cache.get(tok)
+                if h is None:
+                    h = cache[tok] = _fnv1a32_token_py(tok)
+                hs.append(h)
+            best = max(scores)
+            # deterministic priority order on ties: en > de > fr > es
+            pred = langs[scores.index(best)] if best > 0 else "unknown"
+            hs.sort()
+            acc = 0
+            for h in hs:
+                acc = (acc * 1000003 + h) % mod
+            preds.append(pred)
+            fps.append(acc)
+            for li in range(nl):
+                score_cols[li].append(scores[li])
+        out = {"pred_lang": preds}
+        out.update({f"s_{l}": pd.array(score_cols[li], dtype="int32")
+                    for li, l in enumerate(langs)})
+        out["fingerprint"] = pd.array(fps, dtype="int64")
+        return pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col), profile(F.col(text_col)).alias("__p")
+    ).select(id_col, "__p.pred_lang",
+             *[f"__p.s_{l}" for l in langs], "__p.fingerprint")
 
 
 def normalize_text(df: DataFrame, text_col: str = "text",

@@ -948,14 +948,13 @@ JOIN (
 
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """language_id + fingerprint gated in ONE row set (registry
-    consolidated to the driver's 50-row budget): both are narrow maps
-    over the same documents scan, joined on the id."""
-    from .operators import fingerprint, language_id
+    consolidated to the driver's 50-row budget) via ``text_profile`` —
+    the one-pass Arrow kernel computing both features from a single
+    tokenization (differentially tested against the two single-feature
+    operators; fnv1a32 is the oracle-checkable hash configuration)."""
+    from .operators import text_profile
 
-    d = get_tables(spark, sf_dir)["documents"]
-    # fnv1a32 is the oracle-checkable hash configuration (xxhash64,
-    # the fast default, has no DuckDB twin)
-    return language_id(d).join(fingerprint(d, hash_fn="fnv1a32"), "doc_id")
+    return text_profile(get_tables(spark, sf_dir)["documents"])
 
 
 def _lang_score_sql(words: tuple[str, ...]) -> str:

@@ -1104,6 +1104,27 @@ def test_contamination_check_counts(spark):
     assert got[1].contaminated == (1 if 4 / 7 >= 0.5 else 0)
 
 
+def test_text_profile_matches_single_feature_ops(spark, tables):
+    """The one-pass text_profile kernel == language_id JOIN
+    fingerprint(fnv1a32, Column path) on real data + edge rows."""
+    import pandas as pd
+
+    from dask_histogram_spark.operators import (
+        fingerprint, language_id, text_profile)
+
+    rows = [(100, "  the of la le und "), (101, ""), (102, "héllo 日本語"),
+            (103, "el la der the de un")]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    for df in (tables["documents"].select("doc_id", "text"), edge):
+        a = (text_profile(df).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (language_id(df)
+             .join(fingerprint(df, hash_fn="fnv1a32", method="column"),
+                   "doc_id")
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
 def test_fingerprint_arrow_matches_column(spark, tables):
     """The Arrow fingerprint kernel == the pure-Column fnv1a32 fold on
     real data plus whitespace/unicode edge rows."""
