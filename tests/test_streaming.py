@@ -327,3 +327,39 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     # no duplicate winners: state recovered, every text still has ONE row
     assert final.count() == n
     assert final.select("content_hash").distinct().count() == n
+
+
+def test_streaming_contamination_check_matches_batch(spark, tmp_path):
+    """contamination_check is a stateless narrow map (broadcast gram
+    set + one pandas_udf projection), so the SAME operator runs
+    unchanged on a streaming DataFrame: file-replay over micro-batches
+    must emit exactly the batch rows."""
+    from dask_histogram_spark.operators import contamination_check
+
+    d = str(tmp_path / "contam_stream")
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0) \
+                .select("doc_id", "text")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0) \
+                .select("doc_id", "text")
+    expected = {(r.doc_id, r.n_grams, r.n_hits, r.contaminated)
+                for r in contamination_check(train, bench).collect()}
+
+    train.repartition(5).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(train.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = contamination_check(stream, bench)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scontam")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.doc_id, r.n_grams, r.n_hits, r.contaminated)
+           for r in spark.sql("SELECT * FROM scontam").collect()}
+    assert got == expected
