@@ -190,3 +190,43 @@ def test_moment_cancellation_large_mean(spark):
     exact = np.array([np.var(pdf.s[bins == b].to_numpy(), ddof=1)
                       for b in range(6)])
     assert np.abs(bad - exact).max() / exact.max() > 1.0
+
+
+@settings(deadline=None, max_examples=200)
+@given(st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+    min_size=0, max_size=120,
+))
+def test_min_label_numpy_matches_union_find(edges):
+    """The driver-side connected-components kernel behind
+    dedup_clusters' small-graph plan == a reference union-find, on
+    arbitrary graphs (self-loops, duplicates, negatives, chains)."""
+    from dask_histogram_spark.operators.dedup import _min_label_numpy
+
+    edges = [(a, b) for a, b in edges if a != b]
+    assume(edges)
+    a = np.array([x for x, _ in edges] + [y for _, y in edges],
+                 dtype=np.int64)
+    b = np.array([y for _, y in edges] + [x for x, _ in edges],
+                 dtype=np.int64)
+    nodes, lab = _min_label_numpy(a, b)
+    got = dict(zip(nodes.tolist(), nodes[lab].tolist()))
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    comp: dict = {}
+    for n in {n for e in edges for n in e}:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(ns) for r, ns in comp.items() for n in ns}
+    assert got == expected
