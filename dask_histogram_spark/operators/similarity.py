@@ -15,8 +15,10 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "embedding_near_dup_pairs", "fit_centroids",
@@ -280,7 +282,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              planes: int = 16, seed: int = 23,
-                             exact: bool = False) -> DataFrame:
+                             exact: bool = False,
+                             method: str = "auto") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
 
     Scale path (default): random-hyperplane LSH — each vector gets a
@@ -291,6 +294,16 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     collide while the bucket join stays linear in bucket sizes.
     ``exact=True`` bypasses LSH (full pairwise — only for oracles/small
     tables; it is the O(n²) plan the LSH form exists to avoid).
+
+    ``method`` picks the signature kernel (LSH path only):
+    ``"arrow"`` (the ``"auto"`` default) computes all plane dots in a
+    vectorized Arrow batch whose inner loop adds term-by-term in the
+    SAME left-to-right float64 order as the Column fold — bit-identical
+    signs, so the bucket keys (and hence candidates and the SQL oracle)
+    are unchanged while the per-plane interpreted ``zip_with/aggregate``
+    chain (measured ~2 s for 2k x 64-dim x 8 planes at sf0.1) drops to
+    milliseconds.  ``"column"`` keeps the pure-Column reference path
+    the kernel is differentially tested against.
 
     Recall note: single-table LSH misses near-dups that straddle a
     hyperplane; production runs use band repetition (several seeds,
@@ -303,27 +316,50 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        import numpy as np
-
         dim = len(df.select(vec_col).first()[0])
         rng = np.random.default_rng(seed)
         H = rng.standard_normal((planes, dim))
-        sig = F.concat(*[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(float(h)) for h in H[p]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, z: acc + z,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(planes)
-        ])
+        if method == "auto":
+            method = "arrow"
+        if method == "arrow":
+            Ht = H.T.copy()  # (dim, planes), float64
+
+            @F.pandas_udf(T.StringType())
+            def sig_arrow(vecs: pd.Series) -> pd.Series:
+                if len(vecs) == 0:
+                    return pd.Series([], dtype=object)
+                X = np.stack([np.asarray(x, dtype=np.float64)
+                              for x in vecs])
+                # term-by-term accumulation over j reproduces the
+                # Column fold's sequential float64 adds exactly (a
+                # BLAS matmul's pairwise summation could flip a sign
+                # on a near-zero dot)
+                acc = np.zeros((X.shape[0], Ht.shape[1]))
+                for j in range(X.shape[1]):
+                    acc += X[:, j, None] * Ht[None, j, :]
+                bits = np.where(acc >= 0, "1", "0")
+                return pd.Series(["".join(r) for r in bits])
+
+            sig = sig_arrow(F.col(vec_col))
+        elif method == "column":
+            sig = F.concat(*[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(float(h)) for h in H[p]]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for p in range(planes)
+            ])
+        else:
+            raise ValueError(f"unknown signature method: {method!r}")
         bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
         a = bucketed.select(F.col(id_col).alias("id_a"),
                             F.col(vec_col).alias("__va"),

@@ -681,6 +681,21 @@ def test_minhash_fused_matches_semijoin(spark, tables):
                                strategy="fused", persist=False)
 
 
+def test_near_dup_sig_arrow_matches_column(spark, tables):
+    """The Arrow hyperplane-signature kernel must give the exact rows
+    of the Column fold path (same buckets -> same candidates -> same
+    pairs; the kernel adds terms in the fold's sequential order so
+    signs agree bit-for-bit)."""
+    from dask_histogram_spark.operators import embedding_near_dup_pairs
+
+    emb = tables["embeddings"]
+    a = {(r.id_a, r.id_b, r.cos_sim) for r in embedding_near_dup_pairs(
+        emb, threshold=0.3, planes=8, method="arrow").collect()}
+    b = {(r.id_a, r.id_b, r.cos_sim) for r in embedding_near_dup_pairs(
+        emb, threshold=0.3, planes=8, method="column").collect()}
+    assert a == b and a
+
+
 def test_brute_force_topk_arrow_matches_column(spark, tables):
     """The BLAS mapInPandas scoring path returns exactly the rows of
     the pure-Column fold path."""
