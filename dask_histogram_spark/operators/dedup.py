@@ -241,6 +241,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
       Python in the plan; the portable reference implementation the
       Arrow kernel is differentially tested against.
     """
+    # NULL text is excluded: it yields no shingles, and leaving it in
+    # would give every null doc the identical signature (the null
+    # shingle hashes to a constant), colliding them all in LSH
+    df = df.where(F.col(text_col).isNotNull())
     hashes = _shingle_hashes(F.col(text_col), shingle_k, hash_fn)
     coeffs = _perm_coeffs(num_perm, seed)
     if method == "auto":
@@ -748,8 +752,9 @@ def _fnv1a64_shingles_np(s: str, k: int) -> np.ndarray:
     if len(cp) == 0:
         cp = np.zeros(1, dtype=np.uint64)
     h = offset
-    for c in cp:
-        h = (h ^ c) * prime
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash
+        for c in cp:
+            h = (h ^ c) * prime
     return np.array([h], dtype=np.uint64).view(np.int64)
 
 
@@ -786,7 +791,11 @@ def _jaccard_bincount(df: DataFrame, shingles: Column, id_col: str,
         if tt.num_rows == 0:
             return spark.createDataFrame([], out_schema)
         ids = tt.column(id_col).to_numpy(zero_copy_only=False)
-        per_doc = [np.unique(_fnv1a64_shingles_np(t or "", k))
+        # NULL text -> zero shingles (the doc can never pair), matching
+        # the Column hash path where transform(null) yields a null
+        # array and the index join where explode(null) emits no rows
+        per_doc = [np.unique(_fnv1a64_shingles_np(t, k))
+                   if t is not None else np.zeros(0, dtype=np.int64)
                    for t in tt.column(text_col).to_pylist()]
         lens0 = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
                             count=len(per_doc))
@@ -957,6 +966,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             lambda i: F.substring(F.col(text_col), i, k),
         )
     )
+    # NULL text is excluded up front: without this, the null shingle
+    # hashes to xxhash64's constant seed value and every null doc
+    # would pair with every other null doc
+    df = df.where(F.col(text_col).isNotNull())
     return _jaccard_pairs_impl(df, shingles, id_col, threshold, strategy,
                                max_df, persist,
                                nnz_bound=F.length(F.col(text_col)),
@@ -1023,16 +1036,22 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.LongType())
     def fold(th: pd.Series) -> pd.Series:
-        out = np.empty(len(th), dtype=np.int64)
-        for i, arr in enumerate(th):
+        out = []
+        for arr in th:
+            if arr is None:
+                # NULL text -> NULL signature, matching the fnv1a32
+                # Column path's null propagation
+                out.append(None)
+                continue
             h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
             if h.size == 0:
-                out[i] = 0
+                out.append(0)
                 continue
             bits = ((h[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1).astype(np.int64)
             v = np.where(bits.sum(axis=0) * 2 >= h.size, 1, 0).astype(np.uint64)
-            out[i] = (v << np.arange(nbits, dtype=np.uint64)).sum().astype(np.int64)
-        return pd.Series(out)
+            out.append(int((v << np.arange(nbits, dtype=np.uint64))
+                           .sum().astype(np.int64)))
+        return pd.Series(pd.array(out, dtype="Int64"))
 
     return hashed.select(F.col(id_col), fold(F.col("th")).alias("simhash"))
 
@@ -1126,6 +1145,8 @@ def word_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+    # NULL text excluded (see ngram_jaccard_pairs)
+    df = df.where(F.col(text_col).isNotNull())
     return _jaccard_pairs_impl(df, grams, id_col, threshold, strategy,
                                max_df, persist=False,
                                nnz_bound=F.size(toks))

@@ -426,9 +426,11 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
         method = "arrow"
     if method == "arrow":
         btexts = benchmark.select(F.col(text_col)).toArrow()
+        # NULL benchmark texts contribute no grams (explode(null) emits
+        # no rows in the Column twin)
         bench_list = [
-            _word_gram_hashes_py(t or "", n)
-            for t in btexts.column(text_col).to_pylist()
+            _word_gram_hashes_py(t, n)
+            for t in btexts.column(text_col).to_pylist() if t is not None
         ]
         bench = np.unique(np.concatenate(bench_list)) if bench_list else \
             np.zeros(0, dtype=np.int64)
@@ -439,11 +441,17 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
             b = bc.value
             ng, nh = [], []
             for t in texts:
-                h = _word_gram_hashes_py(t or "", n)
+                if t is None:
+                    # NULL text -> NULL counts (and the downstream
+                    # ratio/flag expressions null-propagate)
+                    ng.append(None)
+                    nh.append(None)
+                    continue
+                h = _word_gram_hashes_py(t, n)
                 ng.append(len(h))
                 nh.append(int(np.isin(h, b).sum()))
-            return pd.DataFrame({"n_grams": np.asarray(ng, dtype=np.int32),
-                                 "n_hits": np.asarray(nh, dtype=np.int32)})
+            return pd.DataFrame({"n_grams": pd.array(ng, dtype="Int32"),
+                                 "n_hits": pd.array(nh, dtype="Int32")})
 
         out = train.select(
             F.col(id_col), gram_stats(F.col(text_col)).alias("__s")
@@ -456,7 +464,12 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
                 lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
             )
         )
-        gram_hashes = F.transform(grams, lambda g: F.xxhash64(g))
+        # guard NULL text explicitly: concat_ws would swallow the null
+        # tokens and produce one '' gram instead of null-propagating
+        gram_hashes = F.when(
+            F.col(text_col).isNotNull(),
+            F.transform(grams, lambda g: F.xxhash64(g)),
+        )
         bench = np.unique(
             benchmark.select(F.explode(gram_hashes).alias("h"))
             .toArrow().column("h").to_numpy(zero_copy_only=False)
@@ -466,10 +479,11 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
         @F.pandas_udf(T.IntegerType())
         def n_hits(hs: pd.Series) -> pd.Series:
             b = bc.value
-            return pd.Series(
+            return pd.Series(pd.array(
                 [int(np.isin(np.asarray(h, dtype=np.int64), b).sum())
+                 if h is not None else None
                  for h in hs],
-                dtype="int32")
+                dtype="Int32"))
 
         out = train.select(
             F.col(id_col),

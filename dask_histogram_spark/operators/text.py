@@ -213,15 +213,18 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                 cache: dict[str, int] = {}
                 out = []
                 for t in texts:
+                    if t is None:
+                        out.append(None)  # NULL text -> NULL (Column parity)
+                        continue
                     hs = sorted(
                         cache.setdefault(tok, _fnv1a32_token_py(tok))
-                        for tok in split_ws.split((t or "").lower().strip(" "))
+                        for tok in split_ws.split(t.lower().strip(" "))
                     )
                     acc = 0
                     for h in hs:
                         acc = (acc * 1000003 + h) % mod
                     out.append(acc)
-                return pd.Series(out, dtype="int64")
+                return pd.Series(pd.array(out, dtype="Int64"))
 
             return df.select(F.col(id_col),
                              fp_arrow(F.col(text_col)).alias("fingerprint"))
@@ -273,7 +276,16 @@ def text_profile(df: DataFrame, text_col: str = "text",
         score_cols: list[list[int]] = [[] for _ in range(nl)]
         preds, fps = [], []
         for t in texts:
-            toks = split_ws.split((t or "").lower().strip(" "))
+            if t is None:
+                # NULL text: the Column twins propagate NULL through the
+                # score/fingerprint expressions but language_id's final
+                # otherwise() still lands on 'unknown'
+                preds.append("unknown")
+                fps.append(None)
+                for li in range(nl):
+                    score_cols[li].append(None)
+                continue
+            toks = split_ws.split(t.lower().strip(" "))
             scores = [0] * nl
             hs = []
             for tok in toks:
@@ -297,9 +309,9 @@ def text_profile(df: DataFrame, text_col: str = "text",
             for li in range(nl):
                 score_cols[li].append(scores[li])
         out = {"pred_lang": preds}
-        out.update({f"s_{l}": pd.array(score_cols[li], dtype="int32")
+        out.update({f"s_{l}": pd.array(score_cols[li], dtype="Int32")
                     for li, l in enumerate(langs)})
-        out["fingerprint"] = pd.array(fps, dtype="int64")
+        out["fingerprint"] = pd.array(fps, dtype="Int64")
         return pd.DataFrame(out)
 
     return df.select(

@@ -1119,6 +1119,52 @@ def test_contamination_check_counts(spark):
     assert got[1].contaminated == (1 if 4 / 7 >= 0.5 else 0)
 
 
+def test_null_text_propagates_consistently(spark):
+    """NULL text rows: every Arrow kernel agrees with its Column twin —
+    NULL in, NULL out (with language_id's 'unknown' fallback), and a
+    null doc can never pair in similarity joins."""
+    from dask_histogram_spark.operators import (
+        contamination_check, fingerprint, ngram_jaccard_pairs,
+        simhash_signatures, text_profile)
+
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, None), (3, "")],
+        "doc_id long, text string")
+    for method in ("arrow", "column"):
+        fp = {r.doc_id: r.fingerprint for r in fingerprint(
+            df, hash_fn="fnv1a32", method=method).collect()}
+        assert fp[2] is None and fp[3] is not None, method
+    prof = {r.doc_id: r for r in text_profile(df).collect()}
+    assert prof[2].pred_lang == "unknown" and prof[2].s_en is None
+    assert prof[2].fingerprint is None
+    # simhash 64-bit fold: null signature like the 32-bit Column path
+    s64 = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    s32 = {r.doc_id: r.simhash
+           for r in simhash_signatures(df, hash_fn="fnv1a32").collect()}
+    assert s64[2] is None and s32[2] is None
+    # jaccard strategies: the null doc pairs with nothing; the empty
+    # doc still self-pairs across strategies
+    for strat in ("bincount", "index"):
+        got = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(
+            df.unionByName(df.withColumn("doc_id", F.col("doc_id") + 10)),
+            k=3, threshold=0.9, strategy=strat).collect()}
+        assert (2, 12) not in got and (1, 11) in got and (3, 13) in got, strat
+    # minhash: null docs are excluded (a constant-hash null shingle
+    # would otherwise collide them all into one LSH bucket)
+    from dask_histogram_spark.operators import minhash_signatures
+
+    sigs = {r.doc_id for r in minhash_signatures(df, num_perm=8).collect()}
+    assert sigs == {1, 3}
+    # contamination: null train doc -> NULL counts in both methods
+    bench = spark.createDataFrame([(9, "hello world")],
+                                  "doc_id long, text string")
+    for method in ("arrow", "column"):
+        got = {r.doc_id: r for r in contamination_check(
+            df, bench, n=2, method=method).collect()}
+        assert got[2].n_grams is None and got[2].contaminated is None, method
+        assert got[1].n_hits == 1, method
+
+
 def test_text_profile_matches_single_feature_ops(spark, tables):
     """The one-pass text_profile kernel == language_id JOIN
     fingerprint(fnv1a32, Column path) on real data + edge rows."""
