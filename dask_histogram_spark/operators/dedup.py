@@ -1162,7 +1162,8 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
                          pair_a: str = "id_a",
                          pair_b: str = "id_b",
                          hashed: bool = True,
-                         persist: bool = False) -> DataFrame:
+                         persist: bool = False,
+                         method: str = "auto") -> DataFrame:
     """Exact character-k-gram Jaccard computed ONLY on candidate pairs —
     the verification step between LSH candidate generation and
     clustering (candidates -> verify -> :func:`dedup_clusters`).
@@ -1176,13 +1177,20 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
     inverted-index blowup (the candidate set is assumed pruned; the
     full-corpus similarity join lives in :func:`ngram_jaccard_pairs`).
 
-    ``hashed`` (default) intersects xxhash64 longs instead of raw
+    ``hashed`` (default) intersects 8-byte longs instead of raw
     k-char strings: each doc's shingle set is duplicated and SHUFFLED
     once per pair it appears in, so the join payload is 8 bytes per
     shingle instead of ~2k+ per string — same intersection counts up
     to 64-bit collisions (~|A|*|B|/2^64 per pair, negligible), ~8x
     less shuffle on the pair join.  Pass ``hashed=False`` for the
     bit-exact raw-string configuration.
+
+    ``method`` (hashed only): ``"arrow"`` (the ``"auto"`` default)
+    shingles + hashes each involved doc in the vectorized FNV-64 numpy
+    kernel (:func:`_fnv1a64_shingles_np`) instead of the interpreted
+    substring/xxhash64 Column chain — the hash is join-internal, so
+    only collision behavior could differ (same negligible bound).
+    ``"column"`` keeps the pure-Column reference path.
 
     ``persist`` caches the per-document shingle projection so the two
     pair-side joins don't shingle the corpus twice; the handle travels
@@ -1195,17 +1203,32 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
     ``threshold`` over distinct-shingle sets — same definition as
     :func:`ngram_jaccard_pairs`, so the two gates agree.
     """
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1)),
-            ),
-            lambda i: F.substring(F.col(text_col), i, k),
+    if method == "auto":
+        method = "arrow" if hashed else "column"
+    if hashed and method == "arrow":
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def sh_arrow(texts: pd.Series) -> pd.Series:
+            return pd.Series(
+                [np.unique(_fnv1a64_shingles_np(t, k)) if t is not None
+                 else None
+                 for t in texts])
+
+        sh = sh_arrow(F.col(text_col))
+    elif method == "column":
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1)),
+                ),
+                lambda i: F.substring(F.col(text_col), i, k),
+            )
         )
-    )
-    if hashed:
-        sh = F.transform(sh, lambda s: F.xxhash64(s))
+        if hashed:
+            sh = F.transform(sh, lambda s: F.xxhash64(s))
+    else:
+        raise ValueError(
+            f"unknown verify method: {method!r} (arrow requires hashed)")
     needed = (
         pairs.select(F.col(pair_a).alias(id_col))
         .unionByName(pairs.select(F.col(pair_b).alias(id_col)))
@@ -1323,17 +1346,33 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     """
     e = pairs.select(F.col(id_a).cast("long").alias("a"),
                      F.col(id_b).cast("long").alias("b"))
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint()
-    if small_graph_edges and edges.count() <= small_graph_edges:
-        pdf = edges.toPandas()
-        _release_local_checkpoint(edges)
-        nodes, lab = _min_label_numpy(pdf["a"].to_numpy(),
-                                      pdf["b"].to_numpy())
-        out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[lab]})
-        return pairs.sparkSession.createDataFrame(
-            out, schema="doc_id long, cluster_id long")
+    if small_graph_edges:
+        # size probe on the RAW pair projection (2 longs/row, cached so
+        # the count and the collect evaluate the upstream plan once) —
+        # the numpy kernel relaxes both edge directions itself, so the
+        # symmetrize + distinct shuffle is only needed on the
+        # distributed path
+        ep = e.persist()
+        n_pairs = ep.count()
+        if 2 * n_pairs <= small_graph_edges:
+            pdf = ep.toPandas()
+            ep.unpersist()
+            nodes, lab = _min_label_numpy(pdf["a"].to_numpy(),
+                                          pdf["b"].to_numpy())
+            out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[lab]})
+            return pairs.sparkSession.createDataFrame(
+                out, schema="doc_id long, cluster_id long")
+        # too big: fall through to the distributed loop; the edge
+        # checkpoint below materializes FROM the cache (eager), after
+        # which the probe cache is dead weight
+        edges = ep.unionByName(
+            ep.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct().localCheckpoint()
+        ep.unpersist()
+    else:
+        edges = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct().localCheckpoint()
     # Seed labels with round 0 fused into the init aggregation:
     # label0(u) = min(u, min over neighbors) costs the same one shuffle
     # as materializing the distinct node set (edges are symmetrized, so

@@ -962,17 +962,40 @@ def test_sig_agreement_gate_keeps_all_verified_winners(spark, tables):
 def test_verify_pairs_intersects_hashed_longs(spark, tables):
     """jaccard_verify_pairs must ship 8-byte hashed shingles through
     the pair joins by default (the round-3 plan shuffled raw k-char
-    string arrays once per pair)."""
+    string arrays once per pair): arrow default = FNV-64 numpy kernel,
+    column method = xxhash64 Column chain, raw = neither."""
     from dask_histogram_spark.operators import jaccard_verify_pairs
 
     d = tables["documents"].select("doc_id", "text").limit(50)
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     plan = (jaccard_verify_pairs(pairs, d)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "xxhash64" in plan, plan[:800]
+    assert "ArrowEvalPython" in plan, plan[:800]
+    col = (jaccard_verify_pairs(pairs, d, method="column")
+           ._jdf.queryExecution().executedPlan().toString())
+    assert "xxhash64" in col, col[:800]
     raw = (jaccard_verify_pairs(pairs, d, hashed=False)
            ._jdf.queryExecution().executedPlan().toString())
-    assert "xxhash64" not in raw, raw[:800]
+    assert "xxhash64" not in raw and "ArrowEvalPython" not in raw, raw[:800]
+
+
+def test_verify_pairs_arrow_matches_column(spark, tables):
+    """Arrow FNV-64 shingling == the Column xxhash64 path on the real
+    dup corpus (hash is join-internal; intersection counts agree)."""
+    from dask_histogram_spark.operators import (
+        jaccard_verify_pairs, minhash_lsh_candidates,
+        release_candidates_cache)
+
+    d = tables["documents"].select("doc_id", "text")
+    corpus = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
+                                   hash_fn="fnv1a32", max_bucket=20,
+                                   persist=False).localCheckpoint()
+    a = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_verify_pairs(
+        cands, corpus, k=8, threshold=0.5, method="arrow").collect()}
+    b = {(r.id_a, r.id_b, r.jaccard) for r in jaccard_verify_pairs(
+        cands, corpus, k=8, threshold=0.5, method="column").collect()}
+    assert a == b and a
 
 
 def test_dedup_clusters_long_chain_converges_fast(spark):
