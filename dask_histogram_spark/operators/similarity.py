@@ -316,7 +316,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None:  # empty table: no pairs, typed empty result
+            return df.sparkSession.createDataFrame(
+                [], T.StructType([
+                    T.StructField("id_a", df.schema[id_col].dataType),
+                    T.StructField("id_b", df.schema[id_col].dataType),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]))
+        dim = len(head[0])
         rng = np.random.default_rng(seed)
         H = rng.standard_normal((planes, dim))
         if method == "auto":

@@ -1266,3 +1266,29 @@ def test_dedup_incremental_shuffles_hash_not_text(spark, tables):
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
     assert "xxhash64" in plan
+
+
+def test_empty_inputs_return_typed_empty_results(spark):
+    """Empty tables: every similarity/dedup/pipeline entry point
+    returns an empty, correctly-typed result instead of raising."""
+    from dask_histogram_spark.operators import (
+        brute_force_topk, contamination_check, dedup_exact,
+        embedding_near_dup_pairs, minhash_lsh_candidates,
+        ngram_jaccard_pairs, stratified_sample)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    eemb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    docs = spark.createDataFrame([(1, "hello world")],
+                                 "doc_id long, text string")
+    assert minhash_lsh_candidates(empty, num_perm=8, bands=4,
+                                  max_bucket=5, persist=False).count() == 0
+    assert ngram_jaccard_pairs(empty, k=3, threshold=0.5).count() == 0
+    assert dedup_exact(empty).count() == 0
+    assert contamination_check(empty, docs).count() == 0
+    assert contamination_check(docs, empty).count() == 1  # 0 hits
+    assert stratified_sample(empty, {"en": 0.5}, "text").count() == 0
+    nd = embedding_near_dup_pairs(eemb, threshold=0.5, planes=4)
+    assert nd.count() == 0
+    assert [f.name for f in nd.schema.fields] == ["id_a", "id_b", "cos_sim"]
+    assert brute_force_topk(eemb, eemb, k=3).count() == 0

@@ -155,3 +155,23 @@ def test_histograms_partial_aggregate_before_exchange(plans):
         # plan string prints top-down: final agg, exchange, partial agg —
         # partial agg must exist BELOW the exchange
         assert "HashAggregate" in plan[first_exchange:], name
+
+
+def test_fused_candidate_plan_has_no_self_join(spark):
+    """The capped LSH candidate path must be the ONE-shuffle fused plan
+    (bucket collect_list + combination explode): no sort-merge or
+    shuffled-hash join anywhere before the signature gate, while the
+    semijoin strategy keeps its band-bucket equi-join."""
+    from dask_histogram_spark.operators import minhash_lsh_candidates
+    from dask_histogram_spark.queries import get_tables
+
+    d = get_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    fused = _executed_plan(minhash_lsh_candidates(
+        d, num_perm=32, bands=8, max_bucket=20, persist=False))
+    assert "SortMergeJoin" not in fused and "ShuffledHashJoin" not in fused, \
+        fused[:1200]
+    assert "collect_list" in fused
+    semi = _executed_plan(minhash_lsh_candidates(
+        d, num_perm=32, bands=8, max_bucket=20, persist=False,
+        strategy="semijoin"))
+    assert "Join" in semi
