@@ -31,12 +31,23 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+# BPE-style pre-tokenizer (GPT-2 family shape, lookahead-free so the
+# same pattern runs under Java regex AND RE2/DuckDB): optional leading
+# space + a letter run, digit run, or other-symbol run.  Whitespace
+# runs themselves are not tokens.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """(id, n_tokens, n_chars, avg_token_len) per document.
+    """(id, n_tokens, n_chars, avg_token_len, approx_subwords,
+    bpe_like_tokens) per document.
 
-    Whitespace tokenization; a BPE-ish proxy for subword count is the
-    character count / 4 heuristic exposed as ``approx_subwords``.
+    Whitespace tokenization for ``n_tokens``; two subword estimates:
+    ``approx_subwords`` (chars/4 heuristic) and ``bpe_like_tokens``
+    (match count of :data:`BPE_SPLIT_PATTERN` — the pre-tokenization
+    split every BPE tokenizer starts from, so it tracks real token
+    budgets far better than chars/4 on code/punctuation-heavy text).
     """
     toks = _tokens(F.col(text_col))
     n_tok = F.size(toks)
@@ -49,6 +60,9 @@ def token_counts(df: DataFrame, text_col: str = "text",
             (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 6
         ).alias("avg_token_len"),
         F.ceil(n_chars / F.lit(4)).alias("approx_subwords"),
+        F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0
+        )).alias("bpe_like_tokens"),
     )
 
 

@@ -830,7 +830,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = get_tables(spark, sf_dir)["documents"]
     extra = token_counts(d).select("doc_id", "avg_token_len",
-                                   "approx_subwords")
+                                   "approx_subwords", "bpe_like_tokens")
     return text_stats(d).join(extra, "doc_id")
 
 
@@ -859,7 +859,10 @@ SELECT doc_id,
        ROUND((length(text) - len(string_split_regex(trim(lower(text)), '\s+')) + 1)
              / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6)
          AS avg_token_len,
-       CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_subwords
+       CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_subwords,
+       CAST(len(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT)
+         AS bpe_like_tokens
 FROM documents
 """
 )

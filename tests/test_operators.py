@@ -1292,3 +1292,26 @@ def test_empty_inputs_return_typed_empty_results(spark):
     assert nd.count() == 0
     assert [f.name for f in nd.schema.fields] == ["id_a", "id_b", "cos_sim"]
     assert brute_force_topk(eemb, eemb, k=3).count() == 0
+
+
+def test_bpe_like_token_count_cross_engine(spark):
+    """BPE-style pre-tokenizer match counts agree with DuckDB's RE2 on
+    punctuation/digit/space-heavy edge strings (the pattern is
+    deliberately lookahead-free so both engines run it)."""
+    import duckdb
+
+    texts = ["Hello, world! It's 2026.", "", "   ", "a1b2 c3",
+             "don't-stop 12.5%", "multi  space\ttab",
+             "def f(x): return x+1  # code!"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: r.bpe_like_tokens
+           for r in token_counts(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        exp = con.execute(
+            "SELECT len(regexp_extract_all(?,"
+            " ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))", [t]
+        ).fetchone()[0]
+        assert got[i] == exp, (i, t)
+    assert got[0] == 9  # Hello|,| world|!| It|'|s| 2026|.
