@@ -494,16 +494,31 @@ _EVENTS_SPEC = HistogramSpec(axes=(Regular(10, 0.0, 100.0),),
 
 
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two event-table histograms union-gated under a ``kind`` tag:
+    the per-day windowed value histogram, plus a histogram over a field
+    EXTRACTED from the semi-structured ``props`` JSON column
+    (``get_json_object`` -> integer-category fill) — the fill pipeline
+    composes with any Column expression, including JSON paths."""
     ev = get_tables(spark, sf_dir)["events"]
-    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).alias("day_num")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).alias("key")
     from .binning import bin_column
 
     b = bin_column(_EVENTS_SPEC.axes[0], F.col("value")).alias("bin_0")
-    return (
+    daily = (
         ev.select(day, b)
-        .groupBy("day_num", "bin_0")
+        .groupBy("key", "bin_0")
         .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("daily").alias("kind"), "key", "bin_0", "value")
     )
+    k = F.get_json_object(F.col("props"), "$.k").cast("long").alias("key")
+    json_k = (
+        ev.select(k)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("json_k").alias("kind"), "key",
+                F.lit(None).cast("int").alias("bin_0"), "value")
+    )
+    return daily.unionByName(json_k)
 
 
 from .binning import bin_sql as _bin_sql  # noqa: E402
@@ -511,9 +526,14 @@ from .binning import bin_sql as _bin_sql  # noqa: E402
 _register(
     "hist_events_daily",
     _q_events_daily,
-    "SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_num, "
+    "SELECT 'daily' AS kind, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS key, "
     f"{_bin_sql(_EVENTS_SPEC.axes[0], 'value')} AS bin_0, "
-    "COUNT(*) AS value FROM events GROUP BY 1, 2",
+    "COUNT(*) AS value FROM events GROUP BY 1, 2, 3 "
+    "UNION ALL "
+    "SELECT 'json_k' AS kind, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS key, "
+    "CAST(NULL AS INT) AS bin_0, COUNT(*) AS value "
+    "FROM events GROUP BY 1, 2, 3",
 )
 
 # ---------------------------------------------------------------------------
