@@ -34,8 +34,10 @@ __all__ = [
     "minhash_signatures",
     "minhash_banded",
     "minhash_lsh_candidates",
+    "minhash_lsh_stats",
     "ngram_jaccard_pairs",
     "release_candidates_cache",
+    "release_clusters_checkpoint",
     "word_ngram_jaccard_pairs",
     "simhash_signatures",
     "simhash_banded",
@@ -121,6 +123,14 @@ def dedup_incremental(new_df: DataFrame, seen_df: DataFrame,
         return c if exact else F.xxhash64(c)
 
     if seen_key_col is not None:
+        if exact:
+            # the stored seen key is a 64-bit hash; joining raw text
+            # against it would compare string vs bigint — every
+            # comparison null under non-ANSI (nothing ever dedups) or
+            # a cast error under ANSI
+            raise ValueError(
+                "exact=True is incompatible with seen_key_col (the "
+                "stored key is a content hash, not the text)")
         seen_keys = seen_df.select(
             F.col(seen_key_col).alias("__k")
         ).distinct()
@@ -201,8 +211,9 @@ def _fnv1a32_shingles_np(s: str, k: int) -> np.ndarray:
     if len(cp) == 0:
         cp = np.zeros(1, dtype=np.uint32)  # ascii('') == 0
     h = np.uint32(2166136261)
-    for c in cp:
-        h = (h ^ c) * np.uint32(16777619)
+    with np.errstate(over="ignore"):  # uint32 wrap is the hash
+        for c in cp:
+            h = (h ^ c) * np.uint32(16777619)
     return np.array([h], dtype=np.uint64)
 
 
@@ -359,14 +370,18 @@ def _band_explode(sigs: DataFrame, id_col: str, num_perm: int, bands: int,
 def minhash_banded(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", num_perm: int = 64,
                    bands: int = 16, shingle_k: int = 5,
-                   seed: int = 17, hash_fn: str = "xxhash64") -> DataFrame:
+                   seed: int = 17, hash_fn: str = "xxhash64",
+                   method: str = "auto") -> DataFrame:
     """(id, band, bucket) LSH band-bucket membership per document —
-    the shared projection behind the batch self-join
+    the shared projection behind the batch candidate generation
     (:func:`minhash_lsh_candidates`) and the streaming stateful
-    detector (streaming/dedup.py).  Pure Column expressions, so it
-    plans identically on batch and streaming DataFrames."""
+    detector (streaming/dedup.py).  The identical plan (including the
+    signature fold's default Arrow kernel — a stateless projection,
+    legal in streaming) runs on batch and streaming DataFrames; pass
+    ``method="column"`` through :func:`minhash_signatures` for a
+    pure-JVM plan on python-less executors."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed,
-                              hash_fn)
+                              hash_fn, method)
     return _band_explode(sigs, id_col, num_perm, bands, hash_fn)
 
 
@@ -500,6 +515,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         ))
         pairs = (
             buckets.select(F.explode(combos).alias("__p"))
+            # strict <: a doc_id occurring twice in the input would
+            # otherwise emit an (x, x) self-pair the semijoin
+            # strategy's a.id < b.id predicate never produces
+            .where(F.col("__p.id_a") < F.col("__p.id_b"))
             .groupBy(F.col("__p.id_a").alias("id_a"),
                      F.col("__p.id_b").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_bands"))

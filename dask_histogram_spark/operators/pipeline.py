@@ -369,16 +369,26 @@ def stratified_sample_sql(rates: dict[str, float], group_col: str,
     return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {rate}"
 
 
+_WS_ASCII = None
+
+
 def _word_gram_hashes_py(text: str, n: int) -> "np.ndarray":
     """Distinct word-n-gram hashes of one document, mirroring the
-    Column twin's tokenization exactly (``split(trim(lower(text)),
-    '\\s+')`` — an empty string yields one empty token, a short doc
-    yields one short gram).  Hash = 8-byte blake2b of the gram's UTF-8
-    (stable across processes, unlike ``hash()``)."""
+    Column twin's tokenization exactly: ``split(trim(lower(text)),
+    '\\s+')`` — Spark's trim strips SPACES only and Java's ``\\s`` is
+    ASCII-only, so this uses ``strip(" ")`` + an ``re.ASCII`` pattern
+    (plain ``.strip()``/Unicode ``\\s`` would tokenize a trailing
+    newline or a NBSP differently from the Column path and the DuckDB
+    oracle).  An empty string yields one empty token, a short doc one
+    short gram.  Hash = 8-byte blake2b of the gram's UTF-8 (stable
+    across processes, unlike ``hash()``)."""
     import hashlib
     import re
 
-    toks = re.split(r"\s+", text.strip().lower())
+    global _WS_ASCII
+    if _WS_ASCII is None:
+        _WS_ASCII = re.compile(r"\s+", re.ASCII)
+    toks = _WS_ASCII.split(text.lower().strip(" "))
     hi = max(len(toks) - n, 0)
     grams = {" ".join(toks[i:i + n]) for i in range(hi + 1)}
     return np.fromiter(

@@ -332,21 +332,34 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         if method == "arrow":
             Ht = H.T.copy()  # (dim, planes), float64
 
+            zero_sig = "0" * planes
+
             @F.pandas_udf(T.StringType())
             def sig_arrow(vecs: pd.Series) -> pd.Series:
                 if len(vecs) == 0:
                     return pd.Series([], dtype=object)
-                X = np.stack([np.asarray(x, dtype=np.float64)
-                              for x in vecs])
-                # term-by-term accumulation over j reproduces the
-                # Column fold's sequential float64 adds exactly (a
-                # BLAS matmul's pairwise summation could flip a sign
-                # on a near-zero dot)
-                acc = np.zeros((X.shape[0], Ht.shape[1]))
-                for j in range(X.shape[1]):
-                    acc += X[:, j, None] * Ht[None, j, :]
-                bits = np.where(acc >= 0, "1", "0")
-                return pd.Series(["".join(r) for r in bits])
+                arrs = [np.asarray(x, dtype=np.float64)
+                        if x is not None else None for x in vecs]
+                # NULL or wrong-dimension vectors: the Column fold
+                # zips against the dim-length hyperplane array, any
+                # null term nulls the whole sum, and when(null >= 0)
+                # falls through to the all-'0' branch — reproduce that
+                # instead of letting np.stack raise on ragged input
+                ok = [a is not None and a.shape == (Ht.shape[0],)
+                      for a in arrs]
+                out = np.array([zero_sig] * len(arrs), dtype=object)
+                if any(ok):
+                    X = np.stack([a for a, o in zip(arrs, ok) if o])
+                    # term-by-term accumulation over j reproduces the
+                    # Column fold's sequential float64 adds exactly (a
+                    # BLAS matmul's pairwise summation could flip a
+                    # sign on a near-zero dot)
+                    acc = np.zeros((X.shape[0], Ht.shape[1]))
+                    for j in range(X.shape[1]):
+                        acc += X[:, j, None] * Ht[None, j, :]
+                    bits = np.where(acc >= 0, "1", "0")
+                    out[np.asarray(ok)] = ["".join(r) for r in bits]
+                return pd.Series(list(out))
 
             sig = sig_arrow(F.col(vec_col))
         elif method == "column":

@@ -230,10 +230,16 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                     if t is None:
                         out.append(None)  # NULL text -> NULL (Column parity)
                         continue
-                    hs = sorted(
-                        cache.setdefault(tok, _fnv1a32_token_py(tok))
-                        for tok in split_ws.split(t.lower().strip(" "))
-                    )
+                    hs = []
+                    for tok in split_ws.split(t.lower().strip(" ")):
+                        # get-then-assign, NOT setdefault: setdefault
+                        # evaluates the fold eagerly on every call,
+                        # which defeats the cache entirely
+                        h = cache.get(tok)
+                        if h is None:
+                            h = cache[tok] = _fnv1a32_token_py(tok)
+                        hs.append(h)
+                    hs.sort()
                     acc = 0
                     for h in hs:
                         acc = (acc * 1000003 + h) % mod

@@ -1380,7 +1380,10 @@ def _stream_replay(spark: SparkSession, corpus: DataFrame,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"streaming replay {name} timed out; "
+                               "refusing to read a partial sink")
         return [
             (r.id_a, r.id_b)
             for r in spark.table(name).select("id_a", "id_b").collect()
@@ -2002,7 +2005,10 @@ def _q_streaming_histogram_replay(spark: SparkSession,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"streaming replay {name} timed out; "
+                               "refusing to read a partial sink")
         rows = (
             spark.table(name)
             .groupBy("window_start", "bin_0")

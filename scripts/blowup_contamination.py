@@ -34,8 +34,11 @@ def main() -> None:
     bench.count()
     for n in points:
         train = synth_corpus(spark, n, dup_rate=0.0)
-        # plant 1% verbatim benchmark copies
-        planted = bench.limit(max(n // 100, 1)).select(
+        # plant verbatim benchmark copies: 1% of the corpus, capped at
+        # the benchmark size (2,000) — so the 1M-doc point plants 0.2%,
+        # not 1%; the printed flagged count is the ground truth
+        n_plant = min(max(n // 100, 1), BENCH_DOCS)
+        planted = bench.limit(n_plant).select(
             (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
         corpus = train.unionByName(planted).localCheckpoint()
         for tag in ("warm", "steady"):

@@ -1225,10 +1225,17 @@ def test_fingerprint_arrow_matches_column(spark, tables):
 
 def test_contamination_check_arrow_matches_column(spark, tables):
     """The one-kernel Arrow path (blake2b gram hashes) returns exactly
-    the rows of the Column/xxhash64 reference path on real data."""
+    the rows of the Column/xxhash64 reference path on real data PLUS
+    whitespace edge rows (trailing newline, NBSP, tabs — where Python
+    .strip()/Unicode \\s would diverge from Spark trim/Java \\s)."""
     from dask_histogram_spark.operators import contamination_check
 
     d = tables["documents"].select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(900001, "hello world foo\n"), (900002, "a b c d"),
+         (900003, "\ttab lead x y"), (900004, "  space lead z w ")],
+        "doc_id long, text string")
+    d = d.unionByName(edge)
     train = d.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
     bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
     import pandas as pd
