@@ -283,7 +283,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              planes: int = 16, seed: int = 23,
                              exact: bool = False,
-                             method: str = "auto") -> DataFrame:
+                             method: str = "auto",
+                             repetitions: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
 
     Scale path (default): random-hyperplane LSH — each vector gets a
@@ -306,10 +307,75 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     the kernel is differentially tested against.
 
     Recall note: single-table LSH misses near-dups that straddle a
-    hyperplane; production runs use band repetition (several seeds,
-    union of candidates) to drive recall up — same plan shape, r
-    unions.  Output: (id_a, id_b, cos_sim).
+    hyperplane.  ``repetitions`` is the production lever: r
+    independent signature tables (seeds ``seed, seed+1, ...``), union
+    of candidate pairs, cosine filtered once — a pair at cosine c
+    survives with probability 1 - (1 - p(c)^planes)^r.  Each
+    repetition is one more narrow signature pass + bucket join over
+    the same cached input; candidates dedup on (id_a, id_b) before
+    the cosine.  Output: (id_a, id_b, cos_sim).
     """
+    if repetitions > 1 and not exact:
+        # all r signatures in ONE narrow pass (kernel loops seeds),
+        # then posexplode to (rep, sig) rows and self-join on the
+        # composite key — the minhash banding shape: one pass, one
+        # join, pair blowup linear in per-(rep, bucket) sizes
+        head = df.select(vec_col).first()
+        if head is None:
+            return df.sparkSession.createDataFrame(
+                [], T.StructType([
+                    T.StructField("id_a", df.schema[id_col].dataType),
+                    T.StructField("id_b", df.schema[id_col].dataType),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]))
+        dim = len(head[0])
+        Hts = [np.random.default_rng(seed + i).standard_normal(
+            (planes, dim)).T.copy() for i in range(repetitions)]
+        zero_sig = "0" * planes
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def sigs_arrow(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            arrs = [np.asarray(x, dtype=np.float64)
+                    if x is not None else None for x in vecs]
+            ok = [a is not None and a.shape == (dim,) for a in arrs]
+            out = [[zero_sig] * len(Hts) for _ in arrs]
+            if any(ok):
+                X = np.stack([a for a, o in zip(arrs, ok) if o])
+                rows = [i for i, o in enumerate(ok) if o]
+                for rep, Ht in enumerate(Hts):
+                    acc = np.zeros((X.shape[0], Ht.shape[1]))
+                    for j in range(X.shape[1]):
+                        acc += X[:, j, None] * Ht[None, j, :]
+                    bits = np.where(acc >= 0, "1", "0")
+                    for r_i, s_ in zip(rows, ("".join(r) for r in bits)):
+                        out[r_i][rep] = s_
+            return pd.Series(out)
+
+        banded = df.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode(sigs_arrow(F.col(vec_col))).alias("__rep", "__sig"),
+        )
+        a = banded.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("__va"),
+                          "__rep", "__sig")
+        b = banded.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("__vb"),
+                          F.col("__rep").alias("__repb"),
+                          F.col("__sig").alias("__sigb"))
+        pairs = (
+            a.join(b, (F.col("__rep") == F.col("__repb"))
+                   & (F.col("__sig") == F.col("__sigb"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", "__va", "__vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return pairs.select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("__va"), F.col("__vb")),
+                    6).alias("cos_sim"),
+        ).where(F.col("cos_sim") >= threshold)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
