@@ -16,6 +16,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import re as _re
+
+# Java \s is ASCII-only and Spark trim strips spaces only — the Python
+# twins tokenize with this pattern + .strip(" ") to match exactly.
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
 __all__ = ["prepare_training_corpus", "corpus_stats", "hash_sample",
            "hash_sample_sql", "hash_split", "hash_split_sql",
            "pack_sequences", "pack_sequences_sql", "token_vocabulary",
@@ -369,9 +375,6 @@ def stratified_sample_sql(rates: dict[str, float], group_col: str,
     return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {rate}"
 
 
-_WS_ASCII = None
-
-
 def _word_gram_hashes_py(text: str, n: int) -> "np.ndarray":
     """Distinct word-n-gram hashes of one document, mirroring the
     Column twin's tokenization exactly: ``split(trim(lower(text)),
@@ -383,11 +386,7 @@ def _word_gram_hashes_py(text: str, n: int) -> "np.ndarray":
     short gram.  Hash = 8-byte blake2b of the gram's UTF-8 (stable
     across processes, unlike ``hash()``)."""
     import hashlib
-    import re
 
-    global _WS_ASCII
-    if _WS_ASCII is None:
-        _WS_ASCII = re.compile(r"\s+", re.ASCII)
     toks = _WS_ASCII.split(text.lower().strip(" "))
     hi = max(len(toks) - n, 0)
     grams = {" ".join(toks[i:i + n]) for i in range(hi + 1)}

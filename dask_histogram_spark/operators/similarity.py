@@ -279,6 +279,15 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
     )
 
 
+def _empty_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    return df.sparkSession.createDataFrame(
+        [], T.StructType([
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              planes: int = 16, seed: int = 23,
@@ -288,148 +297,88 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
 
     Scale path (default): random-hyperplane LSH — each vector gets a
-    ``planes``-bit signature (sign of dot with seeded random
-    hyperplanes); candidate pairs share a signature bucket, then the
-    exact cosine filters.  Collision probability for two vectors at
-    angle θ is (1 - θ/π)^planes, so high-cosine pairs nearly always
-    collide while the bucket join stays linear in bucket sizes.
-    ``exact=True`` bypasses LSH (full pairwise — only for oracles/small
-    tables; it is the O(n²) plan the LSH form exists to avoid).
+    ``planes``-bit signature per repetition (sign of dot with seeded
+    random hyperplanes); candidate pairs share a (repetition, bucket),
+    then the exact cosine filters.  Collision probability for two
+    vectors at angle θ is (1 - θ/π)^planes per table, so high-cosine
+    pairs nearly always collide while the bucket join stays linear in
+    bucket sizes.  NULL or wrong-dimension vectors are excluded up
+    front (a shared degenerate bucket would self-join them all — the
+    same guard minhash applies to NULL text), which matches the result
+    set exactly: their cosine is NULL and can never pass the
+    threshold.  ``exact=True`` bypasses LSH (full pairwise — only for
+    oracles/small tables; it is the O(n²) plan the LSH form exists to
+    avoid).
+
+    ``repetitions`` is the recall lever: r independent signature
+    tables (seeds ``seed, seed+1, ...``) computed in the SAME single
+    pass, posexploded to (rep, bucket) band rows — the minhash-banding
+    shape — so a pair at cosine c survives with probability
+    1 - (1 - p(c)^planes)^r.  Candidates dedup on (id_a, id_b) before
+    the cosine; ``repetitions=1`` is the plain single-table form.
 
     ``method`` picks the signature kernel (LSH path only):
-    ``"arrow"`` (the ``"auto"`` default) computes all plane dots in a
-    vectorized Arrow batch whose inner loop adds term-by-term in the
-    SAME left-to-right float64 order as the Column fold — bit-identical
-    signs, so the bucket keys (and hence candidates and the SQL oracle)
-    are unchanged while the per-plane interpreted ``zip_with/aggregate``
-    chain (measured ~2 s for 2k x 64-dim x 8 planes at sf0.1) drops to
-    milliseconds.  ``"column"`` keeps the pure-Column reference path
-    the kernel is differentially tested against.
-
-    Recall note: single-table LSH misses near-dups that straddle a
-    hyperplane.  ``repetitions`` is the production lever: r
-    independent signature tables (seeds ``seed, seed+1, ...``), union
-    of candidate pairs, cosine filtered once — a pair at cosine c
-    survives with probability 1 - (1 - p(c)^planes)^r.  Each
-    repetition is one more narrow signature pass + bucket join over
-    the same cached input; candidates dedup on (id_a, id_b) before
-    the cosine.  Output: (id_a, id_b, cos_sim).
+    ``"arrow"`` (the ``"auto"`` default) computes all plane dots of
+    all repetitions in a vectorized Arrow batch whose inner loop adds
+    term-by-term in the SAME left-to-right float64 order as the Column
+    fold — bit-identical signs, so the bucket keys (and hence
+    candidates and the SQL oracle) are unchanged while the per-plane
+    interpreted ``zip_with/aggregate`` chain (measured ~2 s for
+    2k x 64-dim x 8 planes at sf0.1) drops to milliseconds.
+    ``"column"`` keeps the pure-Column reference path the kernel is
+    differentially tested against.  Output: (id_a, id_b, cos_sim).
     """
-    if repetitions > 1 and not exact:
-        # all r signatures in ONE narrow pass (kernel loops seeds),
-        # then posexplode to (rep, sig) rows and self-join on the
-        # composite key — the minhash banding shape: one pass, one
-        # join, pair blowup linear in per-(rep, bucket) sizes
-        head = df.select(vec_col).first()
-        if head is None:
-            return df.sparkSession.createDataFrame(
-                [], T.StructType([
-                    T.StructField("id_a", df.schema[id_col].dataType),
-                    T.StructField("id_b", df.schema[id_col].dataType),
-                    T.StructField("cos_sim", T.DoubleType()),
-                ]))
-        dim = len(head[0])
-        Hts = [np.random.default_rng(seed + i).standard_normal(
-            (planes, dim)).T.copy() for i in range(repetitions)]
-        zero_sig = "0" * planes
-
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def sigs_arrow(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:
-                return pd.Series([], dtype=object)
-            arrs = [np.asarray(x, dtype=np.float64)
-                    if x is not None else None for x in vecs]
-            ok = [a is not None and a.shape == (dim,) for a in arrs]
-            out = [[zero_sig] * len(Hts) for _ in arrs]
-            if any(ok):
-                X = np.stack([a for a, o in zip(arrs, ok) if o])
-                rows = [i for i, o in enumerate(ok) if o]
-                for rep, Ht in enumerate(Hts):
-                    acc = np.zeros((X.shape[0], Ht.shape[1]))
-                    for j in range(X.shape[1]):
-                        acc += X[:, j, None] * Ht[None, j, :]
-                    bits = np.where(acc >= 0, "1", "0")
-                    for r_i, s_ in zip(rows, ("".join(r) for r in bits)):
-                        out[r_i][rep] = s_
-            return pd.Series(out)
-
-        banded = df.select(
-            F.col(id_col), F.col(vec_col),
-            F.posexplode(sigs_arrow(F.col(vec_col))).alias("__rep", "__sig"),
-        )
-        a = banded.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("__va"),
-                          "__rep", "__sig")
-        b = banded.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("__vb"),
-                          F.col("__rep").alias("__repb"),
-                          F.col("__sig").alias("__sigb"))
-        pairs = (
-            a.join(b, (F.col("__rep") == F.col("__repb"))
-                   & (F.col("__sig") == F.col("__sigb"))
-                   & (F.col("id_a") < F.col("id_b")))
-            .select("id_a", "id_b", "__va", "__vb")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
         return pairs.select(
             "id_a", "id_b",
             F.round(cosine_expr(F.col("__va"), F.col("__vb")),
                     6).alias("cos_sim"),
         ).where(F.col("cos_sim") >= threshold)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+
+    if method == "auto":
+        method = "arrow"
+    if method not in ("arrow", "column"):
+        raise ValueError(f"unknown signature method: {method!r}")
+    head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if head is None:  # empty (or all-null) table: typed empty result
+        return _empty_pairs(df, id_col)
+    dim = len(head[0])
+    df = df.where(F.col(vec_col).isNotNull()
+                  & (F.size(F.col(vec_col)) == dim))
+    Hs = [np.random.default_rng(seed + i).standard_normal((planes, dim))
+          for i in range(repetitions)]
+
+    if method == "arrow":
+        Hts = [H.T.copy() for H in Hs]  # (dim, planes), float64
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def sigs_arrow(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            out = [[] for _ in range(len(vecs))]
+            for Ht in Hts:
+                # term-by-term accumulation over j reproduces the
+                # Column fold's sequential float64 adds exactly (a
+                # BLAS matmul's pairwise summation could flip a sign
+                # on a near-zero dot)
+                acc = np.zeros((X.shape[0], Ht.shape[1]))
+                for j in range(X.shape[1]):
+                    acc += X[:, j, None] * Ht[None, j, :]
+                bits = np.where(acc >= 0, "1", "0")
+                for i, s_ in enumerate("".join(r) for r in bits):
+                    out[i].append(s_)
+            return pd.Series(out)
+
+        sigs = sigs_arrow(F.col(vec_col))
     else:
-        head = df.select(vec_col).first()
-        if head is None:  # empty table: no pairs, typed empty result
-            return df.sparkSession.createDataFrame(
-                [], T.StructType([
-                    T.StructField("id_a", df.schema[id_col].dataType),
-                    T.StructField("id_b", df.schema[id_col].dataType),
-                    T.StructField("cos_sim", T.DoubleType()),
-                ]))
-        dim = len(head[0])
-        rng = np.random.default_rng(seed)
-        H = rng.standard_normal((planes, dim))
-        if method == "auto":
-            method = "arrow"
-        if method == "arrow":
-            Ht = H.T.copy()  # (dim, planes), float64
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-            zero_sig = "0" * planes
-
-            @F.pandas_udf(T.StringType())
-            def sig_arrow(vecs: pd.Series) -> pd.Series:
-                if len(vecs) == 0:
-                    return pd.Series([], dtype=object)
-                arrs = [np.asarray(x, dtype=np.float64)
-                        if x is not None else None for x in vecs]
-                # NULL or wrong-dimension vectors: the Column fold
-                # zips against the dim-length hyperplane array, any
-                # null term nulls the whole sum, and when(null >= 0)
-                # falls through to the all-'0' branch — reproduce that
-                # instead of letting np.stack raise on ragged input
-                ok = [a is not None and a.shape == (Ht.shape[0],)
-                      for a in arrs]
-                out = np.array([zero_sig] * len(arrs), dtype=object)
-                if any(ok):
-                    X = np.stack([a for a, o in zip(arrs, ok) if o])
-                    # term-by-term accumulation over j reproduces the
-                    # Column fold's sequential float64 adds exactly (a
-                    # BLAS matmul's pairwise summation could flip a
-                    # sign on a near-zero dot)
-                    acc = np.zeros((X.shape[0], Ht.shape[1]))
-                    for j in range(X.shape[1]):
-                        acc += X[:, j, None] * Ht[None, j, :]
-                    bits = np.where(acc >= 0, "1", "0")
-                    out[np.asarray(ok)] = ["".join(r) for r in bits]
-                return pd.Series(list(out))
-
-            sig = sig_arrow(F.col(vec_col))
-        elif method == "column":
-            sig = F.concat(*[
+        def one_sig(H) -> Column:
+            return F.concat(*[
                 F.when(
                     F.aggregate(
                         F.zip_with(
@@ -445,18 +394,25 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                 ).otherwise(F.lit("0"))
                 for p in range(planes)
             ])
-        else:
-            raise ValueError(f"unknown signature method: {method!r}")
-        bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
-        a = bucketed.select(F.col(id_col).alias("id_a"),
-                            F.col(vec_col).alias("__va"),
-                            F.col("__sig").alias("__siga"))
-        b = bucketed.select(F.col(id_col).alias("id_b"),
-                            F.col(vec_col).alias("__vb"),
-                            F.col("__sig").alias("__sigb"))
-        pairs = a.join(
-            b, (F.col("__siga") == F.col("__sigb")) & (F.col("id_a") < F.col("id_b"))
-        )
+
+        sigs = F.array(*[one_sig(H) for H in Hs])
+
+    banded = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(sigs).alias("__rep", "__sig"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("__va"),
+                      "__rep", "__sig")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("__vb"),
+                      F.col("__rep").alias("__repb"),
+                      F.col("__sig").alias("__sigb"))
+    pairs = a.join(b, (F.col("__rep") == F.col("__repb"))
+                   & (F.col("__sig") == F.col("__sigb"))
+                   & (F.col("id_a") < F.col("id_b")))
+    if repetitions > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs.select(
         "id_a", "id_b",
         F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),

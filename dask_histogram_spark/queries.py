@@ -531,7 +531,7 @@ _register(
     "COUNT(*) AS value FROM events GROUP BY 1, 2, 3 "
     "UNION ALL "
     "SELECT 'json_k' AS kind, "
-    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS key, "
+    "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS key, "
     "CAST(NULL AS INT) AS bin_0, COUNT(*) AS value "
     "FROM events GROUP BY 1, 2, 3",
 )

@@ -1,7 +1,9 @@
 """Scale ladder for contamination_check: deterministic synthetic
 training corpora (same generator as blowup_pipeline) against a fixed
-2,000-doc "benchmark", with 1% of training docs planted as verbatim
-benchmark copies.  Each point: one warmup rep, then a steady-state rep.
+2,000-doc "benchmark", with verbatim benchmark copies planted at 1% of
+the corpus CAPPED at the benchmark size (so the 1M point plants 2,000
+= 0.2%; the printed flagged count is the ground truth).  Each point:
+one warmup rep, then a steady-state rep.
 
 Usage: python scripts/blowup_contamination.py [n_docs ...]
 """

@@ -1350,3 +1350,22 @@ def test_near_dup_band_repetition_recall(spark):
     assert len(r1 & planted) == 378       # pinned: single-table misses
     assert r5 & planted == planted        # 5 repetitions: full recall
     assert not (r5 - planted)             # no false positives at 0.99
+
+
+def test_near_dup_null_first_row_and_ragged(spark):
+    """A NULL embedding in the FIRST row (dim probe) and wrong-length
+    vectors must not break the LSH path; null/ragged docs are excluded
+    and can never pair (their cosine would be NULL anyway)."""
+    from dask_histogram_spark.operators import embedding_near_dup_pairs
+
+    rows = [(0, None), (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.001, 0.0]),
+            (3, [0.5, 0.5]), (4, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in (1, 3):
+        got = {(x.id_a, x.id_b) for x in embedding_near_dup_pairs(
+            df, threshold=0.99, planes=8, repetitions=r).collect()}
+        assert got == {(1, 2)}, r
+    # all-null table: typed empty result, no crash
+    allnull = spark.createDataFrame([(0, None), (1, None)],
+                                    "vec_id long, embedding array<float>")
+    assert embedding_near_dup_pairs(allnull, planes=4).count() == 0
