@@ -29,7 +29,9 @@ from .similarity import (
     embedding_near_dup_pairs,
     embedding_norms,
     fit_centroids,
+    build_ivf_index,
     ivf_topk,
+    ivf_topk_indexed,
     quantize_embeddings,
     quantized_cosine_expr,
 )
@@ -64,6 +66,8 @@ __all__ = [
     "exact_dup_stats",
     "fingerprint",
     "fit_centroids",
+    "build_ivf_index",
+    "ivf_topk_indexed",
     "hash_sample",
     "hash_split",
     "ivf_topk",

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "embedding_near_dup_pairs", "fit_centroids",
+           "build_ivf_index", "ivf_topk_indexed",
            "quantize_embeddings", "quantized_cosine_expr"]
 
 
@@ -186,88 +187,88 @@ def _brute_force_topk_arrow(df: DataFrame, queries: DataFrame, k: int,
     )
 
 
-def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
-             k: int = 5, nprobe: int = 2, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k via IVF bucketing.
-
-    ``centroids`` is a (C, dim) numpy array (e.g. from a driver-side
-    k-means over a sample).  Index build = one narrow pass assigning
-    each vector to its nearest centroid; search joins queries (each
-    expanded to its ``nprobe`` nearest centroids) to bucketed vectors on
-    centroid id — the scan is pruned to ~nprobe/C of the data, and the
-    bucket assignment is reusable across queries (write it bucketed/
-    partitioned by ``cid`` in a real deployment).
-    Output: (query_id, neighbor_id, cos_sim, rank).
-    """
-    # Centroids embed as a CONSTANT array-of-structs literal (with
-    # precomputed norms) — nearest-centroid is then a per-row argmin in
-    # a narrow `select`: zero shuffle, no crossJoin, the vectors never
-    # leave their input partitions.  (Round-1 shape — crossJoin +
-    # groupBy(id, vec) — keyed an exchange on the full embedding array;
-    # at 100 TB of vectors that exchange IS the job.)
-    C = centroids.shape[0]
+def _centroid_literal(centroids: np.ndarray):
+    """(C, dim) numpy centroids as a CONSTANT array-of-structs Column
+    literal with precomputed norms — the broadcast-free way to ship a
+    small model to every task (argmin/argmax over it is a narrow map)."""
     cnorms = np.linalg.norm(centroids.astype(np.float64), axis=1)
-    cent_lit = F.array(*[
+    return F.array(*[
         F.struct(
             F.lit(int(i)).alias("cid"),
             F.array(*[F.lit(float(x)) for x in centroids[i]]).alias("cvec"),
             F.lit(float(cnorms[i])).alias("cnorm"),
         )
-        for i in range(C)
+        for i in range(centroids.shape[0])
     ])
 
-    def cent_sims(cent_struct: Column) -> Column:
-        """cosine(__vd, centroid) using the row's precomputed __vnorm."""
-        return F.coalesce(
-            _dot(F.col("__vd"), cent_struct["cvec"])
-            / F.nullif(F.col("__vnorm") * cent_struct["cnorm"], F.lit(0.0)),
-            F.lit(-2.0),  # zero vectors: below any real cosine
-        )
 
-    def with_vec_prep(src: DataFrame, out_id: str) -> DataFrame:
-        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        return src.select(
-            F.col(id_col).alias(out_id), F.col(vec_col), vd.alias("__vd")
-        ).withColumn("__vnorm", _norm(F.col("__vd")))
+def _cent_sims(cent_struct: Column) -> Column:
+    """cosine(__vd, centroid) using the row's precomputed __vnorm;
+    zero vectors score below any real cosine."""
+    return F.coalesce(
+        _dot(F.col("__vd"), cent_struct["cvec"])
+        / F.nullif(F.col("__vnorm") * cent_struct["cnorm"], F.lit(0.0)),
+        F.lit(-2.0),
+    )
 
-    # index: nearest centroid per vector — narrow map (argmax over the
-    # centroid literal; ties break to the smallest cid via -cid)
+
+def _with_vec_prep(src: DataFrame, id_col: str, out_id: str,
+                   vec_col: str) -> DataFrame:
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return src.select(
+        F.col(id_col).alias(out_id), F.col(vec_col), vd.alias("__vd")
+    ).withColumn("__vnorm", _norm(F.col("__vd")))
+
+
+def _assign_cid(df: DataFrame, cent_lit, id_col: str,
+                vec_col: str) -> DataFrame:
+    """(id, vec, cid): nearest centroid per vector — narrow map (argmax
+    over the centroid literal; ties break to the smallest cid)."""
     best = F.array_max(
         F.transform(
             cent_lit,
-            lambda c: F.struct(cent_sims(c).alias("sim"),
+            lambda c: F.struct(_cent_sims(c).alias("sim"),
                                (-c["cid"]).alias("ncid")),
         )
     )
-    assigned = (
-        with_vec_prep(df, id_col)
+    return (
+        _with_vec_prep(df, id_col, id_col, vec_col)
         .withColumn("cid", (-best["ncid"]).cast("int"))
         .select(id_col, vec_col, "cid")
     )
-    # queries expand to their nprobe nearest buckets — same narrow map,
-    # sorted by (-sim, cid) then sliced
+
+
+def _probe_queries(queries: DataFrame, cent_lit, nprobe: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, __qv, cid) — each query exploded to its nprobe
+    nearest buckets (same narrow map as assignment, sorted + sliced)."""
     probes = F.slice(
         F.array_sort(
             F.transform(
                 cent_lit,
-                lambda c: F.struct((-cent_sims(c)).alias("d"), c["cid"].alias("cid")),
+                lambda c: F.struct((-_cent_sims(c)).alias("d"),
+                                   c["cid"].alias("cid")),
             )
         ),
         1, nprobe,
     )
-    q_assigned = (
-        with_vec_prep(queries, "query_id")
+    return (
+        _with_vec_prep(queries, id_col, "query_id", vec_col)
         .select("query_id", F.col(vec_col).alias("__qv"),
                 F.explode(probes["cid"]).alias("cid"))
     )
+
+
+def _score_and_rank(index: DataFrame, q_assigned: DataFrame, k: int,
+                    id_col: str, vec_col: str) -> DataFrame:
     scored = (
-        assigned.join(F.broadcast(q_assigned), on="cid")
+        index.join(F.broadcast(q_assigned), on="cid")
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_expr(F.col("__qv"), F.col(vec_col)), 6).alias("cos_sim"),
+            F.round(cosine_expr(F.col("__qv"), F.col(vec_col)),
+                    6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -277,6 +278,67 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
+             k: int = 5, nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k via IVF bucketing.
+
+    ``centroids`` is a (C, dim) numpy array (e.g. from a driver-side
+    k-means over a sample).  Index build = one narrow pass assigning
+    each vector to its nearest centroid (the centroids embed as a
+    CONSTANT literal, so the vectors never leave their input
+    partitions — no crossJoin, no exchange); search joins queries
+    (each expanded to its ``nprobe`` nearest centroids) to bucketed
+    vectors on centroid id.  For a REUSABLE on-disk index see
+    :func:`build_ivf_index` / :func:`ivf_topk_indexed`.
+    Output: (query_id, neighbor_id, cos_sim, rank).
+    """
+    cent_lit = _centroid_literal(centroids)
+    assigned = _assign_cid(df, cent_lit, id_col, vec_col)
+    q_assigned = _probe_queries(queries, cent_lit, nprobe, id_col, vec_col)
+    return _score_and_rank(assigned, q_assigned, k, id_col, vec_col)
+
+
+def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Materialize the IVF assignment as a parquet table PARTITIONED by
+    centroid id — the persisted form of :func:`ivf_topk`'s inline
+    assignment.  Pre-pays the (narrow) assignment pass once, and —
+    the actual 100 TB win — lets every subsequent search read ONLY its
+    probed buckets from disk: :func:`ivf_topk_indexed` turns the probe
+    set into a static partition filter, so the scan touches
+    ~nprobe/C of the files (plan-asserted in tests/test_plans.py).
+    """
+    cent_lit = _centroid_literal(centroids)
+    (
+        _assign_cid(df, cent_lit, id_col, vec_col)
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+    )
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame,
+                     centroids: np.ndarray, k: int = 5, nprobe: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Search a persisted IVF index (:func:`build_ivf_index`).
+
+    The probe set (union of every query's ``nprobe`` nearest centroid
+    ids — at most C small ints) is computed first and applied as a
+    STATIC ``cid IN (...)`` filter on the partitioned index, so
+    partition pruning keeps unprobed buckets entirely unread; scoring
+    and ranking are identical to :func:`ivf_topk` (same broadcast
+    query join, same window).  Returns the same
+    (query_id, neighbor_id, cos_sim, rank) rows.
+    """
+    cent_lit = _centroid_literal(centroids)
+    q_assigned = _probe_queries(queries, cent_lit, nprobe, id_col, vec_col)
+    probe_cids = sorted(
+        r.cid for r in q_assigned.select("cid").distinct().collect())
+    index = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
+    return _score_and_rank(index, q_assigned, k, id_col, vec_col)
 
 
 def _empty_pairs(df: DataFrame, id_col: str) -> DataFrame:

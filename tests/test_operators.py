@@ -1369,3 +1369,33 @@ def test_near_dup_null_first_row_and_ragged(spark):
     allnull = spark.createDataFrame([(0, None), (1, None)],
                                     "vec_id long, embedding array<float>")
     assert embedding_near_dup_pairs(allnull, planes=4).count() == 0
+
+
+def test_ivf_indexed_matches_inline(spark, tables, tmp_path):
+    """build_ivf_index + ivf_topk_indexed return exactly the inline
+    ivf_topk rows, and the indexed scan is partition-pruned to the
+    probed cid buckets."""
+    from dask_histogram_spark.operators import (
+        build_ivf_index, ivf_topk_indexed)
+
+    emb = tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 3)
+    rng = np.random.default_rng(0)
+    vecs = np.stack([np.array(r.embedding) for r in emb.collect()])
+    centroids = vecs[rng.choice(len(vecs), size=8, replace=False)]
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, centroids, path)
+
+    inline = ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    indexed = ivf_topk_indexed(spark, path, queries, centroids,
+                               k=5, nprobe=2)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, indexed.collect()), key=lambda t: (t[0], t[3])) \
+        == sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3]))
+    # partition pruning: the probed cid set reaches the scan
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan[:1500]
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*\]", plan)
+    assert m, plan[:1500]
