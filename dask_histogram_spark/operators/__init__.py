@@ -32,6 +32,7 @@ from .similarity import (
     build_ivf_index,
     ivf_topk,
     ivf_topk_indexed,
+    load_ivf_centroids,
     quantize_embeddings,
     quantized_cosine_expr,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "fit_centroids",
     "build_ivf_index",
     "ivf_topk_indexed",
+    "load_ivf_centroids",
     "hash_sample",
     "hash_split",
     "ivf_topk",

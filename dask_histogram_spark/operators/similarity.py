@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "embedding_near_dup_pairs", "fit_centroids",
-           "build_ivf_index", "ivf_topk_indexed",
+           "build_ivf_index", "ivf_topk_indexed", "load_ivf_centroids",
            "quantize_embeddings", "quantized_cosine_expr"]
 
 
@@ -310,35 +310,66 @@ def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
     the actual 100 TB win — lets every subsequent search read ONLY its
     probed buckets from disk: :func:`ivf_topk_indexed` turns the probe
     set into a static partition filter, so the scan touches
-    ~nprobe/C of the files (plan-asserted in tests/test_plans.py).
+    ~nprobe/C of the files (plan-asserted in
+    tests/test_operators.py::test_ivf_indexed_matches_inline).
+
+    The centroid matrix is persisted WITH the index (an
+    underscore-prefixed sidecar, invisible to the main parquet read):
+    probing with different centroids than the ones that assigned the
+    buckets would silently collapse recall, so the search loads the
+    stored matrix by default instead of trusting the caller to pass
+    the same array twice.
     """
     cent_lit = _centroid_literal(centroids)
     (
         _assign_cid(df, cent_lit, id_col, vec_col)
         .write.mode("overwrite").partitionBy("cid").parquet(path)
     )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in centroids[i]])
+         for i in range(centroids.shape[0])],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
-def ivf_topk_indexed(spark, path: str, queries: DataFrame,
-                     centroids: np.ndarray, k: int = 5, nprobe: int = 2,
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """The centroid matrix stored by :func:`build_ivf_index`."""
+    rows = spark.read.parquet(f"{path}/_centroids") \
+        .orderBy("cid").collect()
+    return np.array([r.cvec for r in rows], dtype=np.float64)
+
+
+def ivf_topk_indexed(path: str, queries: DataFrame,
+                     centroids: np.ndarray | None = None,
+                     k: int = 5, nprobe: int = 2,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
     """Search a persisted IVF index (:func:`build_ivf_index`).
 
-    The probe set (union of every query's ``nprobe`` nearest centroid
-    ids — at most C small ints) is computed first and applied as a
-    STATIC ``cid IN (...)`` filter on the partitioned index, so
-    partition pruning keeps unprobed buckets entirely unread; scoring
-    and ranking are identical to :func:`ivf_topk` (same broadcast
-    query join, same window).  Returns the same
+    Probing uses the centroid matrix STORED with the index (pass
+    ``centroids`` only to override, e.g. for a what-if probe study —
+    mismatched centroids silently degrade recall, which is why the
+    stored matrix is the default).  The probe assignment (query id,
+    vector, probed cid — broadcast-small by construction: n_queries x
+    nprobe rows) is computed ONCE and collected: the distinct cids
+    become a STATIC ``cid IN (...)`` partition filter on the index
+    read, and the collected rows are rebuilt as a local DataFrame for
+    the join — one evaluation, so a non-deterministic ``queries`` plan
+    cannot diverge between the filter and the join.  Scoring and
+    ranking are identical to :func:`ivf_topk`.  Returns the same
     (query_id, neighbor_id, cos_sim, rank) rows.
     """
+    spark = queries.sparkSession
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
     cent_lit = _centroid_literal(centroids)
     q_assigned = _probe_queries(queries, cent_lit, nprobe, id_col, vec_col)
-    probe_cids = sorted(
-        r.cid for r in q_assigned.select("cid").distinct().collect())
+    q_rows = q_assigned.collect()
+    probe_cids = sorted({r.cid for r in q_rows})
+    q_local = spark.createDataFrame(q_rows, q_assigned.schema)
     index = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
-    return _score_and_rank(index, q_assigned, k, id_col, vec_col)
+    return _score_and_rank(index, q_local, k, id_col, vec_col)
 
 
 def _empty_pairs(df: DataFrame, id_col: str) -> DataFrame:

@@ -1387,9 +1387,8 @@ def test_ivf_indexed_matches_inline(spark, tables, tmp_path):
     build_ivf_index(emb, centroids, path)
 
     inline = ivf_topk(emb, queries, centroids, k=5, nprobe=2)
-    indexed = ivf_topk_indexed(spark, path, queries, centroids,
-                               k=5, nprobe=2)
-    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    # stored-centroid default path (no centroids argument)
+    indexed = ivf_topk_indexed(path, queries, k=5, nprobe=2)
     assert sorted(map(tuple, indexed.collect()), key=lambda t: (t[0], t[3])) \
         == sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3]))
     # partition pruning: the probed cid set reaches the scan
