@@ -363,3 +363,76 @@ def test_streaming_contamination_check_matches_batch(spark, tmp_path):
     got = {(r.doc_id, r.n_grams, r.n_hits, r.contaminated)
            for r in spark.sql("SELECT * FROM scontam").collect()}
     assert got == expected
+
+
+def test_streaming_histogram_state_survives_restart(spark, tmp_path):
+    """Windowed-histogram aggregation state must survive a query
+    restart: run 1 fills from half the event files, run 2 (same
+    checkpoint) streams the other half — the rows run 2 emits are
+    UPDATES carrying the accumulated per-(window, bin) counts, so for
+    every key run 2 touches the final value must equal a batch fill
+    over ALL events.  A state reset between runs would emit
+    run-2-only partial counts."""
+    import glob
+    import os
+    import shutil
+
+    import dask_histogram_spark as dhs
+    from dask_histogram_spark.streaming import windowed_histogram
+
+    events = load_tables(spark, "/root/testdata/sf0.001",
+                         names=("events",))["events"]
+    spec = dhs.HistogramSpec(axes=(dhs.Regular(10, 0, 100),),
+                             storage=dhs.Storage.DOUBLE)
+    stage = str(tmp_path / "stage")
+    events.repartition(6).write.mode("overwrite").parquet(stage)
+    parts = sorted(glob.glob(stage + "/part-*"))
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = events.schema
+
+    sink1 = str(tmp_path / "sink1")
+    sink2 = str(tmp_path / "sink2")
+
+    def run_once(sink):
+        # memory sinks cannot recover from a checkpoint; foreachBatch
+        # is the fault-tolerant update-mode sink (batch-id replay)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            windowed_histogram(stream, "ts", ["value"], spec,
+                               window="1 day", watermark="60 days")
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid:
+                          df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    for f in parts[:3]:
+        shutil.copy(f, src)
+    run_once(sink1)
+    for f in parts[3:]:
+        shutil.copy(f, src)
+    run_once(sink2)
+    # counts are monotone under unit weights, so the max update per key
+    # in run 2 is its final accumulated cross-run count
+    got = (spark.read.parquet(sink2)
+           .groupBy("window_start", "bin_0")
+           .agg(F.max("value").alias("value"))
+           .toPandas().set_index(["window_start", "bin_0"])
+           .value.sort_index())
+    batch = (windowed_histogram(events, "ts", ["value"], spec,
+                                window="1 day")
+             .toPandas().set_index(["window_start", "bin_0"])
+             .value.sort_index())
+    joined = got.to_frame("got").join(batch.to_frame("exp"), how="inner")
+    # random file split: essentially every window has data in both
+    # runs, so run-2 updates must include run-1 state
+    assert len(joined) >= 0.5 * len(batch)
+    np.testing.assert_allclose(joined.got.to_numpy(),
+                               joined.exp.to_numpy())
