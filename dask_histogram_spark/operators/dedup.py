@@ -653,10 +653,14 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
         ),
         lambda p: p.id_a < p.id_b,
     )
+    # the empty-array fallback must carry the SAME element type as
+    # pair_gen, derived from the actual id column (a string doc id
+    # would fail analysis against a hardcoded long here)
+    id_t = sigs.schema[id_col].dataType.simpleString()
     buckets = buckets.withColumn(
         "__pairs",
         F.when(F.col("__n") <= max_bucket, pair_gen)
-        .otherwise(F.array().cast("array<struct<id_a:long,id_b:long>>")),
+        .otherwise(F.array().cast(f"array<struct<id_a:{id_t},id_b:{id_t}>>")),
     )
     bucket_stats = buckets.agg(
         (F.sum(F.col("__n") * (F.col("__n") - 1)) / 2)

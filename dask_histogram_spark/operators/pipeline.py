@@ -369,7 +369,13 @@ def stratified_sample_sql(rates: dict[str, float], group_col: str,
     inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
              f"+ {_SPLIT_M}) % {_SPLIT_M})")
     h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
-    whens = " ".join(f"WHEN {g!r} THEN {float(r)!r}"
+    def lit(g) -> str:
+        # always a single-quoted SQL string literal with '' escaping —
+        # Python repr of a value containing a quote would emit a
+        # double-quoted string, which DuckDB parses as an identifier
+        return "'" + str(g).replace("'", "''") + "'"
+
+    whens = " ".join(f"WHEN {lit(g)} THEN {float(r)!r}"
                      for g, r in rates.items())
     rate = f"(CASE {group_col} {whens} ELSE {float(default_rate)!r} END)"
     return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {rate}"

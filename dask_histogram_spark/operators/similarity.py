@@ -323,7 +323,15 @@ def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
     cent_lit = _centroid_literal(centroids)
     (
         _assign_cid(df, cent_lit, id_col, vec_col)
-        .write.mode("overwrite").partitionBy("cid").parquet(path)
+        # force STATIC overwrite: under a session-level
+        # partitionOverwriteMode=dynamic, a rebuild with a different
+        # centroid set would leave stale cid=... directories from the
+        # old assignment next to the replaced _centroids sidecar, and
+        # searches would silently score vectors bucketed by the old
+        # centroids — the whole path must be replaced atomically.
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cid").parquet(path)
     )
     spark = df.sparkSession
     spark.createDataFrame(
@@ -447,11 +455,25 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     if method == "arrow":
         Hts = [H.T.copy() for H in Hs]  # (dim, planes), float64
 
+        def to_f64(x) -> np.ndarray:
+            # Null-tolerant coercion: an array whose SIZE matches dim
+            # but contains NULL elements passes the dimension filter;
+            # map the nulls to NaN so every plane dot goes NaN and the
+            # sign test (NaN >= 0 is False) emits the same all-'0'
+            # signature the Column fold produces (null dot ->
+            # when(null >= 0).otherwise('0')).  np.asarray would raise
+            # TypeError on a None element and fail the whole job.
+            try:
+                return np.asarray(x, dtype=np.float64)
+            except (TypeError, ValueError):
+                return np.array([np.nan if e is None else e for e in x],
+                                dtype=np.float64)
+
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def sigs_arrow(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series([], dtype=object)
-            X = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            X = np.stack([to_f64(x) for x in vecs])
             out = [[] for _ in range(len(vecs))]
             for Ht in Hts:
                 # term-by-term accumulation over j reproduces the

@@ -1398,3 +1398,97 @@ def test_ivf_indexed_matches_inline(spark, tables, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*\]", plan)
     assert m, plan[:1500]
+
+
+def test_near_dup_null_element_vector(spark):
+    """A vector with a NULL ELEMENT (size matches dim, so it survives
+    the dimension filter) must not crash the Arrow signature kernel:
+    null elements coerce to NaN, every plane dot goes NaN, and the
+    signature is the same all-'0' string the Column fold emits — both
+    methods return identical pairs, and the null-element vector can
+    never pass the cosine threshold (its cosine is NULL)."""
+    from dask_histogram_spark.operators import embedding_near_dup_pairs
+
+    rows = [(0, [1.0, None, 0.0]), (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]), (3, [None, None, None])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for method in ("arrow", "column"):
+        got = {(x.id_a, x.id_b) for x in embedding_near_dup_pairs(
+            df, threshold=0.99, planes=8, method=method).collect()}
+        assert got == {(1, 2)}, method
+
+
+def test_minhash_lsh_stats_string_ids(spark):
+    """minhash_lsh_stats with a STRING id column: the capped-bucket
+    empty-array fallback must carry the id column's actual type (a
+    hardcoded long struct fails analysis), and the capped counts match
+    the long-id run on the same texts."""
+    from dask_histogram_spark.operators import minhash_lsh_stats
+
+    texts = [f"doc body number {i % 4} repeated words here" for i in range(24)]
+    longs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    strs = spark.createDataFrame(
+        [(f"d{i:04d}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    # max_bucket=2 forces the .otherwise(empty-array) branch to matter
+    rl = minhash_lsh_stats(longs, max_bucket=2).collect()[0]
+    rs = minhash_lsh_stats(strs, max_bucket=2).collect()[0]
+    assert rs.sum_bands == rl.sum_bands
+    assert rs.n_pairs_capped == rl.n_pairs_capped
+    assert rs.n_capped_buckets == rl.n_capped_buckets > 0
+
+
+def test_stratified_sample_sql_quoted_group(spark):
+    """A group value containing a single quote must survive the SQL
+    twin: the literal is emitted single-quoted with '' escaping (a
+    Python repr would switch to double quotes, which DuckDB parses as
+    an identifier)."""
+    import duckdb
+
+    from dask_histogram_spark.operators import stratified_sample
+    from dask_histogram_spark.operators.pipeline import stratified_sample_sql
+
+    rows = [(i, "o'neill" if i % 2 else "plain") for i in range(-50, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"o'neill": 0.7, "plain": 0.2}
+    got = {r.doc_id for r in
+           stratified_sample(df, rates, "lang", seed=3).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{g.replace(chr(39), chr(39) * 2)}')"
+                    for i, g in rows) + ") v(doc_id, lang)")
+    exp = {r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE "
+        + stratified_sample_sql(rates, "lang", seed=3)).fetchall()}
+    assert got == exp and got
+
+
+def test_build_ivf_index_rebuild_static_under_dynamic_mode(spark, tables,
+                                                           tmp_path):
+    """Rebuilding an IVF index with a DIFFERENT centroid set must fully
+    replace the old partition layout even when the session default is
+    partitionOverwriteMode=dynamic — stale cid directories from the old
+    assignment would otherwise be scored against the new sidecar's
+    centroids."""
+    from dask_histogram_spark.operators import (
+        build_ivf_index, load_ivf_centroids)
+
+    emb = tables["embeddings"]
+    vecs = np.stack([np.array(r.embedding) for r in emb.collect()])
+    path = str(tmp_path / "ivf_rebuild")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        build_ivf_index(emb, vecs[:8], path)
+        assert {r.cid for r in
+                spark.read.parquet(path).select("cid").distinct().collect()
+                } == set(range(8))
+        build_ivf_index(emb, vecs[:2], path)  # rebuild: fewer centroids
+        cids = {r.cid for r in
+                spark.read.parquet(path).select("cid").distinct().collect()}
+        assert cids == {0, 1}, f"stale partitions survived: {cids}"
+        assert load_ivf_centroids(spark, path).shape[0] == 2
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
