@@ -49,17 +49,41 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder — deterministic fake image from the payload hash.
+def _payload_seed(payload: bytes) -> int:
+    """Seed = big-endian int of payload bytes 4..7.  The payload is the
+    UTF-8 bytes of the sha256 HEX digest (see :func:`attach_fake_media`),
+    so this is the ASCII codes of hex characters 5-8 — recomputable in
+    ANSI SQL as ``ascii(substr(sha256(id), 5..8, 1))`` terms, which is
+    what makes every downstream feature oracle-checkable."""
+    return int.from_bytes(payload[4:8], "big", signed=False)
 
-    Replace with e.g. PIL/libvips in a real deployment; raises clearly
-    if asked for a format it does not understand.
+
+def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder — deterministic ARITHMETIC fake image from the
+    payload hash; replace with e.g. PIL/libvips in a real deployment.
+
+    ``pixel[y, x, c] = (seed + 11c) % 200 + (3x) % 8 + (7y) % 8``
+    (uint8, max 213).  Chosen to be closed-form: the x/y terms are
+    periodic with period 8 and every fake width/height is a multiple
+    of 64, so each full-channel mean is EXACTLY
+    ``(seed + 11c) % 200 + 7``, and any rectangular block mean
+    decomposes into (constant + row-term mean + column-term mean) —
+    both DuckDB-expressible, giving the decoded path a SQL oracle
+    (mirroring the reference's differential-vs-eager-oracle posture,
+    /root/reference/tests/test_core.py:39-44) instead of the
+    rows-only contract an opaque RNG body forced.
     """
     if payload is None:
         raise NotImplementedError("real image decoding unavailable in this container")
-    seed = int.from_bytes(payload[:8], "big", signed=False) % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    seed = _payload_seed(payload)
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    return (
+        (seed + 11 * c[None, None, :]) % 200
+        + (3 * x[None, :, None]) % 8
+        + (7 * y[:, None, None]) % 8
+    ).astype(np.uint8)
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
@@ -94,10 +118,13 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                 pdf["media_meta"].to_numpy(),
             ):
                 img = _fake_decode_rgb(payload, meta["width"], meta["height"])
-                # "resize": strided subsample to (rh, rw) — stands in for
-                # a real interpolating resize
-                ys = np.linspace(0, img.shape[0] - 1, rh).astype(int)
-                xs = np.linspace(0, img.shape[1] - 1, rw).astype(int)
+                # "resize": strided subsample to (rh, rw) — stands in
+                # for a real interpolating resize.  Pure-integer index
+                # arithmetic ((i * (n-1)) // (r-1)) so the subsample
+                # grid is reproducible exactly in SQL (a float linspace
+                # would round differently at truncation boundaries).
+                ys = (np.arange(rh) * (img.shape[0] - 1)) // max(rh - 1, 1)
+                xs = (np.arange(rw) * (img.shape[1] - 1)) // max(rw - 1, 1)
                 small = img[np.ix_(ys, xs)]
                 quad = small.reshape(2, rh // 2, 2, rw // 2, 3).mean(axis=(1, 3))
                 cols[id_col].append(did)
@@ -115,14 +142,23 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
 
 
 def _fake_waveform(payload: bytes, n: int = 16000) -> np.ndarray:
-    """STUB audio decode — deterministic sine mix from payload hash."""
+    """STUB audio decode — deterministic ARITHMETIC fake waveform from
+    the payload hash; replace with a real codec in deployment.
+
+    ``wave[i] = ((seed + 37i) % 2001 - 1000) / 1024`` — a sawtooth in
+    (-0.977, 0.977).  The 1024 divisor is dyadic, so every sample is
+    EXACT in float32, every square is exact in float64, and partial
+    sums of squares stay exact integers over 2^20 — frame RMS is
+    therefore bit-identical between numpy (pairwise summation) and a
+    SQL engine's sequential SUM, which is what lets the audio half of
+    the multimodal row be hash-checked against a DuckDB twin (an RNG
+    sine mix had no SQL form).
+    """
     if payload is None:
         raise NotImplementedError("real audio decoding unavailable in this container")
-    seed = int.from_bytes(payload[:8], "big", signed=False) % (2**32)
-    rng = np.random.default_rng(seed)
-    t = np.arange(n) / 16000.0
-    f = rng.uniform(100, 1000)
-    return np.sin(2 * np.pi * f * t).astype(np.float32)
+    seed = _payload_seed(payload)
+    v = (seed + 37 * np.arange(n, dtype=np.int64)) % 2001 - 1000
+    return (v / 1024.0).astype(np.float32)
 
 
 def sample_audio_frames(df: DataFrame, id_col: str = "doc_id",

@@ -1683,20 +1683,23 @@ FROM scored QUALIFY rank <= 5
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BOTH multimodal kernels in one rows-only entry: per-doc image
+    """BOTH multimodal kernels in one HASH-CHECKED entry: per-doc image
     features (posexploded to scalars) carry the clip's audio-frame
     aggregate as constant per-doc columns — image decode AND audio
-    frame-sampling both execute and both feed the row hash.  (Rows-only
-    because the deterministic fake decoders are numpy kernels with no
-    SQL twin; the element-wise differential gate lives in
-    tests/test_operators.py::test_multimodal_numpy_twin.)"""
+    frame-sampling both execute and both feed the row hash.  The fake
+    decoders are arithmetically defined (closed-form channel means,
+    block-decomposable quad features, dyadic-exact frame RMS — see
+    operators/multimodal.py), so the decoded path has a full DuckDB
+    twin; the element-wise mapInPandas-plumbing gate additionally
+    lives in tests/test_operators.py::test_multimodal_numpy_twin."""
     from .operators.multimodal import (
         attach_fake_media,
         decode_image_features,
         sample_audio_frames,
     )
 
-    d = get_tables(spark, sf_dir)["documents"].limit(50)
+    # deterministic doc subset (a bare limit(50) has no stable SQL twin)
+    d = get_tables(spark, sf_dir)["documents"].where(F.col("doc_id") < 50)
     media = attach_fake_media(d)
     feats = decode_image_features(media)
     audio = (
@@ -1721,7 +1724,67 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(audio, "doc_id")
 
 
-_register("multimodal_features", _q_multimodal)
+# Oracle: the fake decoders are pure arithmetic in (seed, x, y, c) with
+# seed = big-endian int of payload bytes 4..7 — ASCII codes of hex chars
+# 5-8 of sha256(doc_id), since the payload is the digest's UTF-8 hex.
+#   pixel[y,x,c] = (seed+11c)%200 + (3x)%8 + (7y)%8
+#     -> channel mean over a (64k x 64k)-multiple image == (seed+11c)%200 + 7
+#     -> 2x2 quad features decompose into block sums over the 32-point
+#        integer subsample grid ((i*(n-1))//31), sfx/16 + sgy/16 + const
+#   wave[i] = ((seed+37i)%2001 - 1000)/1024  (dyadic: RMS is bit-exact)
+#     -> per-frame RMS = sqrt(sum(v^2)/400) over 4 hops of 4000
+_register(
+    "multimodal_features",
+    _q_multimodal,
+    """
+WITH docs AS (
+  SELECT doc_id,
+         CAST((doc_id % 8) * 64 + 64 AS INT) AS width,
+         CAST((doc_id % 6) * 64 + 64 AS INT) AS height,
+         ascii(substr(sha256(CAST(doc_id AS VARCHAR)), 5, 1)) * 16777216
+         + ascii(substr(sha256(CAST(doc_id AS VARCHAR)), 6, 1)) * 65536
+         + ascii(substr(sha256(CAST(doc_id AS VARCHAR)), 7, 1)) * 256
+         + ascii(substr(sha256(CAST(doc_id AS VARCHAR)), 8, 1)) AS seed
+  FROM documents WHERE doc_id < 50
+), sub AS (
+  SELECT d.doc_id, g.i // 16 AS blk,
+         (3 * ((g.i * (d.width - 1)) // 31)) % 8 AS fx,
+         (7 * ((g.i * (d.height - 1)) // 31)) % 8 AS gy
+  FROM docs d, generate_series(0, 31) g(i)
+), blocks AS (
+  SELECT doc_id, blk, SUM(fx) AS sfx, SUM(gy) AS sgy
+  FROM sub GROUP BY doc_id, blk
+), feats AS (
+  SELECT d.doc_id,
+         CAST(b_y.blk * 6 + b_x.blk * 3 + c.c AS INT) AS feat_idx,
+         ROUND(CAST((d.seed + 11 * c.c) % 200 AS DOUBLE)
+               + b_y.sgy / 16.0 + b_x.sfx / 16.0, 4) AS feat_val
+  FROM docs d
+  JOIN blocks b_y ON b_y.doc_id = d.doc_id
+  JOIN blocks b_x ON b_x.doc_id = d.doc_id
+  CROSS JOIN generate_series(0, 2) c(c)
+), samples AS (
+  SELECT d.doc_id, f.f,
+         ((d.seed + 37 * (4000 * f.f + t.t)) % 2001 - 1000) / 1024.0 AS v
+  FROM docs d, generate_series(0, 3) f(f), generate_series(0, 399) t(t)
+), rms AS (
+  SELECT doc_id, f, sqrt(SUM(v * v) / 400.0) AS rms
+  FROM samples GROUP BY doc_id, f
+), audio AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         ROUND(AVG(rms), 6) AS mean_rms
+  FROM rms GROUP BY doc_id
+)
+SELECT d.doc_id, d.width, d.height,
+       ROUND(CAST(d.seed % 200 + 7 AS DOUBLE), 6) AS mean_r,
+       ROUND(CAST((d.seed + 11) % 200 + 7 AS DOUBLE), 6) AS mean_g,
+       ROUND(CAST((d.seed + 22) % 200 + 7 AS DOUBLE), 6) AS mean_b,
+       f.feat_idx, f.feat_val, a.n_frames, a.mean_rms
+FROM docs d
+JOIN feats f ON f.doc_id = d.doc_id
+JOIN audio a ON a.doc_id = d.doc_id
+""",
+)
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -845,8 +845,8 @@ def test_multimodal_numpy_twin(spark, tables):
         assert r.mean_r == pytest.approx(img[..., 0].mean(), rel=1e-12)
         assert r.mean_g == pytest.approx(img[..., 1].mean(), rel=1e-12)
         assert r.mean_b == pytest.approx(img[..., 2].mean(), rel=1e-12)
-        ys = np.linspace(0, h - 1, 32).astype(int)
-        xs = np.linspace(0, w - 1, 32).astype(int)
+        ys = (np.arange(32) * (h - 1)) // 31
+        xs = (np.arange(32) * (w - 1)) // 31
         quad = img[np.ix_(ys, xs)].reshape(2, 16, 2, 16, 3).mean(axis=(1, 3))
         np.testing.assert_array_equal(
             np.asarray(r.feat, dtype=np.float32),
