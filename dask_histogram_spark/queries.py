@@ -15,6 +15,7 @@ get the driver's rows-only check, as allowed by the contract.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1613,12 +1614,13 @@ FROM q JOIN ({_EMB_NORMS_SQL}) n ON q.vec_id = n.vec_id
 
 
 _IVF_CENT_CACHE: dict = {}
+_IVF_INDEX_CACHE: dict = {}
 
 
 def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from .operators import ivf_topk
+    from .operators import build_ivf_index, ivf_topk, ivf_topk_indexed
 
     emb = get_tables(spark, sf_dir)["embeddings"]
     # The centroids are a fixed constant of this query (the vec_id<4
@@ -1638,7 +1640,25 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in emb.where(F.col("vec_id") < 4).collect()
         ])
     cents = _IVF_CENT_CACHE[key]
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=2)
+    queries = emb.where(F.col("vec_id") < 8)
+    inline = ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    # persisted-index leg (the 100 TB search plan): build the
+    # cid-partitioned index ONCE per (session, sf_dir) — production
+    # amortizes the build over every search — then search via the
+    # partition-pruned read.  Identical rows to the inline leg by
+    # construction, so BOTH legs run under the same oracle, tagged.
+    if key not in _IVF_INDEX_CACHE:
+        import tempfile
+
+        while len(_IVF_INDEX_CACHE) >= 8:
+            _IVF_INDEX_CACHE.pop(next(iter(_IVF_INDEX_CACHE)))
+        path = os.path.join(tempfile.mkdtemp(prefix="dhs_ivf_"), "index")
+        build_ivf_index(emb, cents, path)
+        _IVF_INDEX_CACHE[key] = path
+    indexed = ivf_topk_indexed(_IVF_INDEX_CACHE[key], queries,
+                               k=5, nprobe=2)
+    return inline.withColumn("leg", F.lit("inline")).unionByName(
+        indexed.withColumn("leg", F.lit("indexed")))
 
 
 # IVF is deterministic given fixed centroids (here: the vec_id<4
@@ -1646,7 +1666,10 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max-cosine centroid, expand each query to its nprobe=2 best
 # centroids, score only within probed buckets.  Ranking happens on the
 # 6-digit-rounded cosine, neighbor_id breaking ties — same as
-# operators/similarity.py ivf_topk.
+# operators/similarity.py ivf_topk.  The row runs the search TWICE —
+# inline assignment and the persisted partition-pruned index — and the
+# oracle cross-joins the leg tags: both plans must hash-match the same
+# result set, which driver-gates the on-disk index path too.
 _register(
     "similarity_ivf_topk",
     _q_ivf,
@@ -1674,10 +1697,14 @@ WITH cent AS (
   JOIN assigned a USING (cid)
   WHERE a.vec_id != p.query_id
 )
-SELECT query_id, neighbor_id, cos_sim,
-       ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-FROM scored QUALIFY rank <= 5
+, ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored QUALIFY rank <= 5
+)
+SELECT r.*, l.leg
+FROM ranked r CROSS JOIN (SELECT UNNEST(['inline', 'indexed']) AS leg) l
 """,
 )
 

@@ -72,15 +72,28 @@ def test_filter_reaches_the_scan(plans):
 def test_ivf_assignment_is_a_narrow_map(plans):
     """IVF bucket assignment must not shuffle vectors: nearest-centroid
     is an argmin over a broadcast centroid literal, so the only shuffle
-    Exchange in the whole plan is the final per-query ranking window
-    (keyed on query_id, not on any embedding column)."""
+    Exchange per search leg is the final per-query ranking window
+    (keyed on query_id, not on any embedding column).  The registry row
+    unions the inline and persisted-index legs, hence <= 2."""
     plan = plans["similarity_ivf_topk"]
     assert "CartesianProduct" not in plan
     shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
-    assert len(shuffles) <= 1, shuffles
+    assert len(shuffles) <= 2, shuffles
     for line in shuffles:
         assert "query_id" in line, line
         assert "embedding" not in line, line
+
+
+def test_indexed_ivf_scan_is_partition_pruned(plans):
+    """The persisted-index leg of similarity_ivf_topk must read ONLY the
+    probed cid partitions: the probe set becomes a static partition
+    filter on the index scan (at 100 TB this is the difference between
+    reading ~nprobe/C of the files and a full index scan)."""
+    import re
+
+    plan = plans["similarity_ivf_topk"]
+    m = re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*\]", plan)
+    assert m, plan[:1500]
 
 
 def test_pipeline_dedup_shuffles_hash_key_not_text(plans):
