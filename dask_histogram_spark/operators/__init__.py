@@ -11,6 +11,8 @@ from .dedup import (
     dedup_clusters,
     dedup_exact,
     dedup_incremental,
+    dedup_incremental_lsh,
+    write_signature_table,
     word_ngram_jaccard_pairs,
     exact_dup_stats,
     jaccard_verify_pairs,
@@ -62,6 +64,8 @@ __all__ = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_incremental_lsh",
+    "write_signature_table",
     "embedding_near_dup_pairs",
     "embedding_norms",
     "exact_dup_stats",

@@ -29,7 +29,9 @@ __all__ = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_incremental_lsh",
     "exact_dup_stats",
+    "write_signature_table",
     "jaccard_verify_pairs",
     "minhash_signatures",
     "minhash_banded",
@@ -336,13 +338,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def _band_explode(sigs: DataFrame, id_col: str, num_perm: int, bands: int,
-                  hash_fn: str) -> DataFrame:
-    """(id, band, bucket) from a (id, sig) projection — bucket keys are
-    8-byte xxhash64 of the band's signature slice by default;
+                  hash_fn: str, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [*keep,] band, bucket) from a (id, sig) projection — bucket
+    keys are 8-byte xxhash64 of the band's signature slice by default;
     ``hash_fn="fnv1a32"`` keeps the raw value string so SQL oracles can
     reproduce the buckets (hashing only compresses the key — bucket
     membership, and hence candidates, are identical up to xxhash
-    collisions)."""
+    collisions).  ``keep`` carries extra columns (e.g. the signature
+    itself for a persisted table whose reader runs the agreement gate
+    without a second join)."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
@@ -354,7 +358,7 @@ def _band_explode(sigs: DataFrame, id_col: str, num_perm: int, bands: int,
         return joined if hash_fn == "fnv1a32" else F.xxhash64(joined)
 
     return sigs.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in keep],
         F.explode(
             F.array(
                 *[
@@ -364,7 +368,7 @@ def _band_explode(sigs: DataFrame, id_col: str, num_perm: int, bands: int,
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *keep, "bb.band", "bb.bucket")
 
 
 def minhash_banded(df: DataFrame, text_col: str = "text",
@@ -588,6 +592,117 @@ def release_candidates_cache(pairs: DataFrame) -> None:
     if cached is not None:
         cached.unpersist()
         pairs._dhs_persisted = None
+
+
+def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
+                          id_col: str = "doc_id", num_perm: int = 64,
+                          bands: int = 16, shingle_k: int = 5, seed: int = 17,
+                          hash_fn: str = "xxhash64", method: str = "auto",
+                          n_buckets: int = 64, max_bucket: int | None = None,
+                          path: str | None = None) -> None:
+    """Persist a corpus's banded MinHash projection as the cross-run
+    "seen" table for :func:`dedup_incremental_lsh`: rows of
+    (id, sig, band, bucket), written BUCKETED on (band, bucket) via
+    :func:`~dask_histogram_spark.sources.write_bucketed`.
+
+    This pre-pays the candidate join's seen-side shuffle once at write
+    time — every nightly batch then equi-joins its band rows against
+    the stored table with NO exchange on the (1000x bigger) seen side.
+    The signature array is denormalized into each band row (bands x
+    num_perm longs per doc) so the reader runs the component-agreement
+    verify gate off the SAME join, without a second by-id signature
+    lookup; at extreme num_perm you would normalize instead and accept
+    the extra join.
+
+    ``max_bucket`` applies the standard skew guard AT WRITE TIME: band
+    buckets holding more than that many seen docs are dropped from the
+    table (a mega-bucket of template boilerplate is a quadratic join
+    bomb against every future batch, and its members are boilerplate
+    clusters exact dedup already catches).  The cap's count runs in the
+    same (band, bucket)-keyed shuffle the bucketed write needs anyway.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
+                              seed, hash_fn, method)
+    banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
+                           keep=("sig",))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    from ..sources import write_bucketed
+
+    write_bucketed(banded, table, ["band", "bucket"], n_buckets, path=path)
+
+
+def dedup_incremental_lsh(new_df: DataFrame, seen_banded: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_perm: int = 64, bands: int = 16,
+                          shingle_k: int = 5, seed: int = 17,
+                          hash_fn: str = "xxhash64", method: str = "auto",
+                          min_sig_matches: int | None = None) -> DataFrame:
+    """Cross-run NEAR-dup gate: for every document of a new batch, how
+    many documents of the persisted seen corpus it near-duplicates —
+    the incremental companion of :func:`dedup_incremental` (which is
+    exact-content only) for a continuously growing corpus.
+
+    ``seen_banded`` is the table written by
+    :func:`write_signature_table` (same num_perm/bands/seed/hash_fn —
+    signatures from different parameters never match).  The candidate
+    join keys on the table's bucketed (band, bucket) columns, so the
+    seen side is read co-located with NO exchange: only the new
+    batch's band rows shuffle (plan-asserted in tests/test_plans.py).
+    Candidates then pass the MinHash component-agreement gate
+    (``min_sig_matches`` of ``num_perm`` — the same two-tier verify as
+    :func:`minhash_lsh_candidates`), both signatures being already on
+    the joined row.
+
+    Returns one row per NEW document: (id, n_matched_seen) —
+    0 = genuinely fresh content; filter on it for survivors, or join
+    the matched pairs back for provenance.  NULL-text docs yield no
+    signature and report 0 like any fresh doc.
+    """
+    nparts = max(new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    sigs = minhash_signatures(new_df.repartition(nparts), text_col, id_col,
+                              num_perm, shingle_k, seed, hash_fn, method)
+    banded_new = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
+                               keep=("sig",)).select(
+        F.col(id_col).alias("__new_id"), F.col("sig").alias("__new_sig"),
+        "band", "bucket")
+    seen = seen_banded.select(
+        F.col(id_col).alias("__seen_id"), F.col("sig").alias("__seen_sig"),
+        "band", "bucket")
+    matches = F.size(
+        F.filter(
+            F.zip_with("__new_sig", "__seen_sig", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    pairs = (
+        banded_new.join(seen, ["band", "bucket"])
+        .select("__new_id", "__seen_id", matches.alias("sig_matches"))
+        # one row per (new, seen) pair — sig_matches is pair-constant
+        # across its band rows, so max == the value
+        .groupBy("__new_id", "__seen_id")
+        .agg(F.max("sig_matches").alias("sig_matches"))
+    )
+    if min_sig_matches is not None:
+        pairs = pairs.where(F.col("sig_matches") >= min_sig_matches)
+    counts = pairs.groupBy("__new_id").agg(
+        F.count(F.lit(1)).alias("n_matched_seen"))
+    return (
+        new_df.select(id_col)
+        .join(counts, F.col(id_col) == F.col("__new_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_matched_seen"), F.lit(0).cast("long"))
+            .alias("n_matched_seen"),
+        )
+    )
 
 
 def minhash_lsh_stats(df: DataFrame, text_col: str = "text",

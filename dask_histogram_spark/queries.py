@@ -580,11 +580,32 @@ _register(
 )
 
 
+_INC_SIG_CACHE: dict = {}
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-run dedup gate: run N's crawl (exact re-crawls of every
-    seen doc + a revised edition of each) against run N-1's corpus —
-    only the revised editions survive, collapsed to min-id winners."""
-    from .operators import dedup_incremental
+    """Cross-run dedup gate, BOTH granularities under one kind tag:
+
+    * ``kind='exact'`` — run N's crawl (exact re-crawls of every seen
+      doc + a revised edition of each) anti-joined against run N-1's
+      corpus; only the revised editions survive, collapsed to min-id
+      winners, n = within-batch copy count.
+    * ``kind='lsh'`` — the NEAR-dup companion: the seen corpus's
+      banded signature projection is persisted ONCE per session
+      (write_signature_table: bucketed on (band, bucket), write-time
+      max_bucket skew cap), and every new doc reports n = how many
+      seen docs it near-duplicates after the 28/32 component-agreement
+      gate (0 = genuinely fresh).  The candidate join reads the seen
+      side co-located with no exchange (plan-asserted in
+      tests/test_plans.py::test_incremental_lsh_seen_side_...).
+    """
+    import tempfile
+
+    from .operators import (
+        dedup_incremental,
+        dedup_incremental_lsh,
+        write_signature_table,
+    )
 
     seen = get_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     new = seen.select(
@@ -595,24 +616,31 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"),
         )
     )
-    return dedup_incremental(new, seen)
+    exact = dedup_incremental(new, seen)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _INC_SIG_CACHE:
+        while len(_INC_SIG_CACHE) >= 8:
+            _INC_SIG_CACHE.pop(next(iter(_INC_SIG_CACHE)))
+        tbl = f"dhs_seen_sigs_{len(_INC_SIG_CACHE)}"
+        write_signature_table(
+            seen, tbl, num_perm=32, bands=8, hash_fn="fnv1a32",
+            max_bucket=64, n_buckets=16,
+            path=os.path.join(tempfile.mkdtemp(prefix="dhs_sigs_"), "t"))
+        _INC_SIG_CACHE[key] = tbl
+    lsh = dedup_incremental_lsh(
+        new, spark.table(_INC_SIG_CACHE[key]), num_perm=32, bands=8,
+        hash_fn="fnv1a32", min_sig_matches=28)
+    return exact.select(
+        F.lit("exact").alias("kind"), "doc_id",
+        F.col("n_copies").alias("n"),
+    ).unionByName(lsh.select(
+        F.lit("lsh").alias("kind"), "doc_id",
+        F.col("n_matched_seen").alias("n"),
+    ))
 
 
-_register(
-    "dedup_incremental",
-    _q_dedup_incremental,
-    """
-WITH nw AS (
-  SELECT doc_id + 100000 AS doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' (rev2)' AS text
-  FROM documents
-)
-SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-FROM nw WHERE text NOT IN (SELECT text FROM documents)
-GROUP BY text
-""",
-)
+# (dedup_incremental is registered AFTER the minhash oracle helpers
+# below — its lsh kind's SQL twin composes _MH_HS/_MH_SIG/band SQL.)
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,6 +1298,62 @@ _MINHASH_CAND_SQL = (
 # dedup_pipeline below.)
 
 _register("dedup_pipeline", _q_dedup_pipeline, _dedup_pipeline_oracle())
+
+
+def _dedup_incremental_oracle() -> str:
+    """Exact kind: plain NOT IN anti-join.  LSH kind: the full fnv1a32
+    minhash pipeline on BOTH corpora (same seeded coefficient literals
+    as the Spark operator), seen band buckets capped at 64 like the
+    written signature table, candidate equi-join, 28/32 agreement gate,
+    per-new-doc match counts with 0 for fresh docs."""
+    seen_band = _minhash_band_sql(bands=8, r=4)
+    new_band = seen_band.replace("FROM s", "FROM s2")
+    return f"""
+WITH nw AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' (rev2)' AS text
+  FROM documents
+),
+h AS (SELECT doc_id, {_MH_HS} AS hs FROM documents),
+s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h),
+bnd_seen AS ({seen_band}),
+bok AS (
+  SELECT band, bucket FROM bnd_seen GROUP BY band, bucket
+  HAVING COUNT(*) <= 64
+),
+bseen AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM bnd_seen b JOIN bok k ON b.band = k.band AND b.bucket = k.bucket
+),
+h2 AS (SELECT doc_id, {_MH_HS} AS hs FROM nw),
+s2 AS (SELECT doc_id, {_MH_SIG} AS sig FROM h2),
+bnd_new AS ({new_band}),
+cand AS (
+  SELECT n.doc_id AS new_id, sn.doc_id AS seen_id
+  FROM bnd_new n JOIN bseen sn
+    ON n.band = sn.band AND n.bucket = sn.bucket
+  GROUP BY 1, 2
+),
+gated AS (
+  SELECT c.new_id, c.seen_id FROM cand c
+  JOIN s2 sa ON sa.doc_id = c.new_id
+  JOIN s sb ON sb.doc_id = c.seen_id
+  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 28
+),
+cnt AS (SELECT new_id, COUNT(*) AS n FROM gated GROUP BY new_id)
+SELECT 'exact' AS kind, MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nw WHERE text NOT IN (SELECT text FROM documents)
+GROUP BY text
+UNION ALL
+SELECT 'lsh' AS kind, nw.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM nw LEFT JOIN cnt c ON c.new_id = nw.doc_id
+"""
+
+
+_register("dedup_incremental", _q_dedup_incremental,
+          _dedup_incremental_oracle())
 
 
 _LSH_STATS_MAX_BUCKET = 64

@@ -156,6 +156,51 @@ def test_incremental_bucketed_seen_join_has_no_seen_side_exchange(
         spark.sql("DROP TABLE IF EXISTS seen_winners_bkt")
 
 
+def test_incremental_lsh_seen_side_reads_bucketed_without_exchange(
+        spark, tmp_path):
+    """dedup_incremental_lsh's at-scale shape: the seen corpus's banded
+    signature projection is persisted bucketed on (band, bucket)
+    (write_signature_table), and the nightly batch's candidate join
+    must read it co-located — the ONLY (band, bucket)-keyed exchange in
+    the plan shuffles the NEW batch's band rows.  This is what makes
+    cross-run near-dup dedup viable when the seen corpus is 1000x the
+    batch."""
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.operators import (
+        dedup_incremental_lsh, write_signature_table)
+
+    texts = [f"seen document number {i} with a reasonably long body "
+             f"of shared template words plus token {i * 17}"
+             for i in range(200)]
+    seen = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    write_signature_table(seen, "seen_sigs_bkt", num_perm=16, bands=4,
+                          n_buckets=8, path=str(tmp_path / "sigs"))
+    try:
+        new = spark.createDataFrame(
+            [(1000, texts[3]),                       # exact re-crawl
+             (1001, texts[5] + " trailing edit"),    # near-dup edit
+             (1002, "entirely fresh content with nothing in common "
+                    "qzx vbn mlk jhg fds apw")],     # fresh
+            "doc_id long, text string")
+        out = dedup_incremental_lsh(new, spark.table("seen_sigs_bkt"),
+                                    num_perm=16, bands=4,
+                                    min_sig_matches=12)
+        plan = _executed_plan(out)
+        assert "Bucketed: true" in plan, plan[:800]
+        bucket_shuffles = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "bucket" in l
+        ]
+        # only the new batch's band rows shuffle onto the bucket layout
+        assert len(bucket_shuffles) <= 1, bucket_shuffles
+        got = {r.doc_id: r.n_matched_seen for r in out.collect()}
+        assert got[1000] >= 1 and got[1001] >= 1 and got[1002] == 0, got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_sigs_bkt")
+
+
 def test_histograms_partial_aggregate_before_exchange(plans):
     """The fill must run its partial hash-agg map-side: the plan order is
     HashAggregate (partial) -> Exchange -> HashAggregate (final), so the
