@@ -42,9 +42,15 @@ def prepare_training_corpus(
     Stages (all lazy, one plan):
       1. exact dedup on full text, min-id winner (one shuffle);
       2. length / digit-ratio / token-count quality gates;
-      3. token accounting for budget tracking.
+      3. token accounting for budget tracking — BOTH whitespace tokens
+         and the BPE-style pre-tokenizer count (text.BPE_SPLIT_PATTERN):
+         training budgets are quoted in real tokenizer tokens, and
+         chars/4-style proxies drift badly on code/punctuation-heavy
+         text, so downstream packing (:func:`pack_sequences`) should
+         consume ``n_bpe_tokens``.
 
-    Output: (id, n_tokens, n_chars, digit_ratio) for every KEPT doc.
+    Output: (id, n_tokens, n_bpe_tokens, n_chars, digit_ratio) for
+    every KEPT doc.
 
     Scale shape: the quality gates and token accounting are
     deterministic functions of the text, so they run BEFORE the dedup
@@ -62,12 +68,16 @@ def prepare_training_corpus(
         6,
     )
     toks = F.split(F.trim(F.lower(t)), r"\s+")
+    from .text import BPE_SPLIT_PATTERN
+
     gated = (
         df.select(
             F.xxhash64(t).alias("__k"),
             F.col(id_col),
             F.length(t).alias("n_chars"),
             F.size(toks).alias("n_tokens"),
+            F.size(F.regexp_extract_all(
+                t, F.lit(BPE_SPLIT_PATTERN), 0)).alias("n_bpe_tokens"),
             digit_ratio.alias("digit_ratio"),
         )
         .where(
@@ -85,12 +95,13 @@ def prepare_training_corpus(
         gated.groupBy("__k")
         .agg(
             F.min_by(
-                F.struct(id_col, "n_chars", "n_tokens", "digit_ratio"),
+                F.struct(id_col, "n_chars", "n_tokens", "n_bpe_tokens",
+                         "digit_ratio"),
                 F.col(id_col),
             ).alias("__win"),
         )
         .select(f"__win.{id_col}", "__win.n_chars", "__win.n_tokens",
-                "__win.digit_ratio")
+                "__win.n_bpe_tokens", "__win.digit_ratio")
     )
 
 
@@ -100,6 +111,7 @@ def corpus_stats(kept: DataFrame) -> DataFrame:
     return kept.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -115,10 +127,13 @@ def prepare_training_corpus_sql(min_chars: int = 80,
     of the text (all copies agree) and xxhash64 collisions are
     negligible at test scale."""
     return rf"""
-SELECT doc_id, n_chars, n_tokens, digit_ratio FROM (
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, digit_ratio FROM (
   SELECT doc_id,
          length(text) AS n_chars,
          len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT)
+           AS n_bpe_tokens,
          ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
                / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 6) AS digit_ratio
   FROM (SELECT text, MIN(doc_id) AS doc_id FROM {table} GROUP BY text))

@@ -1103,6 +1103,7 @@ _register(
     # BIGINT casts: DuckDB SUM(int) is HUGEINT -> float64 in pandas
     "SELECT COUNT(*) AS n_docs, "
     "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens, "
     f"CAST(SUM(n_chars) AS BIGINT) AS total_chars "
     f"FROM ({_pipe_sql(table=_DUP_SQL)})",
 )
@@ -2055,14 +2056,20 @@ WHERE g.doc_id % 97 != 0
 
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget quota packing of the prepared corpus, grouped by the
-    hash split so the window never globally orders."""
+    hash split so the window never globally orders.  Quotas are
+    measured in REAL pre-tokenizer counts (``n_bpe_tokens``, the
+    cross-engine-pinned BPE_SPLIT_PATTERN match count) — a chars/4 or
+    whitespace proxy under-packs code/punctuation-heavy documents,
+    where actual token budgets run ~2x the whitespace count."""
     from .operators import hash_split
     from .operators.pipeline import pack_sequences, prepare_training_corpus
 
     prepared = prepare_training_corpus(_dup_corpus(spark, sf_dir))
     with_split = hash_split(prepared, _SPLIT_RATIOS)
-    packed = pack_sequences(with_split, max_tokens=512, group_col="split")
-    return packed.select("doc_id", "split", "n_tokens", "seq_id")
+    packed = pack_sequences(with_split, max_tokens=512, group_col="split",
+                            tokens_col="n_bpe_tokens")
+    return packed.select("doc_id", "split", "n_tokens", "n_bpe_tokens",
+                         "seq_id")
 
 
 from .operators.pipeline import pack_sequences_sql as _pack_sql  # noqa: E402
@@ -2070,8 +2077,8 @@ from .operators.pipeline import pack_sequences_sql as _pack_sql  # noqa: E402
 _register(
     "pipeline_pack_sequences",
     _q_pack_sequences,
-    f"SELECT doc_id, split, n_tokens, "
-    f"{_pack_sql(512, group_col='split')} "
+    f"SELECT doc_id, split, n_tokens, n_bpe_tokens, "
+    f"{_pack_sql(512, group_col='split', tokens_col='n_bpe_tokens')} "
     f"FROM (SELECT *, {_split_sql(_SPLIT_RATIOS)} "
     f"FROM ({_pipe_sql(table=_DUP_SQL)}))",
 )
