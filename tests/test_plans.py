@@ -215,6 +215,34 @@ def test_histograms_partial_aggregate_before_exchange(plans):
         assert "HashAggregate" in plan[first_exchange:], name
 
 
+def test_dedup_pipeline_registry_entry_executes_fused_candidates(
+        spark, monkeypatch):
+    """The registry's dedup_pipeline row must actually route through the
+    fused one-shuffle candidate plan (the operator-level assert below
+    checks the plan SHAPE; this one checks the registry entry's real
+    call produces it — a config drift to the semijoin strategy or an
+    uncapped call would pass the other test unnoticed)."""
+    import dask_histogram_spark.operators as ops
+
+    real = ops.minhash_lsh_candidates
+    captured = {}
+
+    def spy(*args, **kwargs):
+        out = real(*args, **kwargs)
+        captured["kwargs"] = kwargs
+        captured["plan"] = _executed_plan(out)
+        return out
+
+    monkeypatch.setattr(ops, "minhash_lsh_candidates", spy)
+    QUERIES["dedup_pipeline"](spark, SF_DIR)
+    assert captured, "registry entry no longer calls minhash_lsh_candidates"
+    assert captured["kwargs"].get("max_bucket") is not None
+    plan = captured["plan"]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, \
+        plan[:1200]
+    assert "collect_list" in plan
+
+
 def test_fused_candidate_plan_has_no_self_join(spark):
     """The capped LSH candidate path must be the ONE-shuffle fused plan
     (bucket collect_list + combination explode): no sort-merge or
