@@ -620,9 +620,23 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     bomb against every future batch, and its members are boilerplate
     clusters exact dedup already catches).  The cap's count runs in the
     same (band, bucket)-keyed shuffle the bucketed write needs anyway.
+
+    The signature PARAMETERS (num_perm, bands, shingle_k, seed,
+    hash_fn) are persisted alongside as ``<table>__params``:
+    signatures from different parameters never match, so a reader
+    probing with drifted parameters would silently report every doc as
+    fresh — :func:`dedup_incremental_lsh` therefore loads the stored
+    parameters by default when given the table NAME (the same
+    footgun-closing pattern as ``build_ivf_index``'s centroid
+    sidecar).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               seed, hash_fn, method)
+    df.sparkSession.createDataFrame(
+        [(int(num_perm), int(bands), int(shingle_k), int(seed),
+          str(hash_fn))],
+        "num_perm int, bands int, shingle_k int, seed int, hash_fn string",
+    ).write.mode("overwrite").saveAsTable(f"{table}__params")
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
                            keep=("sig",))
     if max_bucket is not None:
@@ -639,7 +653,7 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     write_bucketed(banded, table, ["band", "bucket"], n_buckets, path=path)
 
 
-def dedup_incremental_lsh(new_df: DataFrame, seen_banded: DataFrame,
+def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
                           text_col: str = "text", id_col: str = "doc_id",
                           num_perm: int = 64, bands: int = 16,
                           shingle_k: int = 5, seed: int = 17,
@@ -651,21 +665,31 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded: DataFrame,
     exact-content only) for a continuously growing corpus.
 
     ``seen_banded`` is the table written by
-    :func:`write_signature_table` (same num_perm/bands/seed/hash_fn —
-    signatures from different parameters never match).  The candidate
-    join keys on the table's bucketed (band, bucket) columns, so the
-    seen side is read co-located with NO exchange: only the new
-    batch's band rows shuffle (plan-asserted in tests/test_plans.py).
-    Candidates then pass the MinHash component-agreement gate
-    (``min_sig_matches`` of ``num_perm`` — the same two-tier verify as
-    :func:`minhash_lsh_candidates`), both signatures being already on
-    the joined row.
+    :func:`write_signature_table` — pass its NAME (the safe default:
+    the stored ``__params`` sidecar then overrides
+    num_perm/bands/shingle_k/seed/hash_fn, because signatures from
+    DIFFERENT parameters never match and a drifted reader would
+    silently report every doc as fresh) or a DataFrame (escape hatch
+    for ad-hoc projections; the caller then owns parameter agreement).
+    The candidate join keys on the table's bucketed (band, bucket)
+    columns, so the seen side is read co-located with NO exchange:
+    only the new batch's band rows shuffle (plan-asserted in
+    tests/test_plans.py).  Candidates then pass the MinHash
+    component-agreement gate (``min_sig_matches`` of ``num_perm`` —
+    the same two-tier verify as :func:`minhash_lsh_candidates`), both
+    signatures being already on the joined row.
 
     Returns one row per NEW document: (id, n_matched_seen) —
     0 = genuinely fresh content; filter on it for survivors, or join
     the matched pairs back for provenance.  NULL-text docs yield no
     signature and report 0 like any fresh doc.
     """
+    if isinstance(seen_banded, str):
+        spark = new_df.sparkSession
+        p = spark.table(f"{seen_banded}__params").collect()[0]
+        num_perm, bands, shingle_k, seed, hash_fn = (
+            p.num_perm, p.bands, p.shingle_k, p.seed, p.hash_fn)
+        seen_banded = spark.table(seen_banded)
     nparts = max(new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
     sigs = minhash_signatures(new_df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn, method)

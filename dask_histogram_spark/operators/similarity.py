@@ -455,25 +455,17 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     if method == "arrow":
         Hts = [H.T.copy() for H in Hs]  # (dim, planes), float64
 
-        def to_f64(x) -> np.ndarray:
-            # Null-tolerant coercion: an array whose SIZE matches dim
-            # but contains NULL elements passes the dimension filter;
-            # map the nulls to NaN so every plane dot goes NaN and the
-            # sign test (NaN >= 0 is False) emits the same all-'0'
-            # signature the Column fold produces (null dot ->
-            # when(null >= 0).otherwise('0')).  np.asarray would raise
-            # TypeError on a None element and fail the whole job.
-            try:
-                return np.asarray(x, dtype=np.float64)
-            except (TypeError, ValueError):
-                return np.array([np.nan if e is None else e for e in x],
-                                dtype=np.float64)
-
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def sigs_arrow(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series([], dtype=object)
-            X = np.stack([to_f64(x) for x in vecs])
+            # a NULL ELEMENT inside a dim-sized array survives the
+            # dimension filter; np.asarray coerces None -> NaN, every
+            # plane dot goes NaN, and the sign test (NaN >= 0 is
+            # False) emits the same all-'0' signature as the Column
+            # fold's null dot (pinned by
+            # test_near_dup_null_element_vector)
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
             out = [[] for _ in range(len(vecs))]
             for Ht in Hts:
                 # term-by-term accumulation over j reproduces the

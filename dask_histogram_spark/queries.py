@@ -15,6 +15,7 @@ get the driver's rows-only check, as allowed by the contract.
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Callable, Optional
 
@@ -581,6 +582,7 @@ _register(
 
 
 _INC_SIG_CACHE: dict = {}
+_INC_SIG_SEQ = itertools.count()
 
 
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,17 +621,28 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup_incremental(new, seen)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INC_SIG_CACHE:
-        while len(_INC_SIG_CACHE) >= 8:
-            _INC_SIG_CACHE.pop(next(iter(_INC_SIG_CACHE)))
-        tbl = f"dhs_seen_sigs_{len(_INC_SIG_CACHE)}"
+        import shutil
+
+        # monotone sequence, NOT len(cache): after an eviction the
+        # length would reuse a live entry's table name and silently
+        # overwrite another sf_dir's signature table
+        tbl = f"dhs_seen_sigs_{next(_INC_SIG_SEQ)}"
+        tmp = tempfile.mkdtemp(prefix="dhs_sigs_")
         write_signature_table(
             seen, tbl, num_perm=32, bands=8, hash_fn="fnv1a32",
-            max_bucket=64, n_buckets=16,
-            path=os.path.join(tempfile.mkdtemp(prefix="dhs_sigs_"), "t"))
-        _INC_SIG_CACHE[key] = tbl
-    lsh = dedup_incremental_lsh(
-        new, spark.table(_INC_SIG_CACHE[key]), num_perm=32, bands=8,
-        hash_fn="fnv1a32", min_sig_matches=28)
+            max_bucket=64, n_buckets=16, path=os.path.join(tmp, "t"))
+
+        def _cleanup(tbl=tbl, tmp=tmp):
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                s.sql(f"DROP TABLE IF EXISTS {tbl}")
+                s.sql(f"DROP TABLE IF EXISTS {tbl}__params")
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        _cache_put(_INC_SIG_CACHE, key, tbl, _cleanup)
+    # name-based call: parameters come from the stored __params sidecar
+    lsh = dedup_incremental_lsh(new, _INC_SIG_CACHE[key][0],
+                                min_sig_matches=28)
     return exact.select(
         F.lit("exact").alias("kind"), "doc_id",
         F.col("n_copies").alias("n"),
@@ -1698,6 +1711,23 @@ FROM q JOIN ({_EMB_NORMS_SQL}) n ON q.vec_id = n.vec_id
 )
 
 
+def _cache_put(cache: dict, key, value, cleanup=None, cap: int = 8) -> None:
+    """Bounded per-session cache insert shared by the IVF/signature
+    caches: evictions past the cap run the evicted entry's ``cleanup``
+    (a no-arg callable) so a long-lived driver cycling many
+    (session, sf_dir) keys releases catalog tables and temp
+    directories instead of leaking them.  Entries are (value, cleanup)
+    tuples; a failed cleanup never fails the live query."""
+    while len(cache) >= cap:
+        _, old_cleanup = cache.pop(next(iter(cache)))
+        if old_cleanup is not None:
+            try:
+                old_cleanup()
+            except Exception:  # noqa: BLE001
+                pass
+    cache[key] = (value, cleanup)
+
+
 _IVF_CENT_CACHE: dict = {}
 _IVF_INDEX_CACHE: dict = {}
 
@@ -1718,13 +1748,11 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (true for the driver's testdata).
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CENT_CACHE:
-        while len(_IVF_CENT_CACHE) >= 8:
-            _IVF_CENT_CACHE.pop(next(iter(_IVF_CENT_CACHE)))
-        _IVF_CENT_CACHE[key] = np.stack([
+        _cache_put(_IVF_CENT_CACHE, key, np.stack([
             np.array(r.embedding, dtype=np.float64)
             for r in emb.where(F.col("vec_id") < 4).collect()
-        ])
-    cents = _IVF_CENT_CACHE[key]
+        ]))
+    cents = _IVF_CENT_CACHE[key][0]
     queries = emb.where(F.col("vec_id") < 8)
     inline = ivf_topk(emb, queries, cents, k=5, nprobe=2)
     # persisted-index leg (the 100 TB search plan): build the
@@ -1733,14 +1761,17 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-pruned read.  Identical rows to the inline leg by
     # construction, so BOTH legs run under the same oracle, tagged.
     if key not in _IVF_INDEX_CACHE:
+        import functools
+        import shutil
         import tempfile
 
-        while len(_IVF_INDEX_CACHE) >= 8:
-            _IVF_INDEX_CACHE.pop(next(iter(_IVF_INDEX_CACHE)))
-        path = os.path.join(tempfile.mkdtemp(prefix="dhs_ivf_"), "index")
+        tmp = tempfile.mkdtemp(prefix="dhs_ivf_")
+        path = os.path.join(tmp, "index")
         build_ivf_index(emb, cents, path)
-        _IVF_INDEX_CACHE[key] = path
-    indexed = ivf_topk_indexed(_IVF_INDEX_CACHE[key], queries,
+        _cache_put(_IVF_INDEX_CACHE, key, path,
+                   functools.partial(shutil.rmtree, tmp,
+                                     ignore_errors=True))
+    indexed = ivf_topk_indexed(_IVF_INDEX_CACHE[key][0], queries,
                                k=5, nprobe=2)
     return inline.withColumn("leg", F.lit("inline")).unionByName(
         indexed.withColumn("leg", F.lit("indexed")))

@@ -184,8 +184,11 @@ def test_incremental_lsh_seen_side_reads_bucketed_without_exchange(
              (1002, "entirely fresh content with nothing in common "
                     "qzx vbn mlk jhg fds apw")],     # fresh
             "doc_id long, text string")
-        out = dedup_incremental_lsh(new, spark.table("seen_sigs_bkt"),
-                                    num_perm=16, bands=4,
+        # name-based call: the reader's signature parameters come from
+        # the stored __params sidecar, so they can never drift from
+        # the writer's (a drifted reader would silently report every
+        # doc as fresh)
+        out = dedup_incremental_lsh(new, "seen_sigs_bkt",
                                     min_sig_matches=12)
         plan = _executed_plan(out)
         assert "Bucketed: true" in plan, plan[:800]
@@ -199,6 +202,7 @@ def test_incremental_lsh_seen_side_reads_bucketed_without_exchange(
         assert got[1000] >= 1 and got[1001] >= 1 and got[1002] == 0, got
     finally:
         spark.sql("DROP TABLE IF EXISTS seen_sigs_bkt")
+        spark.sql("DROP TABLE IF EXISTS seen_sigs_bkt__params")
 
 
 def test_histograms_partial_aggregate_before_exchange(plans):
