@@ -596,7 +596,7 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       banded signature projection is persisted ONCE per session
       (write_signature_table: bucketed on (band, bucket), write-time
       max_bucket skew cap), and every new doc reports n = how many
-      seen docs it near-duplicates after the 28/32 component-agreement
+      seen docs it near-duplicates after the 24/32 component-agreement
       gate (0 = genuinely fresh).  The candidate join reads the seen
       side co-located with no exchange (plan-asserted in
       tests/test_plans.py::test_incremental_lsh_seen_side_...).
@@ -642,7 +642,7 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cache_put(_INC_SIG_CACHE, key, tbl, _cleanup)
     # name-based call: parameters come from the stored __params sidecar
     lsh = dedup_incremental_lsh(new, _INC_SIG_CACHE[key][0],
-                                min_sig_matches=28)
+                                min_sig_matches=24)
     return exact.select(
         F.lit("exact").alias("kind"), "doc_id",
         F.col("n_copies").alias("n"),
@@ -719,21 +719,23 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches candidates only, and clustering iterates min-label
     propagation over the verified edges.
 
-    Candidate precision levers on this corpus (round-3 shape: 4.15M
-    candidates of which 0.14% verified at jaccard 0.5, 92 of 128 bench
-    seconds — and an n_bands >= 2 filter removes only 15% because the
-    documents table is template-heavy and collides on MANY bands):
+    Candidate precision levers (re-tuned in round 6 after the M31
+    permutation fix — the earlier piecewise-monotone hash inflated
+    every agreement count and bucket size; see ``_MERSENNE31`` in
+    operators/dedup.py):
 
-    * ``max_bucket=20`` — band buckets of thousands of near-identical
-      template docs dominate the pair blowup (measured at sf0.1: max
-      bucket 2,290 docs); capping keeps every pair that shares any
-      small (= discriminative) bucket and cuts candidates to ~65k.
-    * ``min_sig_matches=28`` (of 32) — the two-tier verify gate: the
-      MinHash component-agreement estimate costs a 32-long zip per
-      pair off the cached signatures; at sf0.1 every true 0.5-jaccard
-      pair agrees on >= 30 components while the capped-candidate
-      median is 23, so the gate keeps 100% of verified pairs and cuts
-      the exact-verify input ~9x (65k -> 7.4k pairs).
+    * ``max_bucket=20`` — the standard skew guard for genuinely
+      template-heavy buckets; with an honest permutation, buckets
+      collapse to true near-duplicate groups, and the cap bounds the
+      worst case rather than fighting hash artifacts.
+    * ``min_sig_matches=10`` (of 32) — the two-tier verify gate,
+      sized to the 0.5 verify threshold: agreement is
+      Binomial(32, J), so a true J = 0.5 pair fails a >= 10 gate with
+      probability ~0.8% while random-pair agreement (~J·32 ≈ 0-2)
+      never passes — the gate cuts the exact-verify input to
+      near-candidates only.  (The old 28/32 value only made sense
+      under the broken hash, where even jaccard-0.03 pairs agreed on
+      30+ components.)
 
     Verification then intersects 8-byte hashed shingles (see
     :func:`jaccard_verify_pairs`), not raw strings.
@@ -750,7 +752,7 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
                                    hash_fn="fnv1a32", max_bucket=20,
-                                   min_sig_matches=28)
+                                   min_sig_matches=10)
     # checkpoint the (tiny, ~7k-row) pruned pair set: the verify step
     # consumes it three times (two involved-id scans + the pair join)
     # and would otherwise re-run the band join each time
@@ -795,7 +797,7 @@ pairs0 AS (
 pairs AS (
   SELECT p.id_a, p.id_b FROM pairs0 p
   JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
-  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 28
+  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 10
 ),
 sh AS (
   SELECT doc_id, list_distinct([substr(text, i, 8)
@@ -1258,15 +1260,17 @@ def _minhash_oracle_parts(num_perm: int, shingle_k: int = 5,
     hash_fn='fnv1a32'): FNV-1a shingle hashes, then per-permutation
     (a_j*h + b_j) mod M61 minima with the SAME seeded coefficients the
     Spark operator embeds."""
-    from .operators.dedup import _MERSENNE61, _perm_coeffs
+    from .operators.dedup import _MERSENNE31, _perm_coeffs
 
     hs = (
         "list_transform(list_distinct([substr(text, i, "
         f"{shingle_k}) FOR i IN range(1, greatest(len(text) - {shingle_k - 1}, 1)"
         f" + 1)]), t -> {_FNV_TOKEN})"
     )
+    # (h % M31) * a + b < 2^62 + 2^31: exact BIGINT, same as the engine
     sig = "[" + ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE61}))"
+        f"list_min(list_transform(hs, h -> "
+        f"((h % {_MERSENNE31}) * {a} + {b}) % {_MERSENNE31}))"
         for a, b in _perm_coeffs(num_perm, seed)
     ) + "]"
     return hs, sig
@@ -1318,7 +1322,7 @@ def _dedup_incremental_oracle() -> str:
     """Exact kind: plain NOT IN anti-join.  LSH kind: the full fnv1a32
     minhash pipeline on BOTH corpora (same seeded coefficient literals
     as the Spark operator), seen band buckets capped at 64 like the
-    written signature table, candidate equi-join, 28/32 agreement gate,
+    written signature table, candidate equi-join, 24/32 agreement gate,
     per-new-doc match counts with 0 for fresh docs."""
     seen_band = _minhash_band_sql(bands=8, r=4)
     new_band = seen_band.replace("FROM s", "FROM s2")
@@ -1353,7 +1357,7 @@ gated AS (
   SELECT c.new_id, c.seen_id FROM cand c
   JOIN s2 sa ON sa.doc_id = c.new_id
   JOIN s sb ON sb.doc_id = c.seen_id
-  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 28
+  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 24
 ),
 cnt AS (SELECT new_id, COUNT(*) AS n FROM gated GROUP BY new_id)
 SELECT 'exact' AS kind, MIN(doc_id) AS doc_id,

@@ -1,7 +1,7 @@
 """Scale-blowup protocol for the flagship near-dup pipeline
 (BASELINE.md "pipeline blowup" tables): synthetic healthy corpora at
 increasing sizes through the de-flooded flagship configuration
-(minhash_lsh_candidates(max_bucket=20, min_sig_matches=28) ->
+(minhash_lsh_candidates(max_bucket=20, min_sig_matches=10) ->
 hashed-shingle jaccard verify -> connected-component clustering),
 with per-stage wall attribution.
 
@@ -80,7 +80,7 @@ def run_point(spark: SparkSession, n_docs: int,
     t0 = time.perf_counter()
     cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
                                    hash_fn="fnv1a32", max_bucket=20,
-                                   min_sig_matches=28)
+                                   min_sig_matches=10)
     pruned = cands.localCheckpoint()  # forces candidate generation
     n_cand = pruned.count()
     t_cand = time.perf_counter() - t0

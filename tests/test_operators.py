@@ -932,7 +932,7 @@ def test_registry_paths_leave_no_cached_blocks(spark):
 
 
 def test_sig_agreement_gate_keeps_all_verified_winners(spark, tables):
-    """The dedup_pipeline's two-tier verify gate (>= 28/32 signature
+    """The dedup_pipeline's two-tier verify gate (>= 10/32 signature
     components agree) must be a pure precision lever on real data: the
     exact-verified pair set from gated candidates equals the one from
     ungated candidates (the gate only discards pairs the 0.5-jaccard
@@ -947,7 +947,7 @@ def test_sig_agreement_gate_keeps_all_verified_winners(spark, tables):
     corpus = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
     kw = dict(num_perm=32, bands=8, hash_fn="fnv1a32", max_bucket=20)
     ungated = minhash_lsh_candidates(corpus, **kw)
-    gated = minhash_lsh_candidates(corpus, min_sig_matches=28, **kw)
+    gated = minhash_lsh_candidates(corpus, min_sig_matches=10, **kw)
     assert "sig_matches" in gated.columns
     v_all = {(r.id_a, r.id_b) for r in
              jaccard_verify_pairs(ungated, corpus, k=8, threshold=0.5).collect()}

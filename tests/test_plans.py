@@ -189,7 +189,7 @@ def test_incremental_lsh_seen_side_reads_bucketed_without_exchange(
         # the writer's (a drifted reader would silently report every
         # doc as fresh)
         out = dedup_incremental_lsh(new, "seen_sigs_bkt",
-                                    min_sig_matches=12)
+                                    min_sig_matches=10)
         plan = _executed_plan(out)
         assert "Bucketed: true" in plan, plan[:800]
         bucket_shuffles = [
