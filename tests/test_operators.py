@@ -1492,3 +1492,40 @@ def test_build_ivf_index_rebuild_static_under_dynamic_mode(spark, tables,
         assert load_ivf_centroids(spark, path).shape[0] == 2
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_minhash_agreement_tracks_true_jaccard(spark):
+    """Regression for the round-6 permutation fix: the minhash
+    component-agreement rate is an unbiased estimate of shingle
+    jaccard, so clearly-dissimilar documents must NOT collide.  (The
+    old M61 small-multiplier hash wrapped its modulus at most twice —
+    piecewise order-preserving — and docs at true jaccard 0.03 agreed
+    on 32/32 components whenever they shared one globally-low-hash
+    shingle.)"""
+    from dask_histogram_spark.operators import minhash_signatures
+
+    rows = [(i, " ".join(f"w{(i * 97 + j * 13) % 5000}" for j in range(16)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: list(r.sig)
+            for r in minhash_signatures(df, num_perm=32).collect()}
+
+    def shingles(t):
+        return {t[i:i + 5] for i in range(max(len(t) - 4, 1))}
+
+    texts = dict(rows)
+    for i in range(0, 60, 7):
+        for j in range(i + 1, 60, 11):
+            si, sj = shingles(texts[i]), shingles(texts[j])
+            true_j = len(si & sj) / len(si | sj)
+            agree = sum(a == b for a, b in zip(sigs[i], sigs[j])) / 32
+            # binomial(32, J): allow a wide band, but a dissimilar pair
+            # must never look like a near-dup
+            if true_j < 0.2:
+                assert agree < 0.5, (i, j, true_j, agree)
+    # and an identical pair must agree fully
+    dup = spark.createDataFrame(
+        [(1000, texts[0])], "doc_id long, text string")
+    sd = minhash_signatures(df.limit(1).unionByName(dup),
+                            num_perm=32).collect()
+    assert list(sd[0].sig) == list(sd[1].sig)
