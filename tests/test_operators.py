@@ -1529,3 +1529,45 @@ def test_minhash_agreement_tracks_true_jaccard(spark):
     sd = minhash_signatures(df.limit(1).unionByName(dup),
                             num_perm=32).collect()
     assert list(sd[0].sig) == list(sd[1].sig)
+
+
+def test_ivf_quantized_index(spark, tables, tmp_path):
+    """build_ivf_index(quantize=True) stores 1-byte components; the
+    search detects the layout from the schema, keeps partition pruning,
+    and returns near-identical neighbors (int8 reconstruction error
+    <0.5%/component — rank swaps only among near-ties)."""
+    import os
+
+    from dask_histogram_spark.operators import (
+        build_ivf_index, ivf_topk_indexed)
+
+    emb = tables["embeddings"]
+    queries = emb.where(F.col("vec_id") < 3)
+    vecs = np.stack([np.array(r.embedding) for r in emb.collect()])
+    centroids = vecs[np.random.default_rng(0).choice(
+        len(vecs), size=8, replace=False)]
+    fpath = str(tmp_path / "ivf_f")
+    qpath = str(tmp_path / "ivf_q")
+    build_ivf_index(emb, centroids, fpath)
+    build_ivf_index(emb, centroids, qpath, quantize=True)
+
+    def disk_bytes(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(p) for f in fs
+                   if not r.endswith("_centroids"))
+
+    assert disk_bytes(qpath) < 0.7 * disk_bytes(fpath)
+    fl = ivf_topk_indexed(fpath, queries, k=5, nprobe=2)
+    qz = ivf_topk_indexed(qpath, queries, k=5, nprobe=2)
+    plan = qz._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan, plan[:1200]
+    f_sets = {}
+    for r in fl.collect():
+        f_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    q_sets = {}
+    for r in qz.collect():
+        q_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(f_sets) == set(q_sets)
+    overlap = sum(len(f_sets[q] & q_sets[q]) for q in f_sets)
+    total = sum(len(f_sets[q]) for q in f_sets)
+    assert overlap / total >= 0.8, (overlap, total)
