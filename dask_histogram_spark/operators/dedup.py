@@ -62,6 +62,14 @@ __all__ = [
 # arithmetic runs on all three engines.
 _MERSENNE31 = (1 << 31) - 1
 
+# Version tag for the signature FORMULA itself, persisted with every
+# signature table: identical (num_perm, bands, seed, hash_fn) values
+# produce entirely different signatures if the permutation formula
+# changes (as it did when M61 -> M31 fixed the order-preserving hash),
+# and a formula-drifted reader would silently report every document as
+# fresh.  Bump this on ANY change to the permutation arithmetic.
+_SIG_FORMULA = "minhash-m31-v1"
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -263,7 +271,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
       over Arrow batches — the hash arrays ship columnar, each batch is
       one concatenate + num_perm fused multiply-mod passes with
       segmented minima (``np.minimum.reduceat``).  Bit-identical to the
-      Column fold (uint64 intermediates < 2^62, exact ``% M61``) and
+      Column fold (uint64 intermediates < 2^62, exact ``% M31``) and
       measured ~4x faster at sf0.1 (the Column HOF fold evaluates
       a num_perm-wide transform per shingle in the interpreter).
     - ``"column"``: pure Column higher-order-function fold — zero
@@ -650,16 +658,6 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               seed, hash_fn, method)
-    pw = df.sparkSession.createDataFrame(
-        [(int(num_perm), int(bands), int(shingle_k), int(seed),
-          str(hash_fn))],
-        "num_perm int, bands int, shingle_k int, seed int, hash_fn string",
-    ).write.mode("overwrite")
-    if path is not None:
-        # external like the main table: a managed location can survive
-        # a killed session's metastore and block the next create
-        pw = pw.option("path", f"{path}__params")
-    pw.saveAsTable(f"{table}__params")
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
                            keep=("sig",))
     if max_bucket is not None:
@@ -674,6 +672,23 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     from ..sources import write_bucketed
 
     write_bucketed(banded, table, ["band", "bucket"], n_buckets, path=path)
+    # sidecar written AFTER the data: a rebuild killed between the two
+    # writes must leave old params with old rows (a consistent, usable
+    # table), never new params over old signatures — that combination
+    # is the silent everything-is-fresh failure the sidecar exists to
+    # prevent.  The formula tag makes a table written by a DIFFERENT
+    # permutation formula fail loudly at read time.
+    pw = df.sparkSession.createDataFrame(
+        [(_SIG_FORMULA, int(num_perm), int(bands), int(shingle_k),
+          int(seed), str(hash_fn))],
+        "formula string, num_perm int, bands int, shingle_k int, "
+        "seed int, hash_fn string",
+    ).write.mode("overwrite")
+    if path is not None:
+        # external like the main table: a managed location can survive
+        # a killed session's metastore and block the next create
+        pw = pw.option("path", f"{path}__params")
+    pw.saveAsTable(f"{table}__params")
 
 
 def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
@@ -710,6 +725,15 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
     if isinstance(seen_banded, str):
         spark = new_df.sparkSession
         p = spark.table(f"{seen_banded}__params").collect()[0]
+        stored = getattr(p, "formula", None)
+        if stored != _SIG_FORMULA:
+            raise ValueError(
+                f"signature table {seen_banded!r} was written with "
+                f"permutation formula {stored!r}; this reader computes "
+                f"{_SIG_FORMULA!r} — signatures from different formulas "
+                "never match (every doc would silently report as "
+                "fresh).  Rebuild the table with write_signature_table."
+            )
         num_perm, bands, shingle_k, seed, hash_fn = (
             p.num_perm, p.bands, p.shingle_k, p.seed, p.hash_fn)
         seen_banded = spark.table(seen_banded)

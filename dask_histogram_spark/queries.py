@@ -1258,8 +1258,8 @@ def _minhash_oracle_parts(num_perm: int, shingle_k: int = 5,
                           seed: int = 17) -> tuple[str, str]:
     """(hs_expr, sig_expr) DuckDB twins of minhash_signatures(
     hash_fn='fnv1a32'): FNV-1a shingle hashes, then per-permutation
-    (a_j*h + b_j) mod M61 minima with the SAME seeded coefficients the
-    Spark operator embeds."""
+    (a_j*(h mod M31) + b_j) mod M31 minima with the SAME seeded
+    coefficients the Spark operator embeds."""
     from .operators.dedup import _MERSENNE31, _perm_coeffs
 
     hs = (

@@ -1571,3 +1571,36 @@ def test_ivf_quantized_index(spark, tables, tmp_path):
     overlap = sum(len(f_sets[q] & q_sets[q]) for q in f_sets)
     total = sum(len(f_sets[q]) for q in f_sets)
     assert overlap / total >= 0.8, (overlap, total)
+
+
+def test_signature_table_formula_mismatch_fails_loudly(spark, tmp_path):
+    """A persisted signature table written under a DIFFERENT permutation
+    formula must fail the name-based read with a clear error — matching
+    params with drifted formula arithmetic would otherwise silently
+    report every document as fresh."""
+    from dask_histogram_spark.operators import (
+        dedup_incremental_lsh, write_signature_table)
+
+    seen = spark.createDataFrame(
+        [(i, f"document body number {i} with words") for i in range(20)],
+        "doc_id long, text string")
+    write_signature_table(seen, "sig_formula_t", num_perm=16, bands=4,
+                          n_buckets=4, path=str(tmp_path / "t"))
+    try:
+        # simulate a table from an older engine revision: same params,
+        # different formula tag
+        spark.createDataFrame(
+            [("minhash-m61-legacy", 16, 4, 5, 17, "xxhash64")],
+            "formula string, num_perm int, bands int, shingle_k int, "
+            "seed int, hash_fn string",
+        ).write.mode("overwrite").option(
+            "path", str(tmp_path / "t__params")
+        ).saveAsTable("sig_formula_t__params")
+        new = spark.createDataFrame([(100, "document body number 3 "
+                                      "with words")],
+                                    "doc_id long, text string")
+        with pytest.raises(ValueError, match="permutation formula"):
+            dedup_incremental_lsh(new, "sig_formula_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_formula_t")
+        spark.sql("DROP TABLE IF EXISTS sig_formula_t__params")
