@@ -1604,3 +1604,51 @@ def test_signature_table_formula_mismatch_fails_loudly(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_formula_t")
         spark.sql("DROP TABLE IF EXISTS sig_formula_t__params")
+
+
+def test_simhash_dissimilar_docs_not_candidates(spark):
+    """Distribution check for the OTHER banded hash family (the
+    round-6 minhash lesson applied to simhash): random dissimilar
+    documents must produce ~no pigeonhole-band candidates — a 16-bit
+    chunk of two independent 64-bit simhashes collides w.p. 2^-16, so
+    a flood here would mean the signature is degenerate, not the
+    corpus similar."""
+    from dask_histogram_spark.operators import simhash_candidates
+
+    # per-doc disjoint vocabularies: signatures are then independent
+    # 64-bit draws, and P(hamming <= 3) ~ 2.4e-15 per pair.  (A first
+    # draft used tok_{(131 i + 17 j) mod 9973}, under which docs 76
+    # apart share 19 of 20 tokens — simhash correctly flagged those;
+    # the corpus, not the hash, was similar.)
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(20)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = simhash_candidates(df, max_hamming=3).count()
+    assert cands == 0, cands
+
+
+def test_dedup_incremental_lsh_empty_inputs(spark, tmp_path):
+    """Typed-empty conventions for the cross-run near-dup gate: an
+    empty new batch yields an empty (typed) result; an all-null-text
+    batch reports every doc as fresh (no signature, no match)."""
+    from dask_histogram_spark.operators import (
+        dedup_incremental_lsh, write_signature_table)
+
+    seen = spark.createDataFrame(
+        [(i, f"seen document {i} body text") for i in range(10)],
+        "doc_id long, text string")
+    write_signature_table(seen, "sig_empty_t", num_perm=16, bands=4,
+                          n_buckets=4, path=str(tmp_path / "t"))
+    try:
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        out = dedup_incremental_lsh(empty, "sig_empty_t")
+        assert out.columns == ["doc_id", "n_matched_seen"]
+        assert out.count() == 0
+        nulls = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, text string")
+        got = {r.doc_id: r.n_matched_seen
+               for r in dedup_incremental_lsh(nulls, "sig_empty_t").collect()}
+        assert got == {1: 0, 2: 0}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_empty_t")
+        spark.sql("DROP TABLE IF EXISTS sig_empty_t__params")
