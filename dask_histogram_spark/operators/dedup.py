@@ -656,6 +656,14 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     footgun-closing pattern as ``build_ivf_index``'s centroid
     sidecar).
     """
+    # Loud-by-construction rebuild protocol: the params sidecar is
+    # DROPPED before the data write and recreated after it.  A rebuild
+    # killed anywhere in between leaves a table WITHOUT a sidecar, so
+    # the name-based reader fails with a clear error instead of either
+    # silent half: new params over old rows, or (sidecar-last alone)
+    # old params over new rows — both of which would make every
+    # nightly doc silently report as fresh.
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}__params")
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               seed, hash_fn, method)
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
@@ -672,12 +680,9 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     from ..sources import write_bucketed
 
     write_bucketed(banded, table, ["band", "bucket"], n_buckets, path=path)
-    # sidecar written AFTER the data: a rebuild killed between the two
-    # writes must leave old params with old rows (a consistent, usable
-    # table), never new params over old signatures — that combination
-    # is the silent everything-is-fresh failure the sidecar exists to
-    # prevent.  The formula tag makes a table written by a DIFFERENT
-    # permutation formula fail loudly at read time.
+    # sidecar recreated only after the data write committed (see the
+    # DROP above).  The formula tag additionally makes a table written
+    # by a DIFFERENT permutation formula fail loudly at read time.
     pw = df.sparkSession.createDataFrame(
         [(_SIG_FORMULA, int(num_perm), int(bands), int(shingle_k),
           int(seed), str(hash_fn))],

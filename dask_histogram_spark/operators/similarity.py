@@ -301,19 +301,27 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
     return _score_and_rank(assigned, q_assigned, k, id_col, vec_col)
 
 
-def _quantize_cols(vec_col: str, elem_type: str = "int"):
+def _quantize_cols(vec_col: str, elem_type: str = "int",
+                   scale_ref: Column | None = None):
     """(scale, qvec) Columns of the symmetric int8 quantization of
     ``vec_col`` — shared by :func:`quantize_embeddings` (int elements,
     oracle-friendly) and the quantized IVF index (tinyint elements,
-    1 byte/component on disk and in Tungsten rows)."""
+    1 byte/component on disk and in Tungsten rows).
+
+    ``scale_ref``: pass a reference to an already-MATERIALIZED scale
+    column to use inside the per-element division — the default embeds
+    the O(dim) amax fold in the lambda body, where the interpreted HOF
+    evaluator recomputes it per element (O(dim^2)/row; fine for small
+    gate tables, wasteful on a data-scale index build)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.aggregate(v, F.lit(0.0),
                        lambda acc, x: F.greatest(acc, F.abs(x)))
     scale = amax / F.lit(127.0)
+    s = scale if scale_ref is None else scale_ref
     q = F.transform(
         v,
         lambda x: F.coalesce(
-            F.round(x / F.nullif(scale, F.lit(0.0)), 0), F.lit(0.0)
+            F.round(x / F.nullif(s, F.lit(0.0)), 0), F.lit(0.0)
         ).cast(elem_type),
     )
     return scale, q
@@ -352,9 +360,23 @@ def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
     cent_lit = _centroid_literal(centroids)
     assigned = _assign_cid(df, cent_lit, id_col, vec_col)
     if quantize:
-        scale, q = _quantize_cols(vec_col, elem_type="tinyint")
+        scale, _ = _quantize_cols(vec_col, elem_type="tinyint")
+        # scale materialized in its own projection, then referenced by
+        # the element lambda — not recomputed per element
+        assigned = assigned.withColumn("scale", scale)
+        _, q = _quantize_cols(vec_col, elem_type="tinyint",
+                              scale_ref=F.col("scale"))
+        # NULL-element parity with the float layout: quantizing a
+        # null component to 0 would turn an unscorable vector (NULL
+        # cosine) into a scorable one; store NULL scale/qvec instead,
+        # so dequantization yields NULL and the cosine is NULL in
+        # both layouts
+        has_null = F.exists(F.col(vec_col), lambda x: x.isNull())
         assigned = assigned.select(
-            F.col(id_col), scale.alias("scale"), q.alias("qvec"), "cid")
+            F.col(id_col),
+            F.when(~has_null, F.col("scale")).alias("scale"),
+            F.when(~has_null, q).alias("qvec"),
+            "cid")
     (
         assigned
         # force STATIC overwrite: under a session-level
@@ -411,7 +433,7 @@ def ivf_topk_indexed(path: str, queries: DataFrame,
     probe_cids = sorted({r.cid for r in q_rows})
     q_local = spark.createDataFrame(q_rows, q_assigned.schema)
     index = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
-    if "qvec" in index.columns:
+    if {"qvec", "scale"} <= set(index.columns) and vec_col not in index.columns:
         # quantized layout (build_ivf_index(quantize=True)): dequantize
         # inside the scan projection — the pruned read ships 1-byte
         # components, the scoring math is unchanged

@@ -1571,6 +1571,25 @@ def test_ivf_quantized_index(spark, tables, tmp_path):
     overlap = sum(len(f_sets[q] & q_sets[q]) for q in f_sets)
     total = sum(len(f_sets[q]) for q in f_sets)
     assert overlap / total >= 0.8, (overlap, total)
+    # NULL-element parity: a vector with a null component is unscorable
+    # (NULL cosine) in the float layout; the quantized layout must not
+    # resurrect it by quantizing the null to 0
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+         (2, [0.8, None, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    tcent = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    tq = tiny.where(F.col("vec_id") == 0)
+    fp2, qp2 = str(tmp_path / "tf2"), str(tmp_path / "tq2")
+    build_ivf_index(tiny, tcent, fp2)
+    build_ivf_index(tiny, tcent, qp2, quantize=True)
+    rf = {(r.query_id, r.neighbor_id)
+          for r in ivf_topk_indexed(fp2, tq, k=3, nprobe=1).collect()
+          if r.cos_sim is not None}
+    rq = {(r.query_id, r.neighbor_id)
+          for r in ivf_topk_indexed(qp2, tq, k=3, nprobe=1).collect()
+          if r.cos_sim is not None}
+    assert rf == rq and (0, 2) not in rq, (rf, rq)
 
 
 def test_signature_table_formula_mismatch_fails_loudly(spark, tmp_path):
