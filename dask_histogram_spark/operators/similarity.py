@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "embedding_near_dup_pairs", "fit_centroids",
            "build_ivf_index", "ivf_topk_indexed", "load_ivf_centroids",
-           "quantize_embeddings", "quantized_cosine_expr"]
+           "quantize_embeddings", "quantized_cosine_expr",
+           "write_embedding_signature_table", "embedding_dedup_incremental"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -453,64 +454,30 @@ def _empty_pairs(df: DataFrame, id_col: str) -> DataFrame:
         ]))
 
 
-def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
-                             vec_col: str = "embedding", id_col: str = "vec_id",
-                             planes: int = 16, seed: int = 23,
-                             exact: bool = False,
-                             method: str = "auto",
-                             repetitions: int = 1) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
+def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
+                       planes: int, seed: int, repetitions: int,
+                       method: str, dim: int | None = None):
+    """(id, vec, __rep, __sig) hyperplane-LSH band rows — the shared
+    signature stage behind :func:`embedding_near_dup_pairs` (in-query
+    self-join) and :func:`write_embedding_signature_table` /
+    :func:`embedding_dedup_incremental` (persisted cross-run form).
 
-    Scale path (default): random-hyperplane LSH — each vector gets a
-    ``planes``-bit signature per repetition (sign of dot with seeded
-    random hyperplanes); candidate pairs share a (repetition, bucket),
-    then the exact cosine filters.  Collision probability for two
-    vectors at angle θ is (1 - θ/π)^planes per table, so high-cosine
-    pairs nearly always collide while the bucket join stays linear in
-    bucket sizes.  NULL or wrong-dimension vectors are excluded up
-    front (a shared degenerate bucket would self-join them all — the
-    same guard minhash applies to NULL text), which matches the result
-    set exactly: their cosine is NULL and can never pass the
-    threshold.  ``exact=True`` bypasses LSH (full pairwise — only for
-    oracles/small tables; it is the O(n²) plan the LSH form exists to
-    avoid).
-
-    ``repetitions`` is the recall lever: r independent signature
-    tables (seeds ``seed, seed+1, ...``) computed in the SAME single
-    pass, posexploded to (rep, bucket) band rows — the minhash-banding
-    shape — so a pair at cosine c survives with probability
-    1 - (1 - p(c)^planes)^r.  Candidates dedup on (id_a, id_b) before
-    the cosine; ``repetitions=1`` is the plain single-table form.
-
-    ``method`` picks the signature kernel (LSH path only):
-    ``"arrow"`` (the ``"auto"`` default) computes all plane dots of
-    all repetitions in a vectorized Arrow batch whose inner loop adds
-    term-by-term in the SAME left-to-right float64 order as the Column
-    fold — bit-identical signs, so the bucket keys (and hence
-    candidates and the SQL oracle) are unchanged while the per-plane
-    interpreted ``zip_with/aggregate`` chain (measured ~2 s for
-    2k x 64-dim x 8 planes at sf0.1) drops to milliseconds.
-    ``"column"`` keeps the pure-Column reference path the kernel is
-    differentially tested against.  Output: (id_a, id_b, cos_sim).
+    ``dim`` defaults to the first non-null vector's length; a
+    persisted-table READER pins it from the sidecar instead, so a
+    batch whose probe row happens to have a different dimensionality
+    cannot silently band against nothing.  Returns None for an
+    empty/all-null input.  NULL and wrong-dimension vectors are
+    excluded (their cosine is NULL — they can never verify).
     """
-    if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-        return pairs.select(
-            "id_a", "id_b",
-            F.round(cosine_expr(F.col("__va"), F.col("__vb")),
-                    6).alias("cos_sim"),
-        ).where(F.col("cos_sim") >= threshold)
-
     if method == "auto":
         method = "arrow"
     if method not in ("arrow", "column"):
         raise ValueError(f"unknown signature method: {method!r}")
-    head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-    if head is None:  # empty (or all-null) table: typed empty result
-        return _empty_pairs(df, id_col)
-    dim = len(head[0])
+    if dim is None:
+        head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if head is None:
+            return None
+        dim = len(head[0])
     df = df.where(F.col(vec_col).isNotNull()
                   & (F.size(F.col(vec_col)) == dim))
     Hs = [np.random.default_rng(seed + i).standard_normal((planes, dim))
@@ -568,10 +535,200 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
         sigs = F.array(*[one_sig(H) for H in Hs])
 
-    banded = df.select(
+    return df.select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(sigs).alias("__rep", "__sig"),
     )
+
+
+# Version tag for the hyperplane signature formula (see dedup.py's
+# _SIG_FORMULA for the rationale: same params + drifted formula would
+# silently report every vector as fresh).
+_EMB_SIG_FORMULA = "hyperplane-v1"
+
+
+def write_embedding_signature_table(df: DataFrame, table: str,
+                                    vec_col: str = "embedding",
+                                    id_col: str = "vec_id",
+                                    planes: int = 16, seed: int = 23,
+                                    repetitions: int = 1,
+                                    method: str = "auto",
+                                    n_buckets: int = 64,
+                                    max_bucket: int | None = None,
+                                    path: str | None = None) -> None:
+    """Persist a corpus's hyperplane-LSH band rows as the cross-run
+    "seen" table for :func:`embedding_dedup_incremental` — the
+    embedding-modality twin of
+    :func:`~.dedup.write_signature_table`: rows of (id, vec, rep,
+    sig) BUCKETED on (rep, sig), so every nightly batch band-joins
+    against it with no exchange on the seen side.  The float vector is
+    denormalized into each band row (repetitions x dim floats per
+    vector) so the exact-cosine verify runs off the same join.
+
+    Same crash-window protocol as the text table: the ``__params``
+    sidecar (formula tag, planes, seed, repetitions, dim) is DROPPED
+    before the data write and recreated after it — a killed rebuild
+    leaves a sidecar-less table the reader rejects loudly.
+    ``max_bucket`` drops degenerate buckets at write time (e.g. the
+    all-zeros signature of a mass of near-zero vectors)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}__params")
+    banded = _hyperplane_banded(df, vec_col, id_col, planes, seed,
+                                repetitions, method)
+    if banded is None:
+        raise ValueError(
+            "cannot build a signature table from an empty/all-null corpus")
+    dim = df.where(F.col(vec_col).isNotNull()) \
+        .select(F.size(vec_col)).first()[0]
+    banded = banded.select(
+        F.col(id_col), F.col(vec_col),
+        F.col("__rep").alias("rep"), F.col("__sig").alias("sig"))
+    if max_bucket is not None:
+        w = Window.partitionBy("rep", "sig")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    from ..sources import write_bucketed
+
+    write_bucketed(banded, table, ["rep", "sig"], n_buckets, path=path)
+    pw = spark.createDataFrame(
+        [(_EMB_SIG_FORMULA, int(planes), int(seed), int(repetitions),
+          int(dim))],
+        "formula string, planes int, seed int, repetitions int, dim int",
+    ).write.mode("overwrite")
+    if path is not None:
+        pw = pw.option("path", f"{path}__params")
+    pw.saveAsTable(f"{table}__params")
+
+
+def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
+                                threshold: float = 0.95,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                planes: int = 16, seed: int = 23,
+                                repetitions: int = 1,
+                                method: str = "auto") -> DataFrame:
+    """Cross-run embedding near-dup gate: for every vector of a new
+    batch, how many seen vectors it near-duplicates (exact cosine >=
+    ``threshold`` among hyperplane-LSH candidates) — the embedding
+    twin of :func:`~.dedup.dedup_incremental_lsh`.
+
+    Pass the signature table's NAME (safe default: parameters AND the
+    vector dimension load from the ``__params`` sidecar, with a loud
+    formula-version check) or a DataFrame escape hatch.  The candidate
+    join keys on the table's bucketed (rep, sig) columns — no seen-
+    side exchange; the exact cosine is computed on the joined band row
+    and max-reduced per pair, so vectors never travel through an extra
+    shuffle.  Returns (id, n_matched_seen); 0 = fresh.
+    """
+    dim = None
+    if isinstance(seen_banded, str):
+        spark = new_df.sparkSession
+        p = spark.table(f"{seen_banded}__params").collect()[0]
+        stored = getattr(p, "formula", None)
+        if stored != _EMB_SIG_FORMULA:
+            raise ValueError(
+                f"embedding signature table {seen_banded!r} was written "
+                f"with formula {stored!r}; this reader computes "
+                f"{_EMB_SIG_FORMULA!r} — rebuild the table")
+        planes, seed, repetitions, dim = (
+            p.planes, p.seed, p.repetitions, p.dim)
+        seen_banded = spark.table(seen_banded)
+    banded_new = _hyperplane_banded(
+        new_df, vec_col, id_col, planes, seed, repetitions, method,
+        dim=dim)
+    counts = None
+    if banded_new is not None:
+        seen = seen_banded.select(
+            F.col(id_col).alias("__seen_id"),
+            F.col(vec_col).alias("__seen_vec"), "rep", "sig")
+        nw = banded_new.select(
+            F.col(id_col).alias("__new_id"),
+            F.col(vec_col).alias("__new_vec"),
+            F.col("__rep").alias("rep"), F.col("__sig").alias("sig"))
+        pairs = (
+            nw.join(seen, ["rep", "sig"])
+            .select(
+                "__new_id", "__seen_id",
+                F.round(cosine_expr(F.col("__new_vec"),
+                                    F.col("__seen_vec")), 6)
+                .alias("cos_sim"))
+            # pair-constant across its band rows: max == the value
+            .groupBy("__new_id", "__seen_id")
+            .agg(F.max("cos_sim").alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+        )
+        counts = pairs.groupBy("__new_id").agg(
+            F.count(F.lit(1)).alias("n_matched_seen"))
+    out = new_df.select(id_col)
+    if counts is not None:
+        out = out.join(counts, F.col(id_col) == F.col("__new_id"), "left")
+    else:
+        out = out.withColumn("n_matched_seen", F.lit(None).cast("long"))
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_matched_seen"), F.lit(0).cast("long"))
+        .alias("n_matched_seen"),
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             planes: int = 16, seed: int = 23,
+                             exact: bool = False,
+                             method: str = "auto",
+                             repetitions: int = 1) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
+
+    Scale path (default): random-hyperplane LSH — each vector gets a
+    ``planes``-bit signature per repetition (sign of dot with seeded
+    random hyperplanes); candidate pairs share a (repetition, bucket),
+    then the exact cosine filters.  Collision probability for two
+    vectors at angle θ is (1 - θ/π)^planes per table, so high-cosine
+    pairs nearly always collide while the bucket join stays linear in
+    bucket sizes.  NULL or wrong-dimension vectors are excluded up
+    front (a shared degenerate bucket would self-join them all — the
+    same guard minhash applies to NULL text), which matches the result
+    set exactly: their cosine is NULL and can never pass the
+    threshold.  ``exact=True`` bypasses LSH (full pairwise — only for
+    oracles/small tables; it is the O(n²) plan the LSH form exists to
+    avoid).
+
+    ``repetitions`` is the recall lever: r independent signature
+    tables (seeds ``seed, seed+1, ...``) computed in the SAME single
+    pass, posexploded to (rep, bucket) band rows — the minhash-banding
+    shape — so a pair at cosine c survives with probability
+    1 - (1 - p(c)^planes)^r.  Candidates dedup on (id_a, id_b) before
+    the cosine; ``repetitions=1`` is the plain single-table form.
+
+    ``method`` picks the signature kernel (LSH path only):
+    ``"arrow"`` (the ``"auto"`` default) computes all plane dots of
+    all repetitions in a vectorized Arrow batch whose inner loop adds
+    term-by-term in the SAME left-to-right float64 order as the Column
+    fold — bit-identical signs, so the bucket keys (and hence
+    candidates and the SQL oracle) are unchanged while the per-plane
+    interpreted ``zip_with/aggregate`` chain (measured ~2 s for
+    2k x 64-dim x 8 planes at sf0.1) drops to milliseconds.
+    ``"column"`` keeps the pure-Column reference path the kernel is
+    differentially tested against.  Output: (id_a, id_b, cos_sim).
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return pairs.select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("__va"), F.col("__vb")),
+                    6).alias("cos_sim"),
+        ).where(F.col("cos_sim") >= threshold)
+
+    banded = _hyperplane_banded(df, vec_col, id_col, planes, seed,
+                                repetitions, method)
+    if banded is None:  # empty (or all-null) table: typed empty result
+        return _empty_pairs(df, id_col)
+
     a = banded.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("__va"),
                       "__rep", "__sig")

@@ -205,6 +205,51 @@ def test_incremental_lsh_seen_side_reads_bucketed_without_exchange(
         spark.sql("DROP TABLE IF EXISTS seen_sigs_bkt__params")
 
 
+def test_embedding_incremental_seen_side_reads_bucketed_without_exchange(
+        spark, tmp_path):
+    """embedding_dedup_incremental (the embedding twin of the text LSH
+    gate): seen band rows persisted bucketed on (rep, sig) are read
+    co-located — only the new batch's band rows shuffle — and the
+    sidecar-driven read pins planes/seed/repetitions/dim so a drifted
+    reader cannot silently miss everything."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.operators import (
+        embedding_dedup_incremental, write_embedding_signature_table)
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((300, 16))
+    seen = spark.createDataFrame(
+        [(i, base[i].astype(float).tolist()) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    write_embedding_signature_table(seen, "emb_sigs_bkt", planes=12,
+                                    seed=5, repetitions=3, n_buckets=8,
+                                    path=str(tmp_path / "esigs"))
+    try:
+        new = spark.createDataFrame(
+            [(1000, base[7].astype(float).tolist()),                # re-ingest
+             (1001, (base[9] + rng.standard_normal(16) * 0.01)
+              .astype(float).tolist()),                             # near-dup
+             (1002, rng.standard_normal(16).astype(float).tolist())],  # fresh
+            "vec_id long, embedding array<float>")
+        out = embedding_dedup_incremental(new, "emb_sigs_bkt",
+                                          threshold=0.99)
+        plan = _executed_plan(out)
+        assert "Bucketed: true" in plan, plan[:800]
+        sig_shuffles = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "sig" in l
+        ]
+        assert len(sig_shuffles) <= 1, sig_shuffles
+        got = {r.vec_id: r.n_matched_seen for r in out.collect()}
+        assert got[1000] >= 1 and got[1001] >= 1 and got[1002] == 0, got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_sigs_bkt")
+        spark.sql("DROP TABLE IF EXISTS emb_sigs_bkt__params")
+
+
 def test_histograms_partial_aggregate_before_exchange(plans):
     """The fill must run its partial hash-agg map-side: the plan order is
     HashAggregate (partial) -> Exchange -> HashAggregate (final), so the
