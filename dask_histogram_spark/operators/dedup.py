@@ -664,8 +664,13 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     # old params over new rows — both of which would make every
     # nightly doc silently report as fresh.
     df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}__params")
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
-                              seed, hash_fn, method)
+    # spread the signature fold across the cluster before the expensive
+    # stage (same rationale as minhash_lsh_candidates' pre-fold
+    # repartition: the corpus often arrives in a handful of scan
+    # partitions)
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    sigs = minhash_signatures(df.repartition(nparts), text_col, id_col,
+                              num_perm, shingle_k, seed, hash_fn, method)
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
                            keep=("sig",))
     if max_bucket is not None:

@@ -465,9 +465,12 @@ def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
     ``dim`` defaults to the first non-null vector's length; a
     persisted-table READER pins it from the sidecar instead, so a
     batch whose probe row happens to have a different dimensionality
-    cannot silently band against nothing.  Returns None for an
-    empty/all-null input.  NULL and wrong-dimension vectors are
-    excluded (their cosine is NULL — they can never verify).
+    cannot silently band against nothing.  Returns ``(banded, dim)``
+    — the RESOLVED dim, so callers that persist it (the signature
+    table's sidecar) can never record a different value than the one
+    actually banded with — or ``(None, None)`` for an empty/all-null
+    input.  NULL and wrong-dimension vectors are excluded (their
+    cosine is NULL — they can never verify).
     """
     if method == "auto":
         method = "arrow"
@@ -476,7 +479,7 @@ def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
     if dim is None:
         head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
         if head is None:
-            return None
+            return None, None
         dim = len(head[0])
     df = df.where(F.col(vec_col).isNotNull()
                   & (F.size(F.col(vec_col)) == dim))
@@ -538,7 +541,7 @@ def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
     return df.select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(sigs).alias("__rep", "__sig"),
-    )
+    ), dim
 
 
 # Version tag for the hyperplane signature formula (see dedup.py's
@@ -572,14 +575,23 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     ``max_bucket`` drops degenerate buckets at write time (e.g. the
     all-zeros signature of a mass of near-zero vectors)."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}__params")
-    banded = _hyperplane_banded(df, vec_col, id_col, planes, seed,
-                                repetitions, method)
-    if banded is None:
+    # probe BEFORE dropping the sidecar: an empty/all-null rebuild
+    # input must fail without invalidating the existing (still valid)
+    # table; the sidecar-less crash window is reserved for failures of
+    # the data write itself
+    head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if head is None:
         raise ValueError(
             "cannot build a signature table from an empty/all-null corpus")
-    dim = df.where(F.col(vec_col).isNotNull()) \
-        .select(F.size(vec_col)).first()[0]
+    dim = len(head[0])
+    spark.sql(f"DROP TABLE IF EXISTS {table}__params")
+    # spread the Python signature kernel across the cluster — the
+    # corpus often arrives in a handful of scan partitions (same
+    # rationale as minhash_lsh_candidates' pre-fold repartition)
+    nparts = max(spark.sparkContext.defaultParallelism * 2, 16)
+    banded, _ = _hyperplane_banded(df.repartition(nparts), vec_col,
+                                   id_col, planes, seed, repetitions,
+                                   method, dim=dim)
     banded = banded.select(
         F.col(id_col), F.col(vec_col),
         F.col("__rep").alias("rep"), F.col("__sig").alias("sig"))
@@ -636,9 +648,14 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
         planes, seed, repetitions, dim = (
             p.planes, p.seed, p.repetitions, p.dim)
         seen_banded = spark.table(seen_banded)
-    banded_new = _hyperplane_banded(
-        new_df, vec_col, id_col, planes, seed, repetitions, method,
-        dim=dim)
+    # spread the batch before the Python signature kernel (the text
+    # twin's repartition rationale: a nightly batch often lands as a
+    # file or two, capping the Arrow kernel at 1-2 tasks)
+    nparts = max(
+        new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    banded_new, _ = _hyperplane_banded(
+        new_df.repartition(nparts), vec_col, id_col, planes, seed,
+        repetitions, method, dim=dim)
     counts = None
     if banded_new is not None:
         seen = seen_banded.select(
@@ -724,8 +741,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     6).alias("cos_sim"),
         ).where(F.col("cos_sim") >= threshold)
 
-    banded = _hyperplane_banded(df, vec_col, id_col, planes, seed,
-                                repetitions, method)
+    banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
+                                   repetitions, method)
     if banded is None:  # empty (or all-null) table: typed empty result
         return _empty_pairs(df, id_col)
 
