@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "agreement_gate",
     "dedup_clusters",
     "dedup_exact",
     "dedup_incremental",
@@ -239,6 +240,38 @@ def _fnv1a32_shingles_np(s: str, k: int) -> np.ndarray:
         for c in cp:
             h = (h ^ c) * np.uint32(16777619)
     return np.array([h], dtype=np.uint64)
+
+
+def agreement_gate(num_perm: int, jaccard: float = 0.9,
+                   miss_rate: float = 1e-3) -> int:
+    """Derive a MinHash component-agreement gate from theory, not
+    tuning: the largest g such that a true pair at shingle-jaccard
+    ``jaccard`` still passes ``sig_matches >= g`` with probability
+    >= 1 - miss_rate, under the exact Binomial(num_perm, jaccard)
+    model of per-component agreement (each permutation's minhashes
+    agree independently with probability J).
+
+    This is how the library's gates are derived rather than tuned
+    against a particular corpus (empirically-tuned gates once silently
+    inherited a broken permutation; see the _MERSENNE31 note): the
+    registry's 24/32 for the J>=0.9 near-dup target keeps
+    P(pass | J=0.9) = 99.67% and 10/32 for J>=0.5 keeps 98.997% —
+    i.e. miss_rate ~ 3.3e-3 and ~1e-2 respectively.  Exact CDF, no
+    normal approximation: num_perm is small.
+    """
+    from math import comb
+
+    p = float(jaccard)
+    # walk g upward while the survival P(X >= g) stays above 1 - miss
+    tail = 1.0
+    gate = 0
+    for g in range(num_perm + 1):
+        if tail < 1.0 - miss_rate:
+            break
+        gate = g
+        # subtract P(X = g) to get P(X >= g+1)
+        tail -= comb(num_perm, g) * (p ** g) * ((1.0 - p) ** (num_perm - g))
+    return gate
 
 
 def _perm_coeffs(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:
@@ -731,10 +764,25 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
     0 = genuinely fresh content; filter on it for survivors, or join
     the matched pairs back for provenance.  NULL-text docs yield no
     signature and report 0 like any fresh doc.
+
+    ``min_sig_matches`` defaults (None) to the theory-derived
+    :func:`agreement_gate` for the J>=0.9 near-dup target at the
+    effective num_perm — matching the embedding twin, which always
+    verifies with exact cosine; raw single-band bucket collisions
+    would otherwise sporadically flag genuinely-fresh docs on a large
+    seen corpus.  Pass ``0`` explicitly to count ungated bucket
+    collisions.
     """
     if isinstance(seen_banded, str):
         spark = new_df.sparkSession
-        p = spark.table(f"{seen_banded}__params").collect()[0]
+        rows = spark.table(f"{seen_banded}__params").collect()
+        if not rows:
+            raise ValueError(
+                f"signature table {seen_banded!r} has an EMPTY __params "
+                "sidecar (an interrupted write left the table in an "
+                "unusable state) — rebuild it with write_signature_table."
+            )
+        p = rows[0]
         stored = getattr(p, "formula", None)
         if stored != _SIG_FORMULA:
             raise ValueError(
@@ -771,7 +819,9 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
         .groupBy("__new_id", "__seen_id")
         .agg(F.max("sig_matches").alias("sig_matches"))
     )
-    if min_sig_matches is not None:
+    if min_sig_matches is None:
+        min_sig_matches = agreement_gate(num_perm, jaccard=0.9)
+    if min_sig_matches > 0:
         pairs = pairs.where(F.col("sig_matches") >= min_sig_matches)
     counts = pairs.groupBy("__new_id").agg(
         F.count(F.lit(1)).alias("n_matched_seen"))

@@ -638,7 +638,15 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     dim = None
     if isinstance(seen_banded, str):
         spark = new_df.sparkSession
-        p = spark.table(f"{seen_banded}__params").collect()[0]
+        rows = spark.table(f"{seen_banded}__params").collect()
+        if not rows:
+            raise ValueError(
+                f"embedding signature table {seen_banded!r} has an EMPTY "
+                "__params sidecar (an interrupted write left the table "
+                "in an unusable state) — rebuild it with "
+                "write_embedding_signature_table."
+            )
+        p = rows[0]
         stored = getattr(p, "formula", None)
         if stored != _EMB_SIG_FORMULA:
             raise ValueError(

@@ -775,7 +775,7 @@ def _dedup_pipeline_oracle() -> str:
     8-gram jaccard verification via list_intersect, then the recursive
     transitive closure + min-label (same as the dedup_clusters oracle).
     """
-    band_sql = _minhash_band_sql(bands=8, r=4).replace("FROM s", "FROM sig")
+    band_sql = _minhash_band_sql(bands=8, r=4, src="sig")
     return f"""
 WITH RECURSIVE
 h AS (SELECT doc_id, {_MH_HS} AS hs FROM {_DUP_SQL}),
@@ -1287,9 +1287,12 @@ _register(
 )
 
 
-def _minhash_band_sql(bands: int, r: int) -> str:
+def _minhash_band_sql(bands: int, r: int, src: str = "s") -> str:
     """Band keys as raw value strings (1-based DuckDB list indexing),
-    zip-unnested with the band number."""
+    zip-unnested with the band number.  ``src`` names the signature
+    CTE to read from — parameterized so callers banding a SECOND
+    corpus (the incremental oracle's new batch) don't resort to
+    textual surgery on the FROM clause."""
     keys = ", ".join(
         "concat_ws(','" + "".join(
             f", sig[{b * r + j + 1}]" for j in range(r)
@@ -1298,7 +1301,7 @@ def _minhash_band_sql(bands: int, r: int) -> str:
     )
     return (
         f"SELECT doc_id, UNNEST(range({bands})) AS band, "
-        f"UNNEST([{keys}]) AS bucket FROM s"
+        f"UNNEST([{keys}]) AS bucket FROM {src}"
     )
 
 
@@ -1325,7 +1328,7 @@ def _dedup_incremental_oracle() -> str:
     written signature table, candidate equi-join, 24/32 agreement gate,
     per-new-doc match counts with 0 for fresh docs."""
     seen_band = _minhash_band_sql(bands=8, r=4)
-    new_band = seen_band.replace("FROM s", "FROM s2")
+    new_band = _minhash_band_sql(bands=8, r=4, src="s2")
     return f"""
 WITH nw AS (
   SELECT doc_id + 100000 AS doc_id, text FROM documents

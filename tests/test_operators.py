@@ -1671,3 +1671,61 @@ def test_dedup_incremental_lsh_empty_inputs(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_empty_t")
         spark.sql("DROP TABLE IF EXISTS sig_empty_t__params")
+
+
+def test_agreement_gate_binomial_quantiles():
+    """The gate is the exact binomial quantile: a true pair at the
+    target jaccard passes with >= 1 - miss_rate, and gate+1 would
+    not.  Cross-checked against an independent survival-function
+    implementation (math.comb), including the registry's published
+    24/32 (J>=0.9) and 10/32 (J>=0.5) operating points."""
+    from math import comb
+
+    from dask_histogram_spark.operators import agreement_gate
+
+    def surv(n, p, g):
+        return sum(comb(n, k) * p**k * (1 - p) ** (n - k)
+                   for k in range(g, n + 1))
+
+    for num_perm in (16, 32, 64):
+        for j in (0.5, 0.7, 0.9):
+            for miss in (1e-2, 1e-3):
+                g = agreement_gate(num_perm, j, miss)
+                assert surv(num_perm, j, g) >= 1 - miss
+                if g < num_perm:
+                    assert surv(num_perm, j, g + 1) < 1 - miss
+    # the registry's operating points are these quantiles
+    assert agreement_gate(32, 0.9, 3.3e-3) == 24
+    assert agreement_gate(32, 0.5, 1.1e-2) == 10
+    # degenerate corners: gate never exceeds num_perm, never negative
+    assert agreement_gate(8, 1.0) == 8
+    assert agreement_gate(8, 0.0) == 0
+
+
+def test_signature_table_empty_sidecar_fails_loudly(spark, tmp_path):
+    """A sidecar table that EXISTS but is empty (a write interrupted
+    between the CREATE and the row commit) must raise the same loud
+    rebuild guidance as a formula mismatch — not a bare IndexError."""
+    from dask_histogram_spark.operators import (
+        dedup_incremental_lsh, write_signature_table)
+
+    seen = spark.createDataFrame(
+        [(i, f"seen document {i} body text") for i in range(10)],
+        "doc_id long, text string")
+    write_signature_table(seen, "sig_emptyside_t", num_perm=16, bands=4,
+                          n_buckets=4, path=str(tmp_path / "t"))
+    try:
+        spark.createDataFrame(
+            [],
+            "formula string, num_perm int, bands int, shingle_k int, "
+            "seed int, hash_fn string",
+        ).write.mode("overwrite").option(
+            "path", str(tmp_path / "t__params2")
+        ).saveAsTable("sig_emptyside_t__params")
+        new = spark.createDataFrame(
+            [(100, "seen document 3 body text")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="EMPTY __params"):
+            dedup_incremental_lsh(new, "sig_emptyside_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_emptyside_t")
+        spark.sql("DROP TABLE IF EXISTS sig_emptyside_t__params")
