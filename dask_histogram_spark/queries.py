@@ -1148,13 +1148,14 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
-def _near_dup_lsh_oracle(planes: int = 8, dim: int = 64, seed: int = 23,
-                         threshold: float = 0.3) -> str:
-    """DuckDB twin of the random-hyperplane LSH: the hyperplanes are
-    SEEDED, so they embed as the same float literals the Spark plan
-    carries, and the sign fold is written as the textually identical
-    left-to-right sum (list_reduce mirrors F.aggregate) so the sign
-    bits agree bit-for-bit."""
+def _hyperplane_sig_parts(planes: int = 8, dim: int = 64,
+                          seed: int = 23) -> tuple[str, str]:
+    """(H-CTE select list, sig expression over a DOUBLE[] column
+    ``v``) — the shared DuckDB twin of the random-hyperplane
+    signature: the hyperplanes are SEEDED, so they embed as the same
+    float literals the Spark plan carries, and the sign fold is
+    written as the textually identical left-to-right sum (list_reduce
+    mirrors F.aggregate) so the sign bits agree bit-for-bit."""
     import numpy as np
 
     H = np.random.default_rng(seed).standard_normal((planes, dim))
@@ -1174,6 +1175,15 @@ def _near_dup_lsh_oracle(planes: int = 8, dim: int = 64, seed: int = 23,
         f"CASE WHEN {dot(f'h{p}')} >= 0 THEN '1' ELSE '0' END"
         for p in range(planes)
     ) + ")"
+    return harrs, sig
+
+
+def _near_dup_lsh_oracle(planes: int = 8, dim: int = 64, seed: int = 23,
+                         threshold: float = 0.3) -> str:
+    """DuckDB twin of the in-query hyperplane-LSH near-dup self-join
+    (see :func:`_hyperplane_sig_parts` for the bit-agreement
+    contract)."""
+    harrs, sig = _hyperplane_sig_parts(planes, dim, seed)
     return f"""
 WITH H AS (SELECT {harrs}),
 b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig} AS sig
@@ -1196,26 +1206,91 @@ _register(
 )
 
 
+_EMB_SIG_CACHE: dict = {}
+_EMB_SIG_SEQ = itertools.count()
+
+
 def _q_embedding_dedup_pipeline(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """The text flagship's shape on the EMBEDDING modality: hyperplane-
-    LSH near-dup pairs (the scale path — bucketed sign-signature
-    equi-join, no cross join) -> connected-component clustering.
-    Demonstrates that `dedup_clusters` composes over any pair source;
-    one canonical vector per near-duplicate embedding group."""
-    from .operators import dedup_clusters, embedding_near_dup_pairs
+    """The text flagship's shape on the EMBEDDING modality, both
+    corpus-local and cross-run, union-gated under a ``kind`` tag
+    (mirroring ``dedup_incremental``'s text twin):
+
+    * ``kind='cluster'`` — hyperplane-LSH near-dup pairs (the scale
+      path: bucketed sign-signature equi-join, no cross join) ->
+      connected-component clustering; n = the group's canonical
+      (min-id) vector.
+    * ``kind='incremental'`` — the PERSISTED cross-run gate: the seen
+      corpus's hyperplane band rows are written ONCE per session via
+      write_embedding_signature_table (bucketed on (rep, sig),
+      write-time max_bucket cap, __params sidecar), and a synthetic
+      nightly batch (exact re-crawls of every seen vector + a negated
+      edition of each) probes it by NAME through
+      embedding_dedup_incremental; n = how many seen vectors each new
+      vector near-duplicates after the exact-cosine verify (0 =
+      genuinely fresh — every negated vector, unless the corpus holds
+      a diametrically opposed pair).  The candidate join reads the
+      seen side co-located with no exchange (plan-asserted in
+      tests/test_plans.py).
+    """
+    import shutil
+    import tempfile
+
+    from .operators import (
+        dedup_clusters,
+        embedding_dedup_incremental,
+        embedding_near_dup_pairs,
+        write_embedding_signature_table,
+    )
 
     emb = get_tables(spark, sf_dir)["embeddings"]
     pairs = embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
-    return dedup_clusters(pairs).select(
-        F.col("doc_id").alias("vec_id"), "cluster_id"
+    clusters = dedup_clusters(pairs).select(
+        F.lit("cluster").alias("kind"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("n"),
     )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_SIG_CACHE:
+        # monotone sequence, NOT len(cache) — see _INC_SIG_SEQ's note
+        tbl = f"dhs_emb_sigs_{next(_EMB_SIG_SEQ)}"
+        tmp = tempfile.mkdtemp(prefix="dhs_emb_sigs_")
+        write_embedding_signature_table(
+            emb, tbl, planes=8, seed=23, repetitions=1,
+            max_bucket=64, n_buckets=16, path=os.path.join(tmp, "t"))
+
+        def _cleanup(tbl=tbl, tmp=tmp):
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                s.sql(f"DROP TABLE IF EXISTS {tbl}")
+                s.sql(f"DROP TABLE IF EXISTS {tbl}__params")
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        _cache_put(_EMB_SIG_CACHE, key, tbl, _cleanup)
+    new = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    ).unionByName(emb.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    ))
+    # name-based call: planes/seed/repetitions/dim come from __params
+    inc = embedding_dedup_incremental(new, _EMB_SIG_CACHE[key][0],
+                                      threshold=0.3)
+    return clusters.unionByName(inc.select(
+        F.lit("incremental").alias("kind"), "vec_id",
+        F.col("n_matched_seen").alias("n"),
+    ))
 
 
-_register(
-    "embedding_dedup_pipeline",
-    _q_embedding_dedup_pipeline,
-    f"""
+def _embedding_dedup_pipeline_oracle() -> str:
+    """cluster kind: the hyperplane pair join + recursive transitive
+    closure (unchanged).  incremental kind: the full hyperplane
+    banding on BOTH corpora with the same seeded literals, seen
+    buckets capped at 64 like the written signature table, candidate
+    equi-join on the signature, exact-cosine >= 0.3 verify, per-new-
+    vector match counts with 0 for fresh vectors."""
+    harrs, sig = _hyperplane_sig_parts(planes=8, dim=64, seed=23)
+    return f"""
 WITH RECURSIVE pr AS ({_near_dup_lsh_oracle()}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pr
@@ -1225,9 +1300,41 @@ reach(a, b) AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clus AS (
+  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+Hn AS (SELECT {harrs}),
+nw AS (
+  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> -x) AS v
+  FROM embeddings
+),
+seen AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig} AS sig
+         FROM embeddings, Hn),
+bok AS (SELECT sig FROM seen GROUP BY sig HAVING COUNT(*) <= 64),
+sk AS (SELECT s.vec_id, s.v, s.sig FROM seen s JOIN bok USING (sig)),
+nb AS (SELECT vec_id, v, {sig} AS sig FROM nw, Hn),
+m AS (
+  SELECT nb.vec_id, COUNT(*) AS n
+  FROM nb JOIN sk ON nb.sig = sk.sig
+  WHERE ROUND(list_cosine_similarity(nb.v, sk.v), 6) >= 0.3
+  GROUP BY nb.vec_id
 )
-SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
-""",
+SELECT 'cluster' AS kind, vec_id, cluster_id AS n FROM clus
+UNION ALL
+SELECT 'incremental' AS kind, nw.vec_id, COALESCE(m.n, 0) AS n
+FROM nw LEFT JOIN m USING (vec_id)
+"""
+
+
+_register(
+    "embedding_dedup_pipeline",
+    _q_embedding_dedup_pipeline,
+    _embedding_dedup_pipeline_oracle(),
 )
 
 

@@ -310,3 +310,33 @@ def test_fused_candidate_plan_has_no_self_join(spark):
         d, num_perm=32, bands=8, max_bucket=20, persist=False,
         strategy="semijoin"))
     assert "Join" in semi
+
+
+def test_embedding_pipeline_registry_entry_probes_persisted_table(
+        spark, monkeypatch):
+    """The registry's embedding_dedup_pipeline row must route its
+    incremental kind through the PERSISTED signature-table path —
+    embedding_dedup_incremental called with the table NAME (so planes/
+    seed/dim load from the __params sidecar) — not an ad-hoc DataFrame
+    projection that would skip the bucketed no-exchange join the
+    operator-level test above asserts."""
+    import dask_histogram_spark.operators as ops
+    import dask_histogram_spark.queries as q
+
+    real = ops.embedding_dedup_incremental
+    captured = {}
+
+    def spy(new_df, seen_banded, *args, **kwargs):
+        captured["seen"] = seen_banded
+        return real(new_df, seen_banded, *args, **kwargs)
+
+    monkeypatch.setattr(ops, "embedding_dedup_incremental", spy)
+    out = QUERIES["embedding_dedup_pipeline"](spark, SF_DIR)
+    assert isinstance(captured.get("seen"), str), captured
+    assert spark.catalog.tableExists(captured["seen"] + "__params")
+    kinds = {r.kind for r in out.select("kind").distinct().collect()}
+    assert kinds == {"cluster", "incremental"}
+    # the persisted table is session-cached: a second call reuses it
+    n_tables = captured["seen"]
+    QUERIES["embedding_dedup_pipeline"](spark, SF_DIR)
+    assert captured["seen"] == n_tables
