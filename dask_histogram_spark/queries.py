@@ -1881,14 +1881,21 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         tmp = tempfile.mkdtemp(prefix="dhs_ivf_")
         path = os.path.join(tmp, "index")
+        path_q = os.path.join(tmp, "index_q")
         build_ivf_index(emb, cents, path)
-        _cache_put(_IVF_INDEX_CACHE, key, path,
+        # the QUANTIZED layout of the same index (int8 components +
+        # per-vector scale): deterministic Column arithmetic, so its
+        # dequantized search hash-checks under its own leg below
+        build_ivf_index(emb, cents, path_q, quantize=True)
+        _cache_put(_IVF_INDEX_CACHE, key, (path, path_q),
                    functools.partial(shutil.rmtree, tmp,
                                      ignore_errors=True))
-    indexed = ivf_topk_indexed(_IVF_INDEX_CACHE[key][0], queries,
-                               k=5, nprobe=2)
+    path, path_q = _IVF_INDEX_CACHE[key][0]
+    indexed = ivf_topk_indexed(path, queries, k=5, nprobe=2)
+    quant = ivf_topk_indexed(path_q, queries, k=5, nprobe=2)
     return inline.withColumn("leg", F.lit("inline")).unionByName(
-        indexed.withColumn("leg", F.lit("indexed")))
+        indexed.withColumn("leg", F.lit("indexed"))).unionByName(
+        quant.withColumn("leg", F.lit("quant")))
 
 
 # IVF is deterministic given fixed centroids (here: the vec_id<4
@@ -1933,8 +1940,38 @@ WITH cent AS (
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored QUALIFY rank <= 5
 )
+-- quant leg: the index's int8 layout — same amax/127 scale and
+-- round-to-int as the embedding_norms_quantize row (the rounding
+-- agreement is already pinned there), dequantized back to doubles
+-- inside the scoring, float query side unchanged
+, dq AS (
+  SELECT a.vec_id, a.cid,
+         [CAST(COALESCE(ROUND(x / nullif(
+             list_reduce(list_prepend(0.0,
+                         list_transform(a.v, y -> abs(y))),
+                         (p, q2) -> greatest(p, q2)) / 127.0,
+             0.0), 0), 0.0) AS INT)
+          * (list_reduce(list_prepend(0.0,
+                         list_transform(a.v, y -> abs(y))),
+                         (p, q2) -> greatest(p, q2)) / 127.0)
+          FOR x IN a.v] AS dv
+  FROM assigned a
+), scoredq AS (
+  SELECT p.query_id, d.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.qv, d.dv), 6) AS cos_sim
+  FROM (SELECT * FROM probes WHERE pr <= 2) p
+  JOIN dq d USING (cid)
+  WHERE d.vec_id != p.query_id
+), rankedq AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scoredq QUALIFY rank <= 5
+)
 SELECT r.*, l.leg
 FROM ranked r CROSS JOIN (SELECT UNNEST(['inline', 'indexed']) AS leg) l
+UNION ALL
+SELECT query_id, neighbor_id, cos_sim, rank, 'quant' AS leg FROM rankedq
 """,
 )
 

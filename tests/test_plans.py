@@ -74,11 +74,12 @@ def test_ivf_assignment_is_a_narrow_map(plans):
     is an argmin over a broadcast centroid literal, so the only shuffle
     Exchange per search leg is the final per-query ranking window
     (keyed on query_id, not on any embedding column).  The registry row
-    unions the inline and persisted-index legs, hence <= 2."""
+    unions the inline, persisted-index and quantized-index legs,
+    hence <= 3."""
     plan = plans["similarity_ivf_topk"]
     assert "CartesianProduct" not in plan
     shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
-    assert len(shuffles) <= 2, shuffles
+    assert len(shuffles) <= 3, shuffles
     for line in shuffles:
         assert "query_id" in line, line
         assert "embedding" not in line, line
