@@ -679,6 +679,10 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     bomb against every future batch, and its members are boilerplate
     clusters exact dedup already catches).  The cap's count runs in the
     same (band, bucket)-keyed shuffle the bucketed write needs anyway.
+    What the cap dropped is RECORDED, not silent: the ``__params``
+    sidecar carries (n_capped_buckets, max_bucket_size,
+    n_dropped_rows) — NULL when uncapped — so a nightly operator
+    whose misses are by design says so in data.
 
     The signature PARAMETERS (num_perm, bands, shingle_k, seed,
     hash_fn) are persisted alongside as ``<table>__params``:
@@ -706,9 +710,30 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
                               num_perm, shingle_k, seed, hash_fn, method)
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
                            keep=("sig",))
+    cap_stats = (None, None, None)
+    cached = None
     if max_bucket is not None:
         from pyspark.sql import Window
+        from pyspark.storagelevel import StorageLevel
 
+        # the cap silently drops mega-buckets by design — record HOW
+        # MUCH it dropped in the sidecar (the minhash_lsh_stats
+        # posture: a by-design miss should say so in data).  The band
+        # rows are cached for the duration of the build so the stats
+        # aggregate doesn't re-run the signature kernel.
+        cached = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = cached
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n"))
+        srow = sizes.agg(
+            F.coalesce(F.sum((F.col("__n") > max_bucket).cast("long")),
+                       F.lit(0)).alias("capped"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("mx"),
+            F.coalesce(F.sum(F.when(F.col("__n") > max_bucket,
+                                    F.col("__n"))),
+                       F.lit(0)).alias("dropped"),
+        ).collect()[0]
+        cap_stats = (int(srow.capped), int(srow.mx), int(srow.dropped))
         w = Window.partitionBy("band", "bucket")
         banded = (
             banded.withColumn("__n", F.count(F.lit(1)).over(w))
@@ -718,14 +743,19 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     from ..sources import write_bucketed
 
     write_bucketed(banded, table, ["band", "bucket"], n_buckets, path=path)
+    if cached is not None:
+        cached.unpersist()
     # sidecar recreated only after the data write committed (see the
     # DROP above).  The formula tag additionally makes a table written
     # by a DIFFERENT permutation formula fail loudly at read time.
+    # n_capped_buckets/max_bucket_size/n_dropped_rows document the
+    # write-time skew cap's by-design misses (NULL when uncapped).
     pw = df.sparkSession.createDataFrame(
         [(_SIG_FORMULA, int(num_perm), int(bands), int(shingle_k),
-          int(seed), str(hash_fn))],
+          int(seed), str(hash_fn), *cap_stats)],
         "formula string, num_perm int, bands int, shingle_k int, "
-        "seed int, hash_fn string",
+        "seed int, hash_fn string, n_capped_buckets bigint, "
+        "max_bucket_size bigint, n_dropped_rows bigint",
     ).write.mode("overwrite")
     if path is not None:
         # external like the main table: a managed location can survive

@@ -573,7 +573,9 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     before the data write and recreated after it — a killed rebuild
     leaves a sidecar-less table the reader rejects loudly.
     ``max_bucket`` drops degenerate buckets at write time (e.g. the
-    all-zeros signature of a mass of near-zero vectors)."""
+    all-zeros signature of a mass of near-zero vectors); what it
+    dropped is recorded in the sidecar as (n_capped_buckets,
+    max_bucket_size, n_dropped_rows) — NULL when uncapped."""
     spark = df.sparkSession
     # probe BEFORE dropping the sidecar: an empty/all-null rebuild
     # input must fail without invalidating the existing (still valid)
@@ -595,7 +597,27 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     banded = banded.select(
         F.col(id_col), F.col(vec_col),
         F.col("__rep").alias("rep"), F.col("__sig").alias("sig"))
+    cap_stats = (None, None, None)
+    cached = None
     if max_bucket is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        # record the cap's by-design misses in the sidecar (see the
+        # text twin write_signature_table); cached so the stats pass
+        # doesn't re-run the hyperplane kernel
+        cached = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = cached
+        sizes = banded.groupBy("rep", "sig").agg(
+            F.count(F.lit(1)).alias("__n"))
+        srow = sizes.agg(
+            F.coalesce(F.sum((F.col("__n") > max_bucket).cast("long")),
+                       F.lit(0)).alias("capped"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("mx"),
+            F.coalesce(F.sum(F.when(F.col("__n") > max_bucket,
+                                    F.col("__n"))),
+                       F.lit(0)).alias("dropped"),
+        ).collect()[0]
+        cap_stats = (int(srow.capped), int(srow.mx), int(srow.dropped))
         w = Window.partitionBy("rep", "sig")
         banded = (
             banded.withColumn("__n", F.count(F.lit(1)).over(w))
@@ -605,10 +627,14 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     from ..sources import write_bucketed
 
     write_bucketed(banded, table, ["rep", "sig"], n_buckets, path=path)
+    if cached is not None:
+        cached.unpersist()
     pw = spark.createDataFrame(
         [(_EMB_SIG_FORMULA, int(planes), int(seed), int(repetitions),
-          int(dim))],
-        "formula string, planes int, seed int, repetitions int, dim int",
+          int(dim), *cap_stats)],
+        "formula string, planes int, seed int, repetitions int, dim int, "
+        "n_capped_buckets bigint, max_bucket_size bigint, "
+        "n_dropped_rows bigint",
     ).write.mode("overwrite")
     if path is not None:
         pw = pw.option("path", f"{path}__params")

@@ -1729,3 +1729,68 @@ def test_signature_table_empty_sidecar_fails_loudly(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_emptyside_t")
         spark.sql("DROP TABLE IF EXISTS sig_emptyside_t__params")
+
+
+def test_signature_table_cap_stats_recorded(spark, tmp_path):
+    """write_signature_table(max_bucket=...) drops mega-buckets by
+    design — the __params sidecar must SAY how much it dropped
+    (n_capped_buckets / max_bucket_size / n_dropped_rows), and record
+    NULLs when uncapped."""
+    from dask_histogram_spark.operators import write_signature_table
+
+    # 30 exact copies of one document -> every band bucket it lands in
+    # holds 30 rows; 5 singletons stay under any cap
+    rows = [(i, "the same exact template document body") for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} text") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        write_signature_table(df, "sig_capstats_t", num_perm=16, bands=4,
+                              max_bucket=10, n_buckets=4,
+                              path=str(tmp_path / "t"))
+        p = spark.table("sig_capstats_t__params").collect()[0]
+        # the 30-copy template fills all 4 of its band buckets past the cap
+        assert p.n_capped_buckets == 4, p
+        assert p.max_bucket_size == 30, p
+        assert p.n_dropped_rows == 120, p
+        # dropped rows really are absent from the written projection
+        n = spark.table("sig_capstats_t").count()
+        assert n == 5 * 4, n
+        # uncapped write records NULLs (no stats pass ran)
+        write_signature_table(df, "sig_capstats_u", num_perm=16, bands=4,
+                              n_buckets=4, path=str(tmp_path / "u"))
+        pu = spark.table("sig_capstats_u__params").collect()[0]
+        assert pu.n_capped_buckets is None
+        assert pu.max_bucket_size is None
+        assert pu.n_dropped_rows is None
+    finally:
+        for t in ("sig_capstats_t", "sig_capstats_u"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}__params")
+
+
+def test_embedding_signature_table_cap_stats_recorded(spark, tmp_path):
+    """The embedding twin's sidecar records the same write-time cap
+    accounting."""
+    from dask_histogram_spark.operators import (
+        write_embedding_signature_table)
+
+    # 20 identical vectors share every (rep, sig) bucket; 3 distinct
+    # vectors land wherever their signs fall
+    rows = [(i, [1.0, 2.0, -1.0, 0.5]) for i in range(20)]
+    rows += [(100, [-1.0, 0.1, 2.0, -3.0]), (101, [0.2, -2.0, 1.0, 1.0]),
+             (102, [3.0, 3.0, -0.5, -0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    try:
+        write_embedding_signature_table(
+            df, "emb_capstats_t", planes=6, repetitions=2, max_bucket=10,
+            n_buckets=4, path=str(tmp_path / "t"))
+        p = spark.table("emb_capstats_t__params").collect()[0]
+        # the 20-copy vector overfills its bucket in BOTH repetitions
+        assert p.n_capped_buckets >= 2, p
+        assert p.max_bucket_size >= 20, p
+        assert p.n_dropped_rows >= 40, p
+        # survivors: every row of a <=10-deep bucket
+        assert spark.table("emb_capstats_t").count() <= 3 * 2 + 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_capstats_t")
+        spark.sql("DROP TABLE IF EXISTS emb_capstats_t__params")
