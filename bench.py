@@ -12,6 +12,14 @@ the round-3/4 drift analysis (BASELINE.md) traced every apparent
 sub-second "regression" to that noise.  The median kills the outlier
 without hiding a real regression (a true slowdown moves all three
 reps).  Per-run spreads are reported under "spread" for audit.
+
+Reading round-over-round numbers: whole-RUN totals additionally swing
++/-30% with machine state (documented in BASELINE.md's round-6
+steady-state check — an immediate identical re-run moved every
+floor-bound entry 25-40%).  The protocol is: never conclude a
+regression from ONE run's delta; re-run first, and only investigate a
+slowdown that survives the re-run AND moves a specific query's all
+three reps.
 """
 
 from __future__ import annotations

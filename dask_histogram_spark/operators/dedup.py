@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "agreement_gate",
+    "load_signature_table",
     "dedup_clusters",
     "dedup_exact",
     "dedup_incremental",
@@ -710,41 +711,41 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
                               num_perm, shingle_k, seed, hash_fn, method)
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
                            keep=("sig",))
-    cap_stats = (None, None, None)
-    cached = None
+    obs = None
     if max_bucket is not None:
-        from pyspark.sql import Window
-        from pyspark.storagelevel import StorageLevel
+        from pyspark.sql import Observation, Window
 
         # the cap silently drops mega-buckets by design — record HOW
         # MUCH it dropped in the sidecar (the minhash_lsh_stats
-        # posture: a by-design miss should say so in data).  The band
-        # rows are cached for the duration of the build so the stats
-        # aggregate doesn't re-run the signature kernel.
-        cached = banded.persist(StorageLevel.MEMORY_AND_DISK)
-        banded = cached
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__n"))
-        srow = sizes.agg(
-            F.coalesce(F.sum((F.col("__n") > max_bucket).cast("long")),
-                       F.lit(0)).alias("capped"),
-            F.coalesce(F.max("__n"), F.lit(0)).alias("mx"),
-            F.coalesce(F.sum(F.when(F.col("__n") > max_bucket,
-                                    F.col("__n"))),
-                       F.lit(0)).alias("dropped"),
-        ).collect()[0]
-        cap_stats = (int(srow.capped), int(srow.mx), int(srow.dropped))
+        # posture: a by-design miss should say so in data).  Free at
+        # write time: an Observation on the window-annotated rows
+        # BEFORE the cap filter collects the aggregates during the
+        # write action itself — no persist, no second signature pass,
+        # no extra shuffle.  Bucket COUNT without a distinct agg
+        # (observe merges per-partition, distinct can't): each row of
+        # an over-cap bucket of size n contributes 1/n, summing to
+        # exactly 1 per capped bucket (fp error ~1e-16/bucket; the
+        # round() is exact for any plausible count).
         w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__n", F.count(F.lit(1)).over(w))
-            .where(F.col("__n") <= max_bucket)
-            .drop("__n")
+        banded = banded.withColumn("__n", F.count(F.lit(1)).over(w))
+        obs = Observation()
+        banded = banded.observe(
+            obs,
+            F.sum(F.when(F.col("__n") > max_bucket,
+                         F.lit(1.0) / F.col("__n"))).alias("capped_f"),
+            F.max("__n").alias("mx"),
+            F.sum((F.col("__n") > max_bucket).cast("long"))
+            .alias("dropped"),
         )
+        banded = banded.where(F.col("__n") <= max_bucket).drop("__n")
     from ..sources import write_bucketed
 
     write_bucketed(banded, table, ["band", "bucket"], n_buckets, path=path)
-    if cached is not None:
-        cached.unpersist()
+    cap_stats = (None, None, None)
+    if obs is not None:
+        m = obs.get
+        cap_stats = (int(round(m["capped_f"] or 0.0)),
+                     int(m["mx"] or 0), int(m["dropped"] or 0))
     # sidecar recreated only after the data write committed (see the
     # DROP above).  The formula tag additionally makes a table written
     # by a DIFFERENT permutation formula fail loudly at read time.
@@ -762,6 +763,36 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
         # a killed session's metastore and block the next create
         pw = pw.option("path", f"{path}__params")
     pw.saveAsTable(f"{table}__params")
+
+
+def load_signature_table(spark, table: str):
+    """Open a :func:`write_signature_table` table by NAME with the
+    loud safety checks every reader needs: an existing-but-empty
+    ``__params`` sidecar (interrupted write) and a drifted permutation
+    formula both raise with rebuild guidance, because either would
+    otherwise make every probing document silently report as fresh.
+    Returns ``(banded DataFrame, (num_perm, bands, shingle_k, seed,
+    hash_fn))`` — shared by :func:`dedup_incremental_lsh` and the
+    streaming probe (streaming/dedup.py)."""
+    rows = spark.table(f"{table}__params").collect()
+    if not rows:
+        raise ValueError(
+            f"signature table {table!r} has an EMPTY __params "
+            "sidecar (an interrupted write left the table in an "
+            "unusable state) — rebuild it with write_signature_table."
+        )
+    p = rows[0]
+    stored = getattr(p, "formula", None)
+    if stored != _SIG_FORMULA:
+        raise ValueError(
+            f"signature table {table!r} was written with "
+            f"permutation formula {stored!r}; this reader computes "
+            f"{_SIG_FORMULA!r} — signatures from different formulas "
+            "never match (every doc would silently report as "
+            "fresh).  Rebuild the table with write_signature_table."
+        )
+    return spark.table(table), (p.num_perm, p.bands, p.shingle_k,
+                                p.seed, p.hash_fn)
 
 
 def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
@@ -804,27 +835,8 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
     collisions.
     """
     if isinstance(seen_banded, str):
-        spark = new_df.sparkSession
-        rows = spark.table(f"{seen_banded}__params").collect()
-        if not rows:
-            raise ValueError(
-                f"signature table {seen_banded!r} has an EMPTY __params "
-                "sidecar (an interrupted write left the table in an "
-                "unusable state) — rebuild it with write_signature_table."
-            )
-        p = rows[0]
-        stored = getattr(p, "formula", None)
-        if stored != _SIG_FORMULA:
-            raise ValueError(
-                f"signature table {seen_banded!r} was written with "
-                f"permutation formula {stored!r}; this reader computes "
-                f"{_SIG_FORMULA!r} — signatures from different formulas "
-                "never match (every doc would silently report as "
-                "fresh).  Rebuild the table with write_signature_table."
-            )
-        num_perm, bands, shingle_k, seed, hash_fn = (
-            p.num_perm, p.bands, p.shingle_k, p.seed, p.hash_fn)
-        seen_banded = spark.table(seen_banded)
+        seen_banded, (num_perm, bands, shingle_k, seed, hash_fn) = (
+            load_signature_table(new_df.sparkSession, seen_banded))
     nparts = max(new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
     sigs = minhash_signatures(new_df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn, method)

@@ -597,38 +597,34 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     banded = banded.select(
         F.col(id_col), F.col(vec_col),
         F.col("__rep").alias("rep"), F.col("__sig").alias("sig"))
-    cap_stats = (None, None, None)
-    cached = None
+    obs = None
     if max_bucket is not None:
-        from pyspark.storagelevel import StorageLevel
+        from pyspark.sql import Observation
 
-        # record the cap's by-design misses in the sidecar (see the
-        # text twin write_signature_table); cached so the stats pass
-        # doesn't re-run the hyperplane kernel
-        cached = banded.persist(StorageLevel.MEMORY_AND_DISK)
-        banded = cached
-        sizes = banded.groupBy("rep", "sig").agg(
-            F.count(F.lit(1)).alias("__n"))
-        srow = sizes.agg(
-            F.coalesce(F.sum((F.col("__n") > max_bucket).cast("long")),
-                       F.lit(0)).alias("capped"),
-            F.coalesce(F.max("__n"), F.lit(0)).alias("mx"),
-            F.coalesce(F.sum(F.when(F.col("__n") > max_bucket,
-                                    F.col("__n"))),
-                       F.lit(0)).alias("dropped"),
-        ).collect()[0]
-        cap_stats = (int(srow.capped), int(srow.mx), int(srow.dropped))
+        # record the cap's by-design misses in the sidecar, collected
+        # for free during the write action (see the text twin
+        # write_signature_table for the Observation + reciprocal-sum
+        # bucket-count trick)
         w = Window.partitionBy("rep", "sig")
-        banded = (
-            banded.withColumn("__n", F.count(F.lit(1)).over(w))
-            .where(F.col("__n") <= max_bucket)
-            .drop("__n")
+        banded = banded.withColumn("__n", F.count(F.lit(1)).over(w))
+        obs = Observation()
+        banded = banded.observe(
+            obs,
+            F.sum(F.when(F.col("__n") > max_bucket,
+                         F.lit(1.0) / F.col("__n"))).alias("capped_f"),
+            F.max("__n").alias("mx"),
+            F.sum((F.col("__n") > max_bucket).cast("long"))
+            .alias("dropped"),
         )
+        banded = banded.where(F.col("__n") <= max_bucket).drop("__n")
     from ..sources import write_bucketed
 
     write_bucketed(banded, table, ["rep", "sig"], n_buckets, path=path)
-    if cached is not None:
-        cached.unpersist()
+    cap_stats = (None, None, None)
+    if obs is not None:
+        m = obs.get
+        cap_stats = (int(round(m["capped_f"] or 0.0)),
+                     int(m["mx"] or 0), int(m["dropped"] or 0))
     pw = spark.createDataFrame(
         [(_EMB_SIG_FORMULA, int(planes), int(seed), int(repetitions),
           int(dim), *cap_stats)],

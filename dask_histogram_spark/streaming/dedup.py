@@ -75,7 +75,10 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id", num_perm: int = 64,
                                  bands: int = 16, shingle_k: int = 5,
                                  seed: int = 17,
-                                 hash_fn: str = "xxhash64") -> DataFrame:
+                                 hash_fn: str = "xxhash64",
+                                 seen_table: str | None = None,
+                                 min_sig_matches: int | None = None
+                                 ) -> DataFrame:
     """Streaming near-duplicate candidate detection by MinHash LSH.
 
     The band-bucket projection (operators/dedup.py ``minhash_banded``)
@@ -92,8 +95,22 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
     emit against it — the same pairs a batch run of the bucket would
     produce against its min-id member.
 
-    Output (append mode): (id_a, id_b, band) with id_a the anchor
-    (first-seen), one row per (pair, band) hit.
+    ``seen_table`` bridges the stream to CROSS-RUN state: pass the
+    name of a :func:`~..operators.dedup.write_signature_table` table
+    and every micro-batch ALSO stream-static-joins its band rows
+    against the persisted corpus — the same bucketed no-exchange probe
+    as :func:`~..operators.dedup.dedup_incremental_lsh`, gated by the
+    same component-agreement ``min_sig_matches`` (default: the
+    theory-derived J>=0.9 gate).  A RESTARTED stream therefore doesn't
+    re-admit documents the corpus already holds: its in-memory bucket
+    anchors are gone, but the persisted probe still pairs every
+    re-arrival with its stored near-duplicates.  Banding parameters
+    come from the table's ``__params`` sidecar (overriding the
+    keyword defaults — drifted parameters would silently match
+    nothing), with the same loud formula/empty-sidecar checks.
+
+    Output (append mode): (id_a, id_b, band) with id_a the anchor —
+    the in-stream first-seen id, or the SEEN corpus id for probe hits.
     """
     from ..operators.dedup import minhash_banded
 
@@ -132,15 +149,64 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
                 }
             )
 
-    banded = minhash_banded(df, text_col, id_col, num_perm, bands,
-                            shingle_k, seed, hash_fn)
-    return banded.groupBy("band", "bucket").applyInPandasWithState(
+    if seen_table is None:
+        banded = minhash_banded(df, text_col, id_col, num_perm, bands,
+                                shingle_k, seed, hash_fn)
+        return banded.groupBy("band", "bucket").applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    from ..operators.dedup import (
+        _band_explode,
+        agreement_gate,
+        load_signature_table,
+        minhash_signatures,
+    )
+
+    spark = df.sparkSession
+    seen, (num_perm, bands, shingle_k, seed, hash_fn) = (
+        load_signature_table(spark, seen_table))
+    if min_sig_matches is None:
+        min_sig_matches = agreement_gate(num_perm, jaccard=0.9)
+    # band once WITH the signature kept: the stateful branch ignores
+    # the extra column, the probe branch needs it for the agreement
+    # gate — one signature fold feeds both
+    sigs = minhash_signatures(df, text_col, id_col, num_perm,
+                              shingle_k, seed, hash_fn)
+    banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
+                           keep=("sig",))
+    in_stream = banded.drop("sig").groupBy(
+        "band", "bucket").applyInPandasWithState(
         detect,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    seen_b = seen.select(
+        F.col(id_col).alias("__seen_id"), F.col("sig").alias("__seen_sig"),
+        "band", "bucket")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("__seen_sig"),
+                       lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    probe = (
+        banded.join(seen_b, ["band", "bucket"])
+        .where(matches >= F.lit(min_sig_matches))
+        .select(
+            F.col("__seen_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("band").cast("int").alias("band"),
+        )
+    )
+    return in_stream.unionByName(probe)
 
 
 def streaming_simhash_candidates(df: DataFrame, text_col: str = "text",

@@ -436,3 +436,61 @@ def test_streaming_histogram_state_survives_restart(spark, tmp_path):
     assert len(joined) >= 0.5 * len(batch)
     np.testing.assert_allclose(joined.got.to_numpy(),
                                joined.exp.to_numpy())
+
+
+def test_streaming_probe_matches_incremental_lsh(spark, tmp_path):
+    """streaming_minhash_candidates(seen_table=...) must agree with the
+    batch cross-run gate: for every streamed document, the distinct
+    SEEN ids it pairs with through the persisted-table probe equal
+    dedup_incremental_lsh's n_matched_seen count under the same gate —
+    so a restarted stream (whose in-memory bucket anchors are gone)
+    still refuses documents the corpus already holds."""
+    from dask_histogram_spark.operators import (
+        dedup_incremental_lsh, write_signature_table)
+    from dask_histogram_spark.streaming import streaming_minhash_candidates
+
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    seen = docs.select("doc_id", "text")
+    write_signature_table(seen, "sig_stream_probe_t", num_perm=32,
+                          bands=8, n_buckets=8,
+                          path=str(tmp_path / "sigs"))
+    try:
+        # batch: exact re-crawls (must match) + reversed-id fresh-ish
+        # revisions (suffix edit keeps J high -> also matchable), ids
+        # disjoint from the seen range
+        new = seen.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ).unionByName(seen.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" entirely new tail of words "
+                                          "to dilute the shingles"))
+            .alias("text"),
+        ))
+        d = str(tmp_path / "probe_stream")
+        new.repartition(5).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(new.schema).option(
+            "maxFilesPerTrigger", 2).parquet(d)
+        out = streaming_minhash_candidates(stream,
+                                           seen_table="sig_stream_probe_t")
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("sprobe").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        rows = spark.sql("SELECT * FROM sprobe").collect()
+        # probe hits are the pairs whose anchor is a SEEN id
+        got = {}
+        for r in rows:
+            if r.id_a < 1_000_000:
+                got.setdefault(r.id_b, set()).add(r.id_a)
+        batch = {r.doc_id: r.n_matched_seen
+                 for r in dedup_incremental_lsh(new, "sig_stream_probe_t")
+                 .collect()}
+        assert batch, "batch gate returned nothing"
+        for doc_id, n in batch.items():
+            assert len(got.get(doc_id, set())) == n, (
+                doc_id, n, got.get(doc_id))
+        # sanity on the scenario itself: every exact re-crawl matched
+        assert all(n >= 1 for d_, n in batch.items() if d_ < 2_000_000)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_stream_probe_t")
+        spark.sql("DROP TABLE IF EXISTS sig_stream_probe_t__params")
