@@ -396,6 +396,21 @@ def stratified_sample_sql(rates: dict[str, float], group_col: str,
     return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {rate}"
 
 
+def _sorted_member_count(h: "np.ndarray", b: "np.ndarray") -> int:
+    """Count of ``h``'s values present in SORTED-unique ``b``.
+
+    ``np.searchsorted`` + one gather — O(|h| log |b|) per call.  The
+    obvious ``np.isin(h, b)`` re-sorts the (large, shared) ``b`` on
+    EVERY call: at sf1 that measured 65.7 s vs 0.105 s for 5000 docs
+    against a 270k-gram benchmark set — it was the entire 15.8x
+    contamination_check scaling flag, not the gram hashing."""
+    if len(b) == 0 or len(h) == 0:
+        return 0
+    idx = np.searchsorted(b, h)
+    idx[idx == len(b)] = 0
+    return int((b[idx] == h).sum())
+
+
 def _word_gram_hashes_py(text: str, n: int) -> "np.ndarray":
     """Distinct word-n-gram hashes of one document, mirroring the
     Column twin's tokenization exactly: ``split(trim(lower(text)),
@@ -443,7 +458,7 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
 
     - ``"arrow"`` (the ``"auto"`` default): tokenize + gram + hash +
       membership in ONE Arrow-batched kernel straight off the text
-      (blake2b-8 gram hashes, sorted ``np.isin``); the benchmark side
+      (blake2b-8 gram hashes, searchsorted membership); the benchmark side
       is the same kernel run driver-side on the collected eval texts.
       The Column gram pipeline below is an interpreted HOF chain and
       measured 4x slower on the same corpus.
@@ -479,7 +494,7 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
                     continue
                 h = _word_gram_hashes_py(t, n)
                 ng.append(len(h))
-                nh.append(int(np.isin(h, b).sum()))
+                nh.append(_sorted_member_count(h, b))
             return pd.DataFrame({"n_grams": pd.array(ng, dtype="Int32"),
                                  "n_hits": pd.array(nh, dtype="Int32")})
 
@@ -510,7 +525,7 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
         def n_hits(hs: pd.Series) -> pd.Series:
             b = bc.value
             return pd.Series(pd.array(
-                [int(np.isin(np.asarray(h, dtype=np.int64), b).sum())
+                [_sorted_member_count(np.asarray(h, dtype=np.int64), b)
                  if h is not None else None
                  for h in hs],
                 dtype="Int32"))

@@ -1247,6 +1247,29 @@ def test_contamination_check_arrow_matches_column(spark, tables):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_sorted_member_count_matches_isin():
+    """`_sorted_member_count` (searchsorted against the sorted-unique
+    benchmark array) must agree with np.isin on every shape: hits,
+    misses, duplicates in h, first/last element of b, empty h, empty
+    b.  np.isin re-sorts b per call (626x slower at sf1 bench sizes)
+    but is the semantic reference."""
+    import numpy as np
+
+    from dask_histogram_spark.operators.pipeline import _sorted_member_count
+
+    rng = np.random.default_rng(7)
+    b = np.unique(rng.integers(-1000, 1000, 500))
+    cases = [
+        rng.integers(-1000, 1000, 52),
+        np.array([b[0], b[-1], b[0], 2000, -2000]),
+        b[:10].copy(),
+        np.zeros(0, dtype=np.int64),
+    ]
+    for h in cases:
+        assert _sorted_member_count(h, b) == int(np.isin(h, b).sum())
+    assert _sorted_member_count(cases[0], np.zeros(0, dtype=np.int64)) == 0
+
+
 def test_contamination_check_train_side_is_narrow(spark, tables):
     """The training side must be a single pass: no Exchange anywhere in
     the plan (benchmark grams are a broadcast numpy array, not a join
