@@ -244,7 +244,7 @@ def _fnv1a32_shingles_np(s: str, k: int) -> np.ndarray:
 
 
 def agreement_gate(num_perm: int, jaccard: float = 0.9,
-                   miss_rate: float = 1e-3) -> int:
+                   miss_rate: float = 1.1e-2) -> int:
     """Derive a MinHash component-agreement gate from theory, not
     tuning: the largest g such that a true pair at shingle-jaccard
     ``jaccard`` still passes ``sig_matches >= g`` with probability
@@ -254,11 +254,13 @@ def agreement_gate(num_perm: int, jaccard: float = 0.9,
 
     This is how the library's gates are derived rather than tuned
     against a particular corpus (empirically-tuned gates once silently
-    inherited a broken permutation; see the _MERSENNE31 note): the
-    registry's 24/32 for the J>=0.9 near-dup target keeps
-    P(pass | J=0.9) = 99.67% and 10/32 for J>=0.5 keeps 98.997% —
-    i.e. miss_rate ~ 3.3e-3 and ~1e-2 respectively.  Exact CDF, no
-    normal approximation: num_perm is small.
+    inherited a broken permutation; see the _MERSENNE31 note).  The
+    default ~1.1% miss budget reproduces the library's documented and
+    measured operating points at num_perm=32: ``agreement_gate(32,
+    0.9) == 24`` (actual miss 3.3e-3) and ``agreement_gate(32, 0.5)
+    == 10`` (actual miss 1.0e-2) — the two gates every BASELINE.md
+    recall/FP table characterizes.  Exact CDF, no normal
+    approximation: num_perm is small.
     """
     from math import comb
 

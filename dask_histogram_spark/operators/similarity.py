@@ -24,7 +24,8 @@ __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "embedding_near_dup_pairs", "fit_centroids",
            "build_ivf_index", "ivf_topk_indexed", "load_ivf_centroids",
            "quantize_embeddings", "quantized_cosine_expr",
-           "write_embedding_signature_table", "embedding_dedup_incremental"]
+           "write_embedding_signature_table", "embedding_dedup_incremental",
+           "load_embedding_signature_table"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -637,6 +638,36 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     pw.saveAsTable(f"{table}__params")
 
 
+def load_embedding_signature_table(spark, table: str):
+    """Open a :func:`write_embedding_signature_table` table by NAME
+    with the loud safety checks every reader needs — the embedding
+    twin of :func:`~.dedup.load_signature_table`: an existing-but-
+    empty ``__params`` sidecar (interrupted write) and a drifted
+    projection formula both raise with rebuild guidance, because
+    either would otherwise make every probing vector silently report
+    as fresh.  Returns ``(banded DataFrame, (planes, seed,
+    repetitions, dim))``."""
+    rows = spark.table(f"{table}__params").collect()
+    if not rows:
+        raise ValueError(
+            f"embedding signature table {table!r} has an EMPTY "
+            "__params sidecar (an interrupted write left the table "
+            "in an unusable state) — rebuild it with "
+            "write_embedding_signature_table."
+        )
+    p = rows[0]
+    stored = getattr(p, "formula", None)
+    if stored != _EMB_SIG_FORMULA:
+        raise ValueError(
+            f"embedding signature table {table!r} was written "
+            f"with formula {stored!r}; this reader computes "
+            f"{_EMB_SIG_FORMULA!r} — signatures from different "
+            "formulas never match (every vector would silently "
+            "report as fresh).  Rebuild the table with "
+            "write_embedding_signature_table.")
+    return spark.table(table), (p.planes, p.seed, p.repetitions, p.dim)
+
+
 def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
                                 threshold: float = 0.95,
                                 vec_col: str = "embedding",
@@ -659,25 +690,9 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     """
     dim = None
     if isinstance(seen_banded, str):
-        spark = new_df.sparkSession
-        rows = spark.table(f"{seen_banded}__params").collect()
-        if not rows:
-            raise ValueError(
-                f"embedding signature table {seen_banded!r} has an EMPTY "
-                "__params sidecar (an interrupted write left the table "
-                "in an unusable state) — rebuild it with "
-                "write_embedding_signature_table."
-            )
-        p = rows[0]
-        stored = getattr(p, "formula", None)
-        if stored != _EMB_SIG_FORMULA:
-            raise ValueError(
-                f"embedding signature table {seen_banded!r} was written "
-                f"with formula {stored!r}; this reader computes "
-                f"{_EMB_SIG_FORMULA!r} — rebuild the table")
-        planes, seed, repetitions, dim = (
-            p.planes, p.seed, p.repetitions, p.dim)
-        seen_banded = spark.table(seen_banded)
+        seen_banded, (planes, seed, repetitions, dim) = (
+            load_embedding_signature_table(
+                new_df.sparkSession, seen_banded))
     # spread the batch before the Python signature kernel (the text
     # twin's repartition rationale: a nightly batch often lands as a
     # file or two, capping the Arrow kernel at 1-2 tasks)

@@ -112,8 +112,6 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
     Output (append mode): (id_a, id_b, band) with id_a the anchor —
     the in-stream first-seen id, or the SEEN corpus id for probe hits.
     """
-    from ..operators.dedup import minhash_banded
-
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -149,17 +147,6 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
                 }
             )
 
-    if seen_table is None:
-        banded = minhash_banded(df, text_col, id_col, num_perm, bands,
-                                shingle_k, seed, hash_fn)
-        return banded.groupBy("band", "bucket").applyInPandasWithState(
-            detect,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-
     from ..operators.dedup import (
         _band_explode,
         agreement_gate,
@@ -167,19 +154,21 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
         minhash_signatures,
     )
 
-    spark = df.sparkSession
-    seen, (num_perm, bands, shingle_k, seed, hash_fn) = (
-        load_signature_table(spark, seen_table))
-    if min_sig_matches is None:
-        min_sig_matches = agreement_gate(num_perm, jaccard=0.9)
-    # band once WITH the signature kept: the stateful branch ignores
-    # the extra column, the probe branch needs it for the agreement
-    # gate — one signature fold feeds both
+    seen = None
+    if seen_table is not None:
+        seen, (num_perm, bands, shingle_k, seed, hash_fn) = (
+            load_signature_table(df.sparkSession, seen_table))
+        if min_sig_matches is None:
+            min_sig_matches = agreement_gate(num_perm, jaccard=0.9)
+    # band once, WITH the signature kept only when a persisted corpus
+    # is probed: the stateful detector ignores the extra column, the
+    # probe needs it for the agreement gate — one signature fold (and
+    # one stateful call site) serves both modes
     sigs = minhash_signatures(df, text_col, id_col, num_perm,
                               shingle_k, seed, hash_fn)
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
-                           keep=("sig",))
-    in_stream = banded.drop("sig").groupBy(
+                           keep=("sig",) if seen is not None else ())
+    in_stream = (banded.drop("sig") if seen is not None else banded).groupBy(
         "band", "bucket").applyInPandasWithState(
         detect,
         outputStructType=out_schema,
@@ -187,6 +176,8 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if seen is None:
+        return in_stream
     seen_b = seen.select(
         F.col(id_col).alias("__seen_id"), F.col("sig").alias("__seen_sig"),
         "band", "bucket")

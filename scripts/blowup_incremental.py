@@ -68,8 +68,15 @@ def mutated_recrawl(spark, n: int, m_changed: int, offset: int):
         if i < WORDS - m_changed:
             h = F.xxhash64(F.col("base_id"), F.lit(i))
         else:
-            # different hash input -> an independent vocab draw
-            h = F.xxhash64(F.col("base_id") + 777_000 + m_changed,
+            # different hash input -> an independent vocab draw.  The
+            # offset must land OUTSIDE every generated id range (seen
+            # docs are 0..n_seen, fresh 20M+): an in-range offset
+            # would make the replaced words reproduce seen doc
+            # (base_id+offset)'s words in-position, giving each
+            # planted doc a second, theory-unmodeled partner at large
+            # n_seen (observed as a few-per-thousand recall inflation
+            # under the 10/32 gate at 1M seen before the fix).
+            h = F.xxhash64(F.col("base_id") + 30_000_000 + m_changed,
                            F.lit(i))
         cols.append(F.concat(F.lit("w"), F.pmod(h, F.lit(VOCAB))))
     return spark.range(n).select(F.col("id").alias("base_id")).select(

@@ -1720,6 +1720,12 @@ def test_agreement_gate_binomial_quantiles():
     # the registry's operating points are these quantiles
     assert agreement_gate(32, 0.9, 3.3e-3) == 24
     assert agreement_gate(32, 0.5, 1.1e-2) == 10
+    # and the DEFAULT miss budget lands exactly on them — the gate a
+    # user gets from dedup_incremental_lsh / the streaming probe with
+    # no arguments is the one BASELINE.md measures (24/32 and 10/32),
+    # not an undocumented neighbor
+    assert agreement_gate(32, 0.9) == 24
+    assert agreement_gate(32, 0.5) == 10
     # degenerate corners: gate never exceeds num_perm, never negative
     assert agreement_gate(8, 1.0) == 8
     assert agreement_gate(8, 0.0) == 0
