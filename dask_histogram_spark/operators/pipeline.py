@@ -411,25 +411,68 @@ def _sorted_member_count(h: "np.ndarray", b: "np.ndarray") -> int:
     return int((b[idx] == h).sum())
 
 
-def _word_gram_hashes_py(text: str, n: int) -> "np.ndarray":
-    """Distinct word-n-gram hashes of one document, mirroring the
-    Column twin's tokenization exactly: ``split(trim(lower(text)),
-    '\\s+')`` — Spark's trim strips SPACES only and Java's ``\\s`` is
-    ASCII-only, so this uses ``strip(" ")`` + an ``re.ASCII`` pattern
-    (plain ``.strip()``/Unicode ``\\s`` would tokenize a trailing
-    newline or a NBSP differently from the Column path and the DuckDB
-    oracle).  An empty string yields one empty token, a short doc one
-    short gram.  Hash = 8-byte blake2b of the gram's UTF-8 (stable
-    across processes, unlike ``hash()``)."""
-    import hashlib
+def _word_gram_hash_batch(texts, n: int) -> "list[np.ndarray | None]":
+    """Distinct word-n-gram hashes for a BATCH of documents (None in →
+    None out), mirroring the Column twin's tokenization exactly:
+    ``split(trim(lower(text)), '\\s+')`` — Spark's trim strips SPACES
+    only and Java's ``\\s`` is ASCII-only, so this uses ``strip(" ")``
+    + an ``re.ASCII`` pattern (plain ``.strip()``/Unicode ``\\s``
+    would tokenize a trailing newline or a NBSP differently from the
+    Column path and the DuckDB oracle).  An empty string yields one
+    empty token, a short doc one short (width < n) gram.
 
-    toks = _WS_ASCII.split(text.lower().strip(" "))
-    hi = max(len(toks) - n, 0)
-    grams = {" ".join(toks[i:i + n]) for i in range(hi + 1)}
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "big", signed=True) for g in grams),
-        dtype=np.int64, count=len(grams))
+    Batch-vectorized on purpose: ONE ``pd.util.hash_array`` call
+    (fixed default key — stable across processes, unlike ``hash()``;
+    ``categorize=True`` hashes each distinct token once, so cost
+    tracks vocabulary, not token count) hashes every token in the
+    batch, then gram hashes are a degree-(n-1) polynomial rolling
+    combine of consecutive token hashes in numpy (wrapping uint64;
+    tokens contain no whitespace, so token-sequence identity == gram-
+    string identity up to ~2^-64 combine collisions).  A per-gram
+    Python loop (string join + one blake2b per gram) measured 3x
+    slower on the sf0.1 documents table and was replaced by this —
+    membership counts are hash-function-agnostic, so the swap is
+    invisible to the oracle."""
+    mult = np.uint64(0x9E3779B97F4A7C15)  # odd, full-width mixing
+    spans: list[tuple[int, int] | None] = []
+    flat: list[str] = []
+    for t in texts:
+        if t is None:
+            spans.append(None)
+            continue
+        toks = _WS_ASCII.split(t.lower().strip(" "))
+        spans.append((len(flat), len(toks)))
+        flat.extend(toks)
+    th = (pd.util.hash_array(np.asarray(flat, dtype=object),
+                             categorize=True)
+          if flat else np.zeros(0, dtype=np.uint64))
+    total = len(th)
+    # one bulk rolling combine over the flattened token hashes; windows
+    # that straddle a document boundary are computed but never read
+    # (each doc slices only its fully-interior windows below)
+    if total >= n:
+        acc = th[: total - n + 1].copy()
+        for j in range(1, n):
+            acc = acc * mult + th[j: total - n + 1 + j]
+    else:
+        acc = np.zeros(0, dtype=np.uint64)
+    out: list[np.ndarray | None] = []
+    for sp in spans:
+        if sp is None:
+            out.append(None)
+            continue
+        off, ln = sp
+        if ln >= n:
+            g = acc[off: off + ln - n + 1]
+        else:
+            # short doc: a single gram of all ln (< n) tokens, same
+            # combine form (degenerate loop), so it can never collide
+            # with a full-width gram except by hash accident
+            g = th[off: off + 1].copy()
+            for j in range(1, ln):
+                g = g * mult + th[off + j: off + j + 1]
+        out.append(np.unique(g))
+    return out
 
 
 def contamination_check(train: DataFrame, benchmark: DataFrame,
@@ -458,8 +501,10 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
 
     - ``"arrow"`` (the ``"auto"`` default): tokenize + gram + hash +
       membership in ONE Arrow-batched kernel straight off the text
-      (blake2b-8 gram hashes, searchsorted membership); the benchmark side
-      is the same kernel run driver-side on the collected eval texts.
+      (batch-vectorized token hashing + rolling gram combine —
+      ``_word_gram_hash_batch`` — and searchsorted membership); the
+      benchmark side is the same kernel run driver-side on the
+      collected eval texts.
       The Column gram pipeline below is an interpreted HOF chain and
       measured 4x slower on the same corpus.
     - ``"column"``: grams and xxhash64 hashing stay JVM Column
@@ -474,25 +519,25 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
         # NULL benchmark texts contribute no grams (explode(null) emits
         # no rows in the Column twin)
         bench_list = [
-            _word_gram_hashes_py(t, n)
-            for t in btexts.column(text_col).to_pylist() if t is not None
+            h for h in _word_gram_hash_batch(
+                btexts.column(text_col).to_pylist(), n)
+            if h is not None
         ]
         bench = np.unique(np.concatenate(bench_list)) if bench_list else \
-            np.zeros(0, dtype=np.int64)
+            np.zeros(0, dtype=np.uint64)
         bc = train.sparkSession.sparkContext.broadcast(bench)
 
         @F.pandas_udf("n_grams int, n_hits int")
         def gram_stats(texts: pd.Series) -> pd.DataFrame:
             b = bc.value
             ng, nh = [], []
-            for t in texts:
-                if t is None:
+            for h in _word_gram_hash_batch(texts, n):
+                if h is None:
                     # NULL text -> NULL counts (and the downstream
                     # ratio/flag expressions null-propagate)
                     ng.append(None)
                     nh.append(None)
                     continue
-                h = _word_gram_hashes_py(t, n)
                 ng.append(len(h))
                 nh.append(_sorted_member_count(h, b))
             return pd.DataFrame({"n_grams": pd.array(ng, dtype="Int32"),
