@@ -25,7 +25,7 @@ __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "build_ivf_index", "ivf_topk_indexed", "load_ivf_centroids",
            "quantize_embeddings", "quantized_cosine_expr",
            "write_embedding_signature_table", "embedding_dedup_incremental",
-           "load_embedding_signature_table"]
+           "load_embedding_signature_table", "auto_hyperplane_params"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -559,7 +559,8 @@ def write_embedding_signature_table(df: DataFrame, table: str,
                                     method: str = "auto",
                                     n_buckets: int = 64,
                                     max_bucket: int | None = None,
-                                    path: str | None = None) -> None:
+                                    path: str | None = None,
+                                    design_cos: float = 0.99) -> None:
     """Persist a corpus's hyperplane-LSH band rows as the cross-run
     "seen" table for :func:`embedding_dedup_incremental` — the
     embedding-modality twin of
@@ -576,8 +577,18 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     ``max_bucket`` drops degenerate buckets at write time (e.g. the
     all-zeros signature of a mass of near-zero vectors); what it
     dropped is recorded in the sidecar as (n_capped_buckets,
-    max_bucket_size, n_dropped_rows) — NULL when uncapped."""
+    max_bucket_size, n_dropped_rows) — NULL when uncapped.
+
+    ``planes="auto"`` sizes (planes, repetitions) from the corpus via
+    :func:`auto_hyperplane_params` (recall target at ``design_cos``,
+    default 0.99); the RESOLVED integers land in the sidecar, so
+    probing readers need no knowledge of how they were chosen."""
     spark = df.sparkSession
+    if planes == "auto":
+        planes, auto_reps = auto_hyperplane_params(
+            df.count(), design_cos=design_cos)
+        if repetitions == 1:
+            repetitions = auto_reps
     # probe BEFORE dropping the sidecar: an empty/all-null rebuild
     # input must fail without invalidating the existing (still valid)
     # table; the sidecar-less crash window is reserved for failures of
@@ -736,6 +747,43 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     )
 
 
+def auto_hyperplane_params(n_rows: int, design_cos: float = 0.99,
+                           target_occupancy: int = 32,
+                           target_recall: float = 0.98,
+                           min_planes: int = 8, max_planes: int = 28,
+                           max_repetitions: int = 16) -> tuple[int, int]:
+    """Size hyperplane-LSH (planes, repetitions) from corpus scale —
+    the production answer to the width-vs-volume trade a FIXED plane
+    count loses at scale (measured: the sf1 audit's 49x on a pinned
+    planes=8 as mean bucket occupancy grew 10x; see BASELINE.md).
+
+    ``planes = ceil(log2(n / target_occupancy))`` holds EXPECTED mean
+    bucket occupancy at ``target_occupancy`` whatever n is, so the
+    bucket-local exact-cosine work stays ~``repetitions *
+    target_occupancy`` per vector — linear in n overall.  Wider
+    signatures lower per-table collision probability, so repetitions
+    are then derived to restore recall: a pair at ``design_cos``
+    collides per table with p^planes (p = 1 - θ/π), and the smallest
+    r with 1 - (1 - p^planes)^r >= target_recall is returned
+    (clamped to ``max_repetitions``; planes to [min_planes,
+    max_planes]).  Expected occupancy assumes roughly spread
+    signatures — correlated corpora concentrate buckets, which the
+    writers' ``max_bucket`` cap (with sidecar cap accounting) already
+    bounds.
+    """
+    from math import acos, ceil, log, log2, pi
+
+    planes = ceil(log2(max(int(n_rows), 1) / float(target_occupancy)))
+    planes = min(max(planes, min_planes), max_planes)
+    p = 1.0 - acos(min(max(float(design_cos), -1.0), 1.0)) / pi
+    per_table = p ** planes
+    if per_table >= 1.0:
+        reps = 1
+    else:
+        reps = ceil(log(1.0 - float(target_recall)) / log(1.0 - per_table))
+    return planes, min(max(reps, 1), max_repetitions)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              planes: int = 16, seed: int = 23,
@@ -775,7 +823,19 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     2k x 64-dim x 8 planes at sf0.1) drops to milliseconds.
     ``"column"`` keeps the pure-Column reference path the kernel is
     differentially tested against.  Output: (id_a, id_b, cos_sim).
+
+    ``planes="auto"`` sizes (planes, repetitions) from the corpus via
+    :func:`auto_hyperplane_params` (one count job; recall target at
+    ``threshold`` itself) — fixed planes are right for a pinned,
+    oracle-reproducible run, auto for production corpora whose size
+    the caller doesn't know up front.  An explicit ``repetitions``
+    (> 1, i.e. different from the default) overrides the derived one.
     """
+    if planes == "auto":
+        planes, auto_reps = auto_hyperplane_params(
+            df.count(), design_cos=threshold)
+        if repetitions == 1:
+            repetitions = auto_reps
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -307,6 +307,56 @@ def test_embedding_near_dup(spark, tables):
     assert all((i, i + 100000) in pairs for i in range(n))
 
 
+def test_auto_hyperplane_params_theory():
+    """(planes, repetitions) sizing: planes tracks log2(n/occupancy)
+    within clamps, and the returned pair meets the recall target under
+    the exact hyperplane collision model 1-(1-p^planes)^reps whenever
+    repetitions came back unclamped."""
+    from math import acos, pi
+
+    from dask_histogram_spark.operators import auto_hyperplane_params
+
+    last_planes = 0
+    for n in (100, 10_000, 1_000_000, 10_000_000_000):
+        planes, reps = auto_hyperplane_params(n)
+        assert 8 <= planes <= 28 and 1 <= reps <= 16
+        assert planes >= last_planes  # monotone in corpus size
+        last_planes = planes
+        if reps < 16:  # unclamped -> the recall bound must hold
+            p = 1.0 - acos(0.99) / pi
+            assert 1.0 - (1.0 - p ** planes) ** reps >= 0.98
+    # expected mean occupancy stays at/below target (up to clamping)
+    planes, _ = auto_hyperplane_params(2_000_000, target_occupancy=32)
+    assert 2_000_000 / 2 ** planes <= 32
+    # a looser design cosine needs fewer repetitions, never more
+    _, r_tight = auto_hyperplane_params(1_000_000, design_cos=0.99)
+    _, r_loose = auto_hyperplane_params(1_000_000, design_cos=0.999)
+    assert r_loose <= r_tight
+
+
+def test_embedding_near_dup_auto_planes(spark, tables):
+    """planes='auto' derives (planes, repetitions) from the corpus and
+    still finds every identical-vector pair (cos=1 collides in every
+    table); scores match the fixed-plane operator exactly (the same
+    exact-cosine verify runs on candidates either way)."""
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.operators import embedding_near_dup_pairs
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    dup = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    pairs = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_near_dup_pairs(
+                 dup, threshold=0.999, planes="auto").collect()}
+    assert all((i, i + 100000) in pairs for i in range(n))
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_near_dup_pairs(
+                 dup, threshold=0.999, exact=True).collect()}
+    assert set(pairs) <= set(exact)
+    assert all(exact[k] == v for k, v in pairs.items())
+
+
 def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
     """max_df drops ubiquitous shingles; identical docs still score 1.0
     over the pruned shingle universe."""
