@@ -2,6 +2,7 @@ from .dedup import (
     streaming_dedup_exact,
     streaming_minhash_candidates,
     streaming_simhash_candidates,
+    streaming_embedding_candidates,
 )
 from .histogram import streaming_histogram, windowed_histogram
 
@@ -9,6 +10,7 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_minhash_candidates",
     "streaming_simhash_candidates",
+    "streaming_embedding_candidates",
     "streaming_histogram",
     "windowed_histogram",
 ]

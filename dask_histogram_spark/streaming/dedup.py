@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["streaming_dedup_exact", "streaming_minhash_candidates",
-           "streaming_simhash_candidates"]
+           "streaming_simhash_candidates", "streaming_embedding_candidates"]
 
 
 def streaming_dedup_exact(df: DataFrame, text_col: str = "text",
@@ -195,6 +195,126 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
             F.col("__seen_id").alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.col("band").cast("int").alias("band"),
+        )
+    )
+    return in_stream.unionByName(probe)
+
+
+def streaming_embedding_candidates(df: DataFrame,
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   planes: int = 16, seed: int = 23,
+                                   repetitions: int = 1,
+                                   method: str = "auto",
+                                   dim: int | None = None,
+                                   seen_table: str | None = None,
+                                   threshold: float = 0.95) -> DataFrame:
+    """Streaming near-duplicate candidates for the EMBEDDING modality —
+    the vector twin of :func:`streaming_minhash_candidates`, completing
+    the streaming x cross-run unification for both modalities.
+
+    The hyperplane band projection
+    (operators/similarity.py ``_hyperplane_banded``) is a stateless
+    projection, so it runs unchanged on the stream; each (rep, sig)
+    bucket anchors on its first-seen id with ONE long of state, and
+    later arrivals emit (anchor, id, rep) candidate rows for exact-
+    cosine verification downstream — the same two-tier shape as the
+    batch operator.
+
+    ``dim`` must be given for a pure in-stream run (a stream cannot be
+    sampled for it); with ``seen_table`` it — and every banding
+    parameter — loads from the persisted table's ``__params`` sidecar
+    instead (drifted parameters would silently match nothing), with
+    the loud formula/empty-sidecar checks.  The probe leg stream-
+    static-joins each micro-batch's band rows against the bucketed
+    seen table (no seen-side exchange) and verifies INLINE with the
+    exact cosine at ``threshold`` — vectors ride the joined row, so
+    unlike the in-stream leg no downstream verify is needed; a
+    restarted stream therefore still refuses vectors the corpus
+    already holds, exactly like :func:`~..operators.similarity.
+    embedding_dedup_incremental`.
+
+    Output (append mode): (id_a, id_b, rep) — id_a is the in-stream
+    anchor, or the SEEN corpus id for probe hits (per-rep rows;
+    distinct on (id_a, id_b) downstream if pair-unique output is
+    needed, the batch operators' dropDuplicates convention).
+    """
+    from ..operators.similarity import (
+        _hyperplane_banded,
+        cosine_expr,
+        load_embedding_signature_table,
+    )
+
+    seen = None
+    if seen_table is not None:
+        seen, (planes, seed, repetitions, dim) = (
+            load_embedding_signature_table(df.sparkSession, seen_table))
+    elif dim is None:
+        raise ValueError(
+            "streaming_embedding_candidates needs dim= for a pure "
+            "in-stream run (a stream cannot be sampled for it); with "
+            "seen_table= it loads from the sidecar instead")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("rep", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("anchor", T.LongType())])
+
+    def detect(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rep = key[0]
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf[id_col])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (anchor,) = state.get
+        else:
+            anchor = ids.pop(0)
+            state.update((anchor,))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "id_a": [anchor] * len(ids),
+                    "id_b": ids,
+                    "rep": [rep] * len(ids),
+                }
+            )
+
+    banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
+                                   repetitions, method, dim=dim)
+    in_stream = banded.groupBy("__rep", "__sig").applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    if seen is None:
+        return in_stream
+    seen_b = seen.select(
+        F.col(id_col).alias("__seen_id"),
+        F.col(vec_col).alias("__seen_vec"), "rep", "sig")
+    probe = (
+        banded.join(
+            seen_b,
+            (F.col("__rep") == F.col("rep"))
+            & (F.col("__sig") == F.col("sig")))
+        .where(F.round(cosine_expr(F.col(vec_col), F.col("__seen_vec")), 6)
+               >= F.lit(float(threshold)))
+        .select(
+            F.col("__seen_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("rep").cast("int").alias("rep"),
         )
     )
     return in_stream.unionByName(probe)

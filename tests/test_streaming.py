@@ -438,6 +438,79 @@ def test_streaming_histogram_state_survives_restart(spark, tmp_path):
                                joined.exp.to_numpy())
 
 
+def test_streaming_embedding_requires_dim_without_table(spark):
+    """A pure in-stream run cannot sample the stream for the vector
+    dimension — it must be given, loudly."""
+    import pytest
+
+    from dask_histogram_spark.streaming import (
+        streaming_embedding_candidates)
+
+    stream = spark.readStream.format("rate").load().select(
+        F.col("value").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="dim="):
+        streaming_embedding_candidates(stream)
+
+
+def test_streaming_embedding_probe_matches_incremental(spark, tmp_path):
+    """streaming_embedding_candidates(seen_table=...) must agree with
+    the batch cross-run gate: for every streamed vector, the distinct
+    SEEN ids it pairs with through the persisted-table probe equal
+    embedding_dedup_incremental's n_matched_seen count at the same
+    threshold — the embedding twin of the text stream-probe equality
+    below, completing the streaming x cross-run unification for both
+    modalities."""
+    from dask_histogram_spark.operators import (
+        embedding_dedup_incremental, write_embedding_signature_table)
+    from dask_histogram_spark.streaming import (
+        streaming_embedding_candidates)
+
+    emb = load_tables(spark, "/root/testdata/sf0.001",
+                      names=("embeddings",))["embeddings"]
+    seen = emb.select("vec_id", "embedding")
+    write_embedding_signature_table(seen, "esig_stream_probe_t",
+                                    planes=8, n_buckets=8,
+                                    path=str(tmp_path / "esigs"))
+    try:
+        # exact re-ingests (must match) + negated vectors (cosine -1:
+        # can never pass the threshold), ids disjoint from seen
+        new = seen.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        ).unionByName(seen.select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ))
+        d = str(tmp_path / "eprobe_stream")
+        new.repartition(5).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(new.schema).option(
+            "maxFilesPerTrigger", 2).parquet(d)
+        out = streaming_embedding_candidates(
+            stream, seen_table="esig_stream_probe_t", threshold=0.99)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("eprobe").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        rows = spark.sql("SELECT * FROM eprobe").collect()
+        got = {}
+        for r in rows:
+            if r.id_a < 1_000_000:  # probe hits anchor on a SEEN id
+                got.setdefault(r.id_b, set()).add(r.id_a)
+        batch = {r.vec_id: r.n_matched_seen
+                 for r in embedding_dedup_incremental(
+                     new, "esig_stream_probe_t", threshold=0.99)
+                 .collect()}
+        assert batch, "batch gate returned nothing"
+        for vec_id, n in batch.items():
+            assert len(got.get(vec_id, set())) == n, (
+                vec_id, n, got.get(vec_id))
+        # scenario sanity: every exact re-ingest matched, no negated did
+        assert all(n >= 1 for v, n in batch.items() if v < 2_000_000)
+        assert all(n == 0 for v, n in batch.items() if v >= 2_000_000)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS esig_stream_probe_t")
+        spark.sql("DROP TABLE IF EXISTS esig_stream_probe_t__params")
+
+
 def test_streaming_probe_matches_incremental_lsh(spark, tmp_path):
     """streaming_minhash_candidates(seen_table=...) must agree with the
     batch cross-run gate: for every streamed document, the distinct
