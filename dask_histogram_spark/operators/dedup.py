@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "auto_minhash_params",
     "agreement_gate",
     "load_signature_table",
     "dedup_clusters",
@@ -275,6 +276,48 @@ def agreement_gate(num_perm: int, jaccard: float = 0.9,
         # subtract P(X = g) to get P(X >= g+1)
         tail -= comb(num_perm, g) * (p ** g) * ((1.0 - p) ** (num_perm - g))
     return gate
+
+
+def auto_minhash_params(target_jaccard: float = 0.9,
+                        miss_rate: float = 1e-2,
+                        fp_jaccard: float = 0.3,
+                        max_fp_rate: float = 0.1,
+                        num_perm_choices: tuple[int, ...] = (32, 64, 128)
+                        ) -> tuple[int, int]:
+    """Theory-derived (num_perm, bands) for MinHash LSH — the banding
+    companion of :func:`agreement_gate` (which derives the COMPONENT
+    gate once num_perm is fixed): the cheapest configuration whose
+    S-curve 1 - (1 - J^r)^bands (r = num_perm / bands) catches a true
+    pair at ``target_jaccard`` with probability >= 1 - miss_rate while
+    a dissimilar pair at ``fp_jaccard`` becomes a CANDIDATE with
+    probability <= ``max_fp_rate``.
+
+    Candidate false positives only cost verify compute (the agreement
+    gate and the exact-jaccard verify kill them downstream), so
+    ``max_fp_rate`` is a cost knob, not a correctness one — loosen it
+    before concluding infeasibility.  Cost order: smallest num_perm
+    first (signature width = the persisted bytes and the kernel work),
+    then fewest bands (band rows per doc = the shuffle volume).
+    Raises if nothing in ``num_perm_choices`` satisfies both; the
+    flagship ladder's own configuration (32 perms, 8 bands) is the
+    solution for the default arguments."""
+    for num_perm in sorted(num_perm_choices):
+        feasible = []
+        for bands in range(1, num_perm + 1):
+            if num_perm % bands:
+                continue
+            r = num_perm // bands
+            catch = 1.0 - (1.0 - float(target_jaccard) ** r) ** bands
+            fp = 1.0 - (1.0 - float(fp_jaccard) ** r) ** bands
+            if catch >= 1.0 - miss_rate and fp <= max_fp_rate:
+                feasible.append(bands)
+        if feasible:
+            return num_perm, min(feasible)
+    raise ValueError(
+        f"no (num_perm, bands) in {num_perm_choices} meets "
+        f"catch>={1 - miss_rate} at J={target_jaccard} with candidate "
+        f"FP<={max_fp_rate} at J={fp_jaccard}; loosen max_fp_rate "
+        "(candidates are verified downstream) or allow wider signatures")
 
 
 def _perm_coeffs(num_perm: int, seed: int = 17) -> list[tuple[int, int]]:

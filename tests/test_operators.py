@@ -1781,6 +1781,32 @@ def test_agreement_gate_binomial_quantiles():
     assert agreement_gate(8, 0.0) == 0
 
 
+def test_auto_minhash_params_scurve():
+    """(num_perm, bands) selection satisfies both S-curve constraints
+    for every feasible return, resolves the defaults to the flagship
+    (32, 8), and raises with guidance when the FP budget makes the
+    problem infeasible."""
+    import pytest
+
+    from dask_histogram_spark.operators import auto_minhash_params
+
+    assert auto_minhash_params() == (32, 8)
+    for kwargs in (dict(), dict(target_jaccard=0.95),
+                   dict(miss_rate=1e-3, max_fp_rate=0.2),
+                   dict(target_jaccard=0.8, max_fp_rate=0.3)):
+        num_perm, bands = auto_minhash_params(**kwargs)
+        r = num_perm // bands
+        tj = kwargs.get("target_jaccard", 0.9)
+        miss = kwargs.get("miss_rate", 1e-2)
+        fpb = kwargs.get("max_fp_rate", 0.1)
+        assert 1 - (1 - tj ** r) ** bands >= 1 - miss
+        assert 1 - (1 - 0.3 ** r) ** bands <= fpb
+    # catch-everything at J=0.8 with a tight candidate-FP budget has
+    # no solution in the menu — must say so loudly, with the lever
+    with pytest.raises(ValueError, match="max_fp_rate"):
+        auto_minhash_params(target_jaccard=0.8, max_fp_rate=0.05)
+
+
 def test_signature_table_empty_sidecar_fails_loudly(spark, tmp_path):
     """A sidecar table that EXISTS but is empty (a write interrupted
     between the CREATE and the row commit) must raise the same loud
