@@ -555,7 +555,7 @@ def write_embedding_signature_table(df: DataFrame, table: str,
                                     vec_col: str = "embedding",
                                     id_col: str = "vec_id",
                                     planes: int = 16, seed: int = 23,
-                                    repetitions: int = 1,
+                                    repetitions: int | None = None,
                                     method: str = "auto",
                                     n_buckets: int = 64,
                                     max_bucket: int | None = None,
@@ -582,13 +582,13 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     ``planes="auto"`` sizes (planes, repetitions) from the corpus via
     :func:`auto_hyperplane_params` (recall target at ``design_cos``,
     default 0.99); the RESOLVED integers land in the sidecar, so
-    probing readers need no knowledge of how they were chosen."""
+    probing readers need no knowledge of how they were chosen.
+    ``repetitions=None`` (default) derives the count under auto (1
+    otherwise); an explicit integer — including 1, to bound the
+    rep x dim denormalized vector storage — is always honored."""
     spark = df.sparkSession
-    if planes == "auto":
-        planes, auto_reps = auto_hyperplane_params(
-            df.count(), design_cos=design_cos)
-        if repetitions == 1:
-            repetitions = auto_reps
+    planes, repetitions = _resolve_hyperplane_params(
+        df, planes, repetitions, design_cos=design_cos)
     # probe BEFORE dropping the sidecar: an empty/all-null rebuild
     # input must fail without invalidating the existing (still valid)
     # table; the sidecar-less crash window is reserved for failures of
@@ -764,12 +764,18 @@ def auto_hyperplane_params(n_rows: int, design_cos: float = 0.99,
     signatures lower per-table collision probability, so repetitions
     are then derived to restore recall: a pair at ``design_cos``
     collides per table with p^planes (p = 1 - θ/π), and the smallest
-    r with 1 - (1 - p^planes)^r >= target_recall is returned
-    (clamped to ``max_repetitions``; planes to [min_planes,
-    max_planes]).  Expected occupancy assumes roughly spread
-    signatures — correlated corpora concentrate buckets, which the
-    writers' ``max_bucket`` cap (with sidecar cap accounting) already
-    bounds.
+    r with 1 - (1 - p^planes)^r >= target_recall is returned (planes
+    clamped to [min_planes, max_planes]).  Expected occupancy assumes
+    roughly spread signatures — correlated corpora concentrate
+    buckets, which the writers' ``max_bucket`` cap (with sidecar cap
+    accounting) already bounds.
+
+    If holding the recall target would need more than
+    ``max_repetitions`` tables, this RAISES with the levers named
+    (like its MinHash twin :func:`~.dedup.auto_minhash_params`) —
+    silently clamping would deliver e.g. 68% recall against a 98%
+    target at 1e9 rows with a tight design cosine, exactly the
+    production scale the auto mode exists for.
     """
     from math import acos, ceil, log, log2, pi
 
@@ -778,10 +784,35 @@ def auto_hyperplane_params(n_rows: int, design_cos: float = 0.99,
     p = 1.0 - acos(min(max(float(design_cos), -1.0), 1.0)) / pi
     per_table = p ** planes
     if per_table >= 1.0:
-        reps = 1
-    else:
-        reps = ceil(log(1.0 - float(target_recall)) / log(1.0 - per_table))
-    return planes, min(max(reps, 1), max_repetitions)
+        return planes, 1
+    reps = max(ceil(log(1.0 - float(target_recall))
+                    / log(1.0 - per_table)), 1)
+    if reps > max_repetitions:
+        raise ValueError(
+            f"holding recall {target_recall} for pairs at cosine "
+            f"{design_cos} with planes={planes} (n_rows={n_rows}) "
+            f"needs {reps} repetitions > max_repetitions="
+            f"{max_repetitions}; raise max_repetitions (more tables), "
+            "raise target_occupancy (narrower signatures, more verify "
+            "work per bucket), lower target_recall, or raise "
+            "design_cos (hold recall only for closer pairs)")
+    return planes, reps
+
+
+def _resolve_hyperplane_params(df: DataFrame, planes, repetitions,
+                               design_cos: float) -> tuple[int, int]:
+    """Resolve the ``planes="auto"`` sentinel shared by
+    :func:`embedding_near_dup_pairs` and
+    :func:`write_embedding_signature_table` (one place for the
+    sentinel semantics): ``repetitions=None`` means "derive it under
+    auto, else 1"; an EXPLICIT integer — including 1 — is always
+    honored, so auto width with a single table stays expressible."""
+    if planes == "auto":
+        planes, auto_reps = auto_hyperplane_params(
+            df.count(), design_cos=design_cos)
+        if repetitions is None:
+            repetitions = auto_reps
+    return int(planes), int(repetitions) if repetitions is not None else 1
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -789,7 +820,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              planes: int = 16, seed: int = 23,
                              exact: bool = False,
                              method: str = "auto",
-                             repetitions: int = 1) -> DataFrame:
+                             repetitions: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold, id_a < id_b).
 
     Scale path (default): random-hyperplane LSH — each vector gets a
@@ -826,16 +857,16 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
     ``planes="auto"`` sizes (planes, repetitions) from the corpus via
     :func:`auto_hyperplane_params` (one count job; recall target at
-    ``threshold`` itself) — fixed planes are right for a pinned,
-    oracle-reproducible run, auto for production corpora whose size
-    the caller doesn't know up front.  An explicit ``repetitions``
-    (> 1, i.e. different from the default) overrides the derived one.
+    ``threshold`` itself, so a huge corpus with a loose threshold may
+    raise rather than silently under-recall — see that function) —
+    fixed planes are right for a pinned, oracle-reproducible run,
+    auto for production corpora whose size the caller doesn't know up
+    front.  ``repetitions=None`` (default) derives the count under
+    auto (1 otherwise); an explicit integer — including 1 — is always
+    honored.
     """
-    if planes == "auto":
-        planes, auto_reps = auto_hyperplane_params(
-            df.count(), design_cos=threshold)
-        if repetitions == 1:
-            repetitions = auto_reps
+    planes, repetitions = _resolve_hyperplane_params(
+        df, planes, repetitions, design_cos=threshold)
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

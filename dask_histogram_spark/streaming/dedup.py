@@ -292,7 +292,12 @@ def streaming_embedding_candidates(df: DataFrame,
 
     banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
                                    repetitions, method, dim=dim)
-    in_stream = banded.groupBy("__rep", "__sig").applyInPandasWithState(
+    # the stateful detector reads only the id — don't ship rep x dim
+    # floats per vector through its exchange (the minhash twin's
+    # drop("sig") rationale); the probe leg below keeps the vector for
+    # its inline cosine verify
+    in_stream = banded.drop(vec_col).groupBy(
+        "__rep", "__sig").applyInPandasWithState(
         detect,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -57,7 +57,8 @@ GROUP = (BATCH // 2) // len(LEVELS)
 FRESH_OFF = 20_000_000
 
 
-def mutated_recrawl(spark, n: int, m_changed: int, offset: int):
+def mutated_recrawl(spark, n: int, m_changed: int, offset: int,
+                    hash_base: int):
     """Re-crawls of seen docs 0..n-1 with the LAST ``m_changed`` of
     the 16 words replaced by fresh vocab draws — the unchanged words
     reproduce synth_corpus's per-(doc_id, position) hash formula
@@ -68,15 +69,17 @@ def mutated_recrawl(spark, n: int, m_changed: int, offset: int):
         if i < WORDS - m_changed:
             h = F.xxhash64(F.col("base_id"), F.lit(i))
         else:
-            # different hash input -> an independent vocab draw.  The
-            # offset must land OUTSIDE every generated id range (seen
-            # docs are 0..n_seen, fresh 20M+): an in-range offset
-            # would make the replaced words reproduce seen doc
-            # (base_id+offset)'s words in-position, giving each
-            # planted doc a second, theory-unmodeled partner at large
-            # n_seen (observed as a few-per-thousand recall inflation
-            # under the 10/32 gate at 1M seen before the fix).
-            h = F.xxhash64(F.col("base_id") + 30_000_000 + m_changed,
+            # different hash input -> an independent vocab draw.
+            # hash_base must land OUTSIDE every generated id range
+            # (seen docs are 0..n_seen, fresh FRESH_OFF+): an
+            # in-range base would make the replaced words reproduce
+            # seen doc (base_id+hash_base)'s words in-position,
+            # giving each planted doc a second, theory-unmodeled
+            # partner (observed as a few-per-thousand recall
+            # inflation under the 10/32 gate at 1M seen before the
+            # fix) — so it is DERIVED from n_seen by the caller, not
+            # a fixed constant a big-enough ladder would outgrow.
+            h = F.xxhash64(F.col("base_id") + hash_base + m_changed,
                            F.lit(i))
         cols.append(F.concat(F.lit("w"), F.pmod(h, F.lit(VOCAB))))
     return spark.range(n).select(F.col("id").alias("base_id")).select(
@@ -118,7 +121,8 @@ def run_point(spark, n_seen: int, workdir: str) -> None:
                           path=os.path.join(workdir, tbl))
     build = time.perf_counter() - t0
     try:
-        planted = [mutated_recrawl(spark, GROUP, m, off)
+        hash_base = max(n_seen, FRESH_OFF + BATCH) + 1_000_000
+        planted = [mutated_recrawl(spark, GROUP, m, off, hash_base)
                    for m, off in LEVELS]
         fresh = synth_corpus(spark, BATCH // 2, dup_rate=0.0,
                              id_offset=FRESH_OFF)

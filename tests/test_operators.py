@@ -316,15 +316,18 @@ def test_auto_hyperplane_params_theory():
 
     from dask_histogram_spark.operators import auto_hyperplane_params
 
+    import pytest
+
     last_planes = 0
     for n in (100, 10_000, 1_000_000, 10_000_000_000):
         planes, reps = auto_hyperplane_params(n)
         assert 8 <= planes <= 28 and 1 <= reps <= 16
         assert planes >= last_planes  # monotone in corpus size
         last_planes = planes
-        if reps < 16:  # unclamped -> the recall bound must hold
-            p = 1.0 - acos(0.99) / pi
-            assert 1.0 - (1.0 - p ** planes) ** reps >= 0.98
+        # every returned pair meets the recall bound — infeasible
+        # combinations raise rather than silently clamp
+        p = 1.0 - acos(0.99) / pi
+        assert 1.0 - (1.0 - p ** planes) ** reps >= 0.98
     # expected mean occupancy stays at/below target (up to clamping)
     planes, _ = auto_hyperplane_params(2_000_000, target_occupancy=32)
     assert 2_000_000 / 2 ** planes <= 32
@@ -332,6 +335,30 @@ def test_auto_hyperplane_params_theory():
     _, r_tight = auto_hyperplane_params(1_000_000, design_cos=0.99)
     _, r_loose = auto_hyperplane_params(1_000_000, design_cos=0.999)
     assert r_loose <= r_tight
+    # a loose design cosine on a huge corpus cannot hold the target
+    # within the table budget: must raise with the levers named, like
+    # auto_minhash_params (silently clamping would deliver ~68%
+    # recall against the 98% target at this point)
+    with pytest.raises(ValueError, match="max_repetitions"):
+        auto_hyperplane_params(1_000_000_000, design_cos=0.95)
+
+
+def test_resolve_hyperplane_sentinel(spark, tables):
+    """repetitions=None derives under auto and falls back to 1 under
+    fixed planes; an EXPLICIT 1 survives auto mode (the storage-bound
+    single-table request must stay expressible)."""
+    from dask_histogram_spark.operators.similarity import (
+        _resolve_hyperplane_params, auto_hyperplane_params)
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    auto_planes, auto_reps = auto_hyperplane_params(n, design_cos=0.99)
+    assert _resolve_hyperplane_params(emb, "auto", None, 0.99) == (
+        auto_planes, auto_reps)
+    assert _resolve_hyperplane_params(emb, "auto", 1, 0.99) == (
+        auto_planes, 1)
+    assert _resolve_hyperplane_params(emb, 16, None, 0.99) == (16, 1)
+    assert _resolve_hyperplane_params(emb, 16, 3, 0.99) == (16, 3)
 
 
 def test_embedding_near_dup_auto_planes(spark, tables):
