@@ -1301,7 +1301,8 @@ def test_fingerprint_arrow_matches_column(spark, tables):
 
 
 def test_contamination_check_arrow_matches_column(spark, tables):
-    """The one-kernel Arrow path (blake2b gram hashes) returns exactly
+    """The one-kernel Arrow path (batch-vectorized token hashing +
+    rolling gram combine) returns exactly
     the rows of the Column/xxhash64 reference path on real data PLUS
     whitespace edge rows (trailing newline, NBSP, tabs — where Python
     .strip()/Unicode \\s would diverge from Spark trim/Java \\s)."""
