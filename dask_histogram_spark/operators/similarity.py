@@ -25,7 +25,8 @@ __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "build_ivf_index", "ivf_topk_indexed", "load_ivf_centroids",
            "quantize_embeddings", "quantized_cosine_expr",
            "write_embedding_signature_table", "embedding_dedup_incremental",
-           "load_embedding_signature_table", "auto_hyperplane_params"]
+           "load_embedding_signature_table", "auto_hyperplane_params",
+           "auto_ivf_params"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -898,6 +899,30 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         "id_a", "id_b",
         F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+def auto_ivf_params(n_rows: int, nprobe: int = 8,
+                    min_centroids: int = 16,
+                    max_centroids: int = 4096) -> tuple[int, int]:
+    """Cost-balancing (n_centroids, nprobe) for the IVF family — the
+    third leg of the theory-sized parameter story
+    (:func:`~.dedup.auto_minhash_params`,
+    :func:`auto_hyperplane_params`), with an honest caveat: unlike
+    the LSH twins there is NO closed-form recall model here (IVF
+    recall depends on how the data clusters), so ``nprobe`` stays the
+    caller's recall knob (measured by the library's overlap tests)
+    and only the COST side is derived.
+
+    Per-query work = C centroid dots + nprobe * n/C bucket dots,
+    minimized at C = sqrt(n * nprobe) — the classic sqrt rule,
+    clamped to [min_centroids, max_centroids].  (fit_centroids'
+    sample cap bounds the build side independently.)  Returns the
+    clamped C and the nprobe passed in, so call sites can unpack one
+    pair like the twins."""
+    from math import sqrt
+
+    c = round(sqrt(max(int(n_rows), 1) * max(int(nprobe), 1)))
+    return min(max(c, min_centroids), max_centroids), int(nprobe)
 
 
 def fit_centroids(df: DataFrame, n_centroids: int = 64,

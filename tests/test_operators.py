@@ -343,6 +343,28 @@ def test_auto_hyperplane_params_theory():
         auto_hyperplane_params(1_000_000_000, design_cos=0.95)
 
 
+def test_auto_ivf_params_cost_balance():
+    """C = sqrt(n * nprobe) balances centroid-scan vs bucket-probe
+    work: the returned C is within one rounding step of the
+    unconstrained optimum whenever unclamped, and nprobe passes
+    through untouched (it is the caller's recall knob — IVF has no
+    closed-form recall model)."""
+    from math import sqrt
+
+    from dask_histogram_spark.operators import auto_ivf_params
+
+    for n in (1_000, 100_000, 1_000_000):
+        c, np_ = auto_ivf_params(n)
+        assert np_ == 8
+        if 16 < c < 4096:
+            opt = sqrt(n * 8)
+            # per-query cost C + nprobe*n/C within 1% of the optimum
+            assert c + 8 * n / c <= 1.01 * (opt + 8 * n / opt)
+    assert auto_ivf_params(10)[0] == 16        # floor clamp
+    assert auto_ivf_params(10**10)[0] == 4096  # ceiling clamp
+    assert auto_ivf_params(100_000, nprobe=2) == (447, 2)
+
+
 def test_resolve_hyperplane_sentinel(spark, tables):
     """repetitions=None derives under auto and falls back to 1 under
     fixed planes; an EXPLICIT 1 survives auto mode (the storage-bound
