@@ -26,7 +26,7 @@ __all__ = ["prepare_training_corpus", "corpus_stats", "hash_sample",
            "hash_sample_sql", "hash_split", "hash_split_sql",
            "pack_sequences", "pack_sequences_sql", "token_vocabulary",
            "stratified_sample", "stratified_sample_sql",
-           "contamination_check"]
+           "contamination_check", "contamination_near_dup"]
 
 
 def prepare_training_corpus(
@@ -591,4 +591,94 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
     ).withColumn(
         "contaminated",
         (F.col("contamination_ratio") >= F.lit(float(threshold))).cast("int"),
+    )
+
+
+def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_perm: int = 32, bands: int = 8,
+                           shingle_k: int = 5, seed: int = 17,
+                           hash_fn: str = "xxhash64",
+                           jaccard: float = 0.5,
+                           min_sig_matches: int | None = None,
+                           max_bench_bucket: int | None = None) -> DataFrame:
+    """NEAR-duplicate benchmark-contamination scan — the fuzzy twin of
+    :func:`contamination_check`: flag training documents whose text is
+    a MinHash near-duplicate of ANY benchmark document.  Exact n-gram
+    overlap underestimates leakage that was paraphrased, re-wrapped or
+    lightly templated on its way into an eval suite; shingle-Jaccard
+    at the ``jaccard`` operating point catches it.
+
+    Output: one row per training document —
+    (id, n_matched_bench, contaminated) with ``n_matched_bench`` the
+    count of DISTINCT benchmark documents whose agreement passes the
+    gate (0 = clean) and ``contaminated = (n_matched_bench > 0)``.
+    NULL-text docs yield no signature and report 0, like
+    :func:`~.dedup.dedup_incremental_lsh`.
+
+    Scale shape (the reason this is not just ``dedup_incremental_lsh``
+    with the benchmark as the seen side): eval suites are MBs while
+    the training corpus is the 100 TB side, so the benchmark's banded
+    signature rows are BROADCAST — the training table is minhashed and
+    banded in place (Arrow kernel + narrow explode, no exchange) and
+    candidate matching is a broadcast hash join; the only shuffled
+    rows are the gate-passing candidates (plan-asserted in
+    tests/test_plans.py).  Contrast: routing this through the
+    persisted-signature-table probe would shuffle every TRAINING band
+    row to align with the seen bucketing — backwards when the big
+    side is the probe side.
+
+    The agreement gate defaults to the theory-derived
+    :func:`~.dedup.agreement_gate` at ``jaccard`` (10/32 at the
+    J>=0.5 default — the paraphrase-ish operating point; pass
+    ``jaccard=0.9`` for verbatim-leak-only).  ``max_bench_bucket``
+    optionally drops benchmark band buckets larger than the cap
+    before the broadcast (a degenerate template shared by thousands
+    of eval docs would otherwise multiply every colliding training
+    row by the bucket size); the default (None) keeps every bucket —
+    the multiplier is bounded by the benchmark's size, which is tiny
+    by the operator's own premise.
+    """
+    from .dedup import _band_explode, agreement_gate, minhash_signatures
+
+    if min_sig_matches is None:
+        min_sig_matches = agreement_gate(num_perm, jaccard=jaccard)
+    bsigs = minhash_signatures(benchmark, text_col, id_col, num_perm,
+                               shingle_k, seed, hash_fn)
+    bband = _band_explode(bsigs, id_col, num_perm, bands, hash_fn,
+                          keep=("sig",)).select(
+        F.col(id_col).alias("__bench_id"), F.col("sig").alias("__bench_sig"),
+        "band", "bucket")
+    if max_bench_bucket is not None:
+        ok = (bband.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .where(F.col("__n") <= int(max_bench_bucket)).drop("__n"))
+        bband = bband.join(ok, ["band", "bucket"])
+    tsigs = minhash_signatures(train, text_col, id_col, num_perm,
+                               shingle_k, seed, hash_fn)
+    tband = _band_explode(tsigs, id_col, num_perm, bands, hash_fn,
+                          keep=("sig",))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig", "__bench_sig", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    counts = (
+        tband.join(F.broadcast(bband), ["band", "bucket"])
+        .where(matches >= F.lit(int(min_sig_matches)))
+        .select(F.col(id_col).alias("__train_id"), "__bench_id")
+        .groupBy("__train_id")
+        .agg(F.count_distinct("__bench_id").alias("n_matched_bench"))
+    )
+    return (
+        train.select(id_col)
+        .join(counts, F.col(id_col) == F.col("__train_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_matched_bench"), F.lit(0).cast("long"))
+            .alias("n_matched_bench"),
+        )
+        .withColumn("contaminated",
+                    (F.col("n_matched_bench") > 0).cast("int"))
     )

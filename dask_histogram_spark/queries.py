@@ -2190,18 +2190,54 @@ _register(
 )
 
 
+from .operators.dedup import agreement_gate as _agate  # noqa: E402
+
+_CONTAM_GATE = _agate(32, jaccard=0.5)  # theory-derived 10/32
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination scan: documents with doc_id % 97 == 0
-    stand in for the (tiny) eval suite; every remaining training doc
-    gets its word-3-gram overlap count/fraction against the broadcast
-    benchmark gram set.  One narrow pass over the training side — no
-    join, no shuffle (see operators.pipeline.contamination_check)."""
-    from .operators import contamination_check
+    """Benchmark-contamination scan, BOTH tiers under one row:
+
+    - ``kind='exact'``: documents with doc_id % 97 == 0 stand in for
+      the (tiny) eval suite; every remaining training doc gets its
+      word-3-gram overlap count/fraction against the broadcast
+      benchmark gram set.  One narrow pass over the training side —
+      no join, no shuffle (operators.pipeline.contamination_check).
+    - ``kind='lsh'``: the NEAR-dup tier
+      (operators.pipeline.contamination_near_dup) — the eval suite is
+      a suffixed (' (eval v2)') variant of every 97th doc, so those
+      originals are planted paraphrase-grade leaks inside the full
+      training table; benchmark band rows broadcast, training side
+      minhashed in place, gate = theory 10/32 at J>=0.5.
+    """
+    from .operators import contamination_check, contamination_near_dup
 
     d = get_tables(spark, sf_dir)["documents"]
     train = d.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
     bench = d.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
-    return contamination_check(train, bench, n=3, threshold=0.2)
+    exact = contamination_check(train, bench, n=3, threshold=0.2)
+    bench2 = bench.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" (eval v2)")).alias("text"))
+    # the operator is deliberately shuffle-free (the caller owns input
+    # partitioning: a 100 TB scan arrives in thousands of splits); the
+    # sf0.1 parquet is ONE file -> one partition, which would serialize
+    # the minhash kernel, so spread it here — same posture as
+    # dedup_incremental's batch repartition
+    nparts = spark.sparkContext.defaultParallelism
+    near = contamination_near_dup(d.repartition(nparts), bench2,
+                                  num_perm=32, bands=8,
+                                  hash_fn="fnv1a32",
+                                  min_sig_matches=_CONTAM_GATE)
+    return (
+        exact.select(F.lit("exact").alias("kind"), "doc_id", "n_grams",
+                     "n_hits", "contamination_ratio", "contaminated")
+        .unionByName(near.select(
+            F.lit("lsh").alias("kind"), "doc_id",
+            F.lit(None).cast("int").alias("n_grams"),
+            F.col("n_matched_bench").cast("int").alias("n_hits"),
+            F.lit(None).cast("double").alias("contamination_ratio"),
+            "contaminated"))
+    )
 
 
 _register(
@@ -2219,8 +2255,32 @@ bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
 tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0),
 hits AS (
   SELECT tg.doc_id, COUNT(*) AS n_hits
-  FROM tg JOIN bg USING (gram) GROUP BY 1)
-SELECT g.doc_id, CAST(len(grams) AS INT) AS n_grams,
+  FROM tg JOIN bg USING (gram) GROUP BY 1),
+"""
+    + f"""
+b2 AS (SELECT doc_id, text || ' (eval v2)' AS text FROM documents
+       WHERE doc_id % 97 = 0),
+h AS (SELECT doc_id, {_MH_HS} AS hs FROM documents),
+s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h),
+h2 AS (SELECT doc_id, {_MH_HS} AS hs FROM b2),
+s2 AS (SELECT doc_id, {_MH_SIG} AS sig FROM h2),
+bt AS ({_minhash_band_sql(bands=8, r=4, src='s')}),
+bb AS ({_minhash_band_sql(bands=8, r=4, src='s2')}),
+cand AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id
+  FROM bt t JOIN bb b ON t.band = b.band AND t.bucket = b.bucket
+  GROUP BY 1, 2),
+gated AS (
+  SELECT c.train_id, c.bench_id FROM cand c
+  JOIN s sa ON sa.doc_id = c.train_id
+  JOIN s2 sb ON sb.doc_id = c.bench_id
+  WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+        >= {_CONTAM_GATE}),
+cnt AS (SELECT train_id, COUNT(DISTINCT bench_id) AS n FROM gated
+        GROUP BY 1)
+"""
+    + r"""
+SELECT 'exact' AS kind, g.doc_id, CAST(len(grams) AS INT) AS n_grams,
        CAST(COALESCE(n_hits, 0) AS INT) AS n_hits,
        ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE)
              / GREATEST(len(grams), 1), 6) AS contamination_ratio,
@@ -2228,6 +2288,12 @@ SELECT g.doc_id, CAST(len(grams) AS INT) AS n_grams,
              / GREATEST(len(grams), 1), 6) >= 0.2 AS INT) AS contaminated
 FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
 WHERE g.doc_id % 97 != 0
+UNION ALL
+SELECT 'lsh' AS kind, d.doc_id, CAST(NULL AS INT) AS n_grams,
+       CAST(COALESCE(c.n, 0) AS INT) AS n_hits,
+       CAST(NULL AS DOUBLE) AS contamination_ratio,
+       CAST(COALESCE(c.n, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN cnt c ON c.train_id = d.doc_id
 """,
 )
 

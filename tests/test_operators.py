@@ -1347,6 +1347,64 @@ def test_contamination_check_arrow_matches_column(spark, tables):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_contamination_near_dup_flags_and_gate(spark):
+    """NEAR-dup contamination: an exact copy and a lightly-edited copy
+    of a benchmark doc both flag at the J>=0.5 gate; fresh and NULL
+    docs report 0; a perfect-agreement gate (min_sig_matches =
+    num_perm) keeps the exact copy and drops the edited one; the
+    count is DISTINCT benchmark matches."""
+    from dask_histogram_spark.operators import contamination_near_dup
+
+    body = ("benchmark question stem with a long shared body of words "
+            "that gives plenty of shingles to agree on across the "
+            "minhash permutations of this test corpus")
+    bench = spark.createDataFrame(
+        [(100, body), (101, body + " duplicated eval entry")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, body),                                   # exact leak
+         (2, body + " with a trailing paraphrase"),   # near-dup leak
+         (3, "entirely fresh training text qzx vbn mlk jhg fds apw "
+             "nothing shared with the benchmark at all"),
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           contamination_near_dup(train, bench, num_perm=32,
+                                  bands=8).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1 matches BOTH bench docs (101 is itself a near-dup of 100):
+    # distinct-count semantics
+    assert got[1].n_matched_bench == 2 and got[1].contaminated == 1
+    assert got[2].n_matched_bench >= 1 and got[2].contaminated == 1
+    assert got[3].n_matched_bench == 0 and got[3].contaminated == 0
+    assert got[4].n_matched_bench == 0 and got[4].contaminated == 0
+
+    strict = {r.doc_id: r.n_matched_bench for r in
+              contamination_near_dup(train, bench, num_perm=32, bands=8,
+                                     min_sig_matches=32).collect()}
+    assert strict[1] >= 1      # verbatim copy agrees on all 32
+    assert strict[2] == 0      # edited copy cannot
+
+
+def test_contamination_near_dup_bench_bucket_cap(spark):
+    """max_bench_bucket drops benchmark band buckets above the cap
+    BEFORE the broadcast: with a degenerate benchmark of identical
+    docs (every band bucket holds all of them), a cap below the
+    benchmark size disables matching entirely."""
+    from dask_histogram_spark.operators import contamination_near_dup
+
+    body = ("shared degenerate eval template body with enough words "
+            "to shingle across every permutation of the signature")
+    bench = spark.createDataFrame(
+        [(100 + i, body) for i in range(8)], "doc_id long, text string")
+    train = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    full = contamination_near_dup(train, bench).collect()[0]
+    assert full.n_matched_bench == 8
+    capped = contamination_near_dup(train, bench,
+                                    max_bench_bucket=4).collect()[0]
+    assert capped.n_matched_bench == 0 and capped.contaminated == 0
+
+
 def test_sorted_member_count_matches_isin():
     """`_sorted_member_count` (searchsorted against the sorted-unique
     benchmark array) must agree with np.isin on every shape: hits,

@@ -251,6 +251,37 @@ def test_embedding_incremental_seen_side_reads_bucketed_without_exchange(
         spark.sql("DROP TABLE IF EXISTS emb_sigs_bkt__params")
 
 
+def test_contamination_near_dup_broadcasts_bench_no_train_shuffle(spark):
+    """contamination_near_dup's at-scale shape: the benchmark's banded
+    signature rows are BROADCAST (eval suites are MBs; the training
+    corpus is the 100 TB side), so candidate matching is a broadcast
+    hash join and the training table is minhashed + banded in place —
+    the plan must contain NO (band, bucket)-keyed exchange at all
+    (contrast dedup_incremental_lsh, where the NEW side shuffles onto
+    the persisted bucketing: correct when the probe side is small,
+    backwards when it is the corpus)."""
+    from dask_histogram_spark.operators import contamination_near_dup
+
+    body = ("a long benchmark body of words shared between the leak "
+            "and its eval twin across many shingles of this text")
+    bench = spark.createDataFrame(
+        [(100, body)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, body + " trailing edit"),
+         (2, "fresh content qzx vbn with no overlap at all here")],
+        "doc_id long, text string")
+    out = contamination_near_dup(train, bench, num_perm=16, bands=4)
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    bucket_shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "bucket" in l
+    ]
+    assert not bucket_shuffles, bucket_shuffles
+    got = {r.doc_id: r.n_matched_bench for r in out.collect()}
+    assert got[1] >= 1 and got[2] == 0, got
+
+
 def test_histograms_partial_aggregate_before_exchange(plans):
     """The fill must run its partial hash-agg map-side: the plan order is
     HashAggregate (partial) -> Exchange -> HashAggregate (final), so the
