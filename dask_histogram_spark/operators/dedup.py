@@ -442,6 +442,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
+def _sig_agreement(a, b) -> Column:
+    """Count of agreeing MinHash signature components between two
+    array<long> signature columns — the quantity :func:`agreement_gate`
+    thresholds.  ONE definition shared by every gate site (batch
+    incremental, streaming probe, near-dup contamination) so agreement
+    semantics can never drift between them."""
+    return F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v))
+
+
 def _band_explode(sigs: DataFrame, id_col: str, num_perm: int, bands: int,
                   hash_fn: str, keep: tuple[str, ...] = ()) -> DataFrame:
     """(id, [*keep,] band, bucket) from a (id, sig) projection — bucket
@@ -672,15 +682,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                          F.col("sig").alias("__sa"))
         sb = sigs.select(F.col(id_col).alias("id_b"),
                          F.col("sig").alias("__sb"))
-        matches = F.size(
-            F.filter(
-                F.zip_with("__sa", "__sb", lambda x, y: x == y),
-                lambda v: v,
-            )
-        )
         pairs = (
             pairs.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("sig_matches", matches)
+            .withColumn("sig_matches", _sig_agreement("__sa", "__sb"))
             .where(F.col("sig_matches") >= min_sig_matches)
             .drop("__sa", "__sb")
         )
@@ -892,15 +896,11 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
     seen = seen_banded.select(
         F.col(id_col).alias("__seen_id"), F.col("sig").alias("__seen_sig"),
         "band", "bucket")
-    matches = F.size(
-        F.filter(
-            F.zip_with("__new_sig", "__seen_sig", lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
     pairs = (
         banded_new.join(seen, ["band", "bucket"])
-        .select("__new_id", "__seen_id", matches.alias("sig_matches"))
+        .select("__new_id", "__seen_id",
+                _sig_agreement("__new_sig", "__seen_sig")
+                .alias("sig_matches"))
         # one row per (new, seen) pair — sig_matches is pair-constant
         # across its band rows, so max == the value
         .groupBy("__new_id", "__seen_id")

@@ -639,7 +639,8 @@ def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
     the multiplier is bounded by the benchmark's size, which is tiny
     by the operator's own premise.
     """
-    from .dedup import _band_explode, agreement_gate, minhash_signatures
+    from .dedup import (_band_explode, _sig_agreement, agreement_gate,
+                        minhash_signatures)
 
     if min_sig_matches is None:
         min_sig_matches = agreement_gate(num_perm, jaccard=jaccard)
@@ -650,30 +651,36 @@ def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
         F.col(id_col).alias("__bench_id"), F.col("sig").alias("__bench_sig"),
         "band", "bucket")
     if max_bench_bucket is not None:
-        ok = (bband.groupBy("band", "bucket")
-              .agg(F.count(F.lit(1)).alias("__n"))
-              .where(F.col("__n") <= int(max_bench_bucket)).drop("__n"))
-        bband = bband.join(ok, ["band", "bucket"])
+        # window count, not a groupBy + self-join: the latter would
+        # recompute the benchmark minhash kernel on both subtrees
+        bband = (
+            bband.withColumn(
+                "__n", F.count(F.lit(1)).over(
+                    Window.partitionBy("band", "bucket")))
+            .where(F.col("__n") <= int(max_bench_bucket)).drop("__n"))
     tsigs = minhash_signatures(train, text_col, id_col, num_perm,
                                shingle_k, seed, hash_fn)
     tband = _band_explode(tsigs, id_col, num_perm, bands, hash_fn,
                           keep=("sig",))
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig", "__bench_sig", lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
     counts = (
         tband.join(F.broadcast(bband), ["band", "bucket"])
-        .where(matches >= F.lit(int(min_sig_matches)))
+        .where(_sig_agreement("sig", "__bench_sig")
+               >= F.lit(int(min_sig_matches)))
         .select(F.col(id_col).alias("__train_id"), "__bench_id")
         .groupBy("__train_id")
         .agg(F.count_distinct("__bench_id").alias("n_matched_bench"))
     )
+    # the 0-fill join-back BROADCASTS the counts side: it holds one row
+    # per CONTAMINATED train doc — small by the operator's premise (a
+    # corpus where a large fraction near-matches the eval suite is
+    # already a fire alarm, and the broadcast failing loudly at the
+    # size limit is a better failure mode there than this join
+    # silently shuffling the full 100 TB train side on id, which is
+    # what a bare left join plans as)
     return (
         train.select(id_col)
-        .join(counts, F.col(id_col) == F.col("__train_id"), "left")
+        .join(F.broadcast(counts), F.col(id_col) == F.col("__train_id"),
+              "left")
         .select(
             id_col,
             F.coalesce(F.col("n_matched_bench"), F.lit(0).cast("long"))

@@ -149,6 +149,7 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
 
     from ..operators.dedup import (
         _band_explode,
+        _sig_agreement,
         agreement_gate,
         load_signature_table,
         minhash_signatures,
@@ -181,16 +182,10 @@ def streaming_minhash_candidates(df: DataFrame, text_col: str = "text",
     seen_b = seen.select(
         F.col(id_col).alias("__seen_id"), F.col("sig").alias("__seen_sig"),
         "band", "bucket")
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col("sig"), F.col("__seen_sig"),
-                       lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
     probe = (
         banded.join(seen_b, ["band", "bucket"])
-        .where(matches >= F.lit(min_sig_matches))
+        .where(_sig_agreement("sig", "__seen_sig")
+               >= F.lit(min_sig_matches))
         .select(
             F.col("__seen_id").alias("id_a"),
             F.col(id_col).alias("id_b"),

@@ -94,8 +94,14 @@ def run_point(spark, n_seen: int, modality: str, workdir: str) -> None:
         t0 = time.perf_counter()
         q = (cand.writeStream.outputMode("append").format("memory")
              .queryName(qname).trigger(availableNow=True).start())
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         wall = time.perf_counter() - t0
+        if not finished or q.exception() is not None:
+            # a timed-out or dead stream would otherwise surface as a
+            # clamped wall + bogus mismatch counts
+            raise RuntimeError(
+                f"stream did not finish cleanly: finished={finished} "
+                f"exception={q.exception()}")
         rows = spark.sql(f"SELECT * FROM {qname}").collect()
         got: dict[int, set[int]] = {}
         for r in rows:
@@ -106,6 +112,9 @@ def run_point(spark, n_seen: int, modality: str, workdir: str) -> None:
         else:
             batch = embedding_dedup_incremental(new, tbl,
                                                 threshold=THRESHOLD)
+        # recall/fp come from the STREAM's probe pairs (`got`), not the
+        # batch operator's counts — a stream-side drop/dup must move
+        # the headline metrics, not only the mismatch column
         mism = 0
         re_matched = fresh_flagged = 0
         for r in batch.collect():
@@ -113,9 +122,9 @@ def run_point(spark, n_seen: int, modality: str, workdir: str) -> None:
             if n != r.n_matched_seen:
                 mism += 1
             if r[id_col] >= FRESH_OFF:
-                fresh_flagged += int(r.n_matched_seen > 0)
+                fresh_flagged += int(n > 0)
             else:
-                re_matched += int(r.n_matched_seen > 0)
+                re_matched += int(n > 0)
         print(f"{modality:9s} n_seen={n_seen:>9,}  build={build:6.1f}s  "
               f"stream({BATCH // 1000}k)={wall:6.2f}s  "
               f"({BATCH / wall:,.0f} items/s)  "

@@ -273,11 +273,15 @@ def test_contamination_near_dup_broadcasts_bench_no_train_shuffle(spark):
     out = contamination_near_dup(train, bench, num_perm=16, bands=4)
     plan = _executed_plan(out)
     assert "BroadcastHashJoin" in plan, plan[:800]
-    bucket_shuffles = [
+    # the ONLY permissible hash exchanges carry gate-passing candidate
+    # rows (keyed on the __train_id/__bench_id aggregation) — never the
+    # banded projection (bucket) and never the raw training relation
+    # (doc_id): a bare 0-fill join-back would shuffle the full corpus
+    bad_shuffles = [
         l for l in plan.splitlines()
-        if "Exchange hashpartitioning" in l and "bucket" in l
+        if "Exchange hashpartitioning" in l and "__train_id" not in l
     ]
-    assert not bucket_shuffles, bucket_shuffles
+    assert not bad_shuffles, bad_shuffles
     got = {r.doc_id: r.n_matched_bench for r in out.collect()}
     assert got[1] >= 1 and got[2] == 0, got
 
