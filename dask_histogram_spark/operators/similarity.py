@@ -456,9 +456,96 @@ def _empty_pairs(df: DataFrame, id_col: str) -> DataFrame:
         ]))
 
 
+def _hyperplane_banded_probed(df: DataFrame, vec_col: str, id_col: str,
+                              Hs: list, planes: int, method: str,
+                              probes: int) -> DataFrame:
+    """Multi-probe band rows (id, vec, __rep, __probe, __sig): per
+    (vector, rep) the base signature (``__probe = 0``) plus ``probes``
+    variants with the t-th lowest-|dot| bit flipped.  Margin ranking
+    is a STABLE ascending sort of |dot| with NULL/NaN margins last
+    (Arrow: numpy NaN-last stable argsort; Column: coalesce(abs, inf)
+    inside a (margin, index) struct sort) so both methods — and the
+    DuckDB oracle's list_position-of-min form at probes=1 — flip the
+    identical bit, including on degenerate null-element vectors."""
+    if method == "arrow":
+        Hts = [H.T.copy() for H in Hs]
+
+        @F.pandas_udf(T.ArrayType(T.ArrayType(T.StringType())))
+        def sigs_probed(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            out = [[] for _ in range(len(vecs))]
+            for Ht in Hts:
+                # sequential accumulation: see sigs_arrow's exactness note
+                acc = np.zeros((X.shape[0], Ht.shape[1]))
+                for j in range(X.shape[1]):
+                    acc += X[:, j, None] * Ht[None, j, :]
+                bits = (acc >= 0)  # NaN -> False, like the Column twin
+                order = np.argsort(np.abs(acc), axis=1, kind="stable")
+                for i in range(len(vecs)):
+                    row = bits[i]
+                    s_list = ["".join("1" if b else "0" for b in row)]
+                    for t in range(probes):
+                        fl = row.copy()
+                        fl[order[i, t]] = ~fl[order[i, t]]
+                        s_list.append(
+                            "".join("1" if b else "0" for b in fl))
+                    out[i].append(s_list)
+            return pd.Series(out)
+
+        sigs = sigs_probed(F.col(vec_col))
+    else:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+        def dot_expr(h) -> Column:
+            return F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in h]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, z: acc + z)
+
+        def rep_sigs(H) -> Column:
+            dots = F.array(*[dot_expr(H[p]) for p in range(planes)])
+
+            def bit(p: int) -> Column:
+                return F.when(F.element_at(dots, p + 1) >= 0,
+                              F.lit("1")).otherwise(F.lit("0"))
+
+            base = F.concat(*[bit(p) for p in range(planes)])
+            order = F.array_sort(F.array(*[
+                F.struct(
+                    F.coalesce(F.abs(F.element_at(dots, p + 1)),
+                               F.lit(float("inf"))).alias("a"),
+                    F.lit(p).alias("i"))
+                for p in range(planes)
+            ]))
+            out = [base]
+            for t in range(probes):
+                fi = F.element_at(order, t + 1).getField("i")
+                out.append(F.concat(*[
+                    F.when(F.lit(p) == fi,
+                           F.when(F.element_at(dots, p + 1) >= 0,
+                                  F.lit("0")).otherwise(F.lit("1")))
+                    .otherwise(bit(p))
+                    for p in range(planes)
+                ]))
+            return F.array(*out)
+
+        sigs = F.array(*[rep_sigs(H) for H in Hs])
+
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(sigs).alias("__rep", "__sigs"),
+    ).select(
+        F.col(id_col), F.col(vec_col), "__rep",
+        F.posexplode("__sigs").alias("__probe", "__sig"),
+    )
+
+
 def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
                        planes: int, seed: int, repetitions: int,
-                       method: str, dim: int | None = None):
+                       method: str, dim: int | None = None,
+                       probes: int = 0):
     """(id, vec, __rep, __sig) hyperplane-LSH band rows — the shared
     signature stage behind :func:`embedding_near_dup_pairs` (in-query
     self-join) and :func:`write_embedding_signature_table` /
@@ -473,11 +560,27 @@ def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
     actually banded with — or ``(None, None)`` for an empty/all-null
     input.  NULL and wrong-dimension vectors are excluded (their
     cosine is NULL — they can never verify).
+
+    ``probes > 0`` enables MULTI-PROBE on the QUERY side (Lv et al.,
+    VLDB 2007, multi-probe LSH): each (vector, rep) additionally
+    emits ``probes`` signatures with its t-th lowest-|margin| bit
+    flipped — the bits most likely to disagree with a true
+    near-duplicate's signature, since sign flips concentrate where
+    the hyperplane dot is near zero.  A probed QUERY against an
+    UNPROBED corpus table buys per-rep recall comparable to extra
+    repetitions without growing the persisted table (the 100 TB
+    index-size lever; see BASELINE.md).  Probe rows carry a
+    ``__probe`` column (0 = the base signature) so stateful consumers
+    can exclude them; the flip index tie-breaks deterministically
+    (stable ascending |dot|, NULL/NaN margins sort LAST) across the
+    Arrow kernel, the Column twin and the SQL oracle.
     """
     if method == "auto":
         method = "arrow"
     if method not in ("arrow", "column"):
         raise ValueError(f"unknown signature method: {method!r}")
+    if not 0 <= probes < planes:
+        raise ValueError(f"probes must be in [0, planes); got {probes}")
     if dim is None:
         head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
         if head is None:
@@ -487,6 +590,9 @@ def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
                   & (F.size(F.col(vec_col)) == dim))
     Hs = [np.random.default_rng(seed + i).standard_normal((planes, dim))
           for i in range(repetitions)]
+    if probes:
+        return _hyperplane_banded_probed(df, vec_col, id_col, Hs, planes,
+                                         method, probes), dim
 
     if method == "arrow":
         Hts = [H.T.copy() for H in Hs]  # (dim, planes), float64
@@ -686,7 +792,8 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
                                 id_col: str = "vec_id",
                                 planes: int = 16, seed: int = 23,
                                 repetitions: int = 1,
-                                method: str = "auto") -> DataFrame:
+                                method: str = "auto",
+                                probes: int = 0) -> DataFrame:
     """Cross-run embedding near-dup gate: for every vector of a new
     batch, how many seen vectors it near-duplicates (exact cosine >=
     ``threshold`` among hyperplane-LSH candidates) — the embedding
@@ -699,6 +806,15 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     side exchange; the exact cosine is computed on the joined band row
     and max-reduced per pair, so vectors never travel through an extra
     shuffle.  Returns (id, n_matched_seen); 0 = fresh.
+
+    ``probes > 0`` multi-probes the BATCH side (see
+    :func:`_hyperplane_banded`): each new vector also joins under its
+    ``probes`` lowest-margin bit-flip signatures, recovering
+    candidates a single-bit sign flip would miss — per-rep recall
+    comparable to extra repetitions WITHOUT growing the persisted
+    table (whose size is corpus x repetitions x dim).  Candidates are
+    a superset of the unprobed ones; the exact-cosine verify and the
+    per-pair max-reduce keep counts duplicate-free.
     """
     dim = None
     if isinstance(seen_banded, str):
@@ -712,7 +828,7 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
         new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
     banded_new, _ = _hyperplane_banded(
         new_df.repartition(nparts), vec_col, id_col, planes, seed,
-        repetitions, method, dim=dim)
+        repetitions, method, dim=dim, probes=probes)
     counts = None
     if banded_new is not None:
         seen = seen_banded.select(

@@ -1149,13 +1149,15 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def _hyperplane_sig_parts(planes: int = 8, dim: int = 64,
-                          seed: int = 23) -> tuple[str, str]:
-    """(H-CTE select list, sig expression over a DOUBLE[] column
-    ``v``) — the shared DuckDB twin of the random-hyperplane
-    signature: the hyperplanes are SEEDED, so they embed as the same
-    float literals the Spark plan carries, and the sign fold is
-    written as the textually identical left-to-right sum (list_reduce
-    mirrors F.aggregate) so the sign bits agree bit-for-bit."""
+                          seed: int = 23) -> tuple[str, str, str]:
+    """(H-CTE select list, sig expression, dots-list expression — all
+    over a DOUBLE[] column ``v``) — the shared DuckDB twin of the
+    random-hyperplane signature: the hyperplanes are SEEDED, so they
+    embed as the same float literals the Spark plan carries, and the
+    sign fold is written as the textually identical left-to-right sum
+    (list_reduce mirrors F.aggregate) so the sign bits agree
+    bit-for-bit.  The dots list feeds the multi-probe oracle's margin
+    ranking."""
     import numpy as np
 
     H = np.random.default_rng(seed).standard_normal((planes, dim))
@@ -1175,7 +1177,8 @@ def _hyperplane_sig_parts(planes: int = 8, dim: int = 64,
         f"CASE WHEN {dot(f'h{p}')} >= 0 THEN '1' ELSE '0' END"
         for p in range(planes)
     ) + ")"
-    return harrs, sig
+    dots = "[" + ", ".join(dot(f"h{p}") for p in range(planes)) + "]"
+    return harrs, sig, dots
 
 
 def _near_dup_lsh_oracle(planes: int = 8, dim: int = 64, seed: int = 23,
@@ -1183,7 +1186,7 @@ def _near_dup_lsh_oracle(planes: int = 8, dim: int = 64, seed: int = 23,
     """DuckDB twin of the in-query hyperplane-LSH near-dup self-join
     (see :func:`_hyperplane_sig_parts` for the bit-agreement
     contract)."""
-    harrs, sig = _hyperplane_sig_parts(planes, dim, seed)
+    harrs, sig, _ = _hyperplane_sig_parts(planes, dim, seed)
     return f"""
 WITH H AS (SELECT {harrs}),
 b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig} AS sig
@@ -1276,8 +1279,18 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
     # name-based call: planes/seed/repetitions/dim come from __params
     inc = embedding_dedup_incremental(new, _EMB_SIG_CACHE[key][0],
                                       threshold=0.3)
+    # kind='probe': the same nightly batch MULTI-PROBED (probes=1 —
+    # each new vector also joins under its lowest-margin bit-flip
+    # signature) against the same persisted table; gates the flip
+    # ranking/string arithmetic cross-engine (the oracle reproduces
+    # the coalesce-to-infinity margin sort and the substr flip)
+    prb = embedding_dedup_incremental(new, _EMB_SIG_CACHE[key][0],
+                                      threshold=0.3, probes=1)
     return clusters.unionByName(inc.select(
         F.lit("incremental").alias("kind"), "vec_id",
+        F.col("n_matched_seen").alias("n"),
+    )).unionByName(prb.select(
+        F.lit("probe").alias("kind"), "vec_id",
         F.col("n_matched_seen").alias("n"),
     ))
 
@@ -1288,8 +1301,14 @@ def _embedding_dedup_pipeline_oracle() -> str:
     banding on BOTH corpora with the same seeded literals, seen
     buckets capped at 64 like the written signature table, candidate
     equi-join on the signature, exact-cosine >= 0.3 verify, per-new-
-    vector match counts with 0 for fresh vectors."""
-    harrs, sig = _hyperplane_sig_parts(planes=8, dim=64, seed=23)
+    vector match counts with 0 for fresh vectors.  probe kind: the
+    batch side additionally joins under its lowest-margin bit-flip
+    signature — the margin sort is coalesce(abs(dot), infinity) with
+    list_position-of-min first-occurrence tie-break, matching the
+    engine's stable argsort (NaN-last) exactly, and the flip is
+    substr string surgery on the base signature."""
+    harrs, sig, dots = _hyperplane_sig_parts(planes=8, dim=64, seed=23)
+    absd = f"list_transform({dots}, x -> coalesce(abs(x), 'infinity'::DOUBLE))"
     return f"""
 WITH RECURSIVE pr AS ({_near_dup_lsh_oracle()}),
 edges AS (
@@ -1323,11 +1342,32 @@ m AS (
   FROM nb JOIN sk ON nb.sig = sk.sig
   WHERE ROUND(list_cosine_similarity(nb.v, sk.v), 6) >= 0.3
   GROUP BY nb.vec_id
+),
+nbp AS (
+  SELECT vec_id, v, sig,
+         substr(sig, 1, fi - 1)
+         || (CASE WHEN substr(sig, fi, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(sig, fi + 1) AS psig
+  FROM (SELECT vec_id, v, {sig} AS sig,
+               list_position({absd}, list_min({absd})) AS fi
+        FROM nw, Hn)
+),
+nbu AS (
+  SELECT vec_id, v, UNNEST([sig, psig]) AS sig FROM nbp
+),
+mp AS (
+  SELECT nbu.vec_id, COUNT(DISTINCT sk.vec_id) AS n
+  FROM nbu JOIN sk ON nbu.sig = sk.sig
+  WHERE ROUND(list_cosine_similarity(nbu.v, sk.v), 6) >= 0.3
+  GROUP BY nbu.vec_id
 )
 SELECT 'cluster' AS kind, vec_id, cluster_id AS n FROM clus
 UNION ALL
 SELECT 'incremental' AS kind, nw.vec_id, COALESCE(m.n, 0) AS n
 FROM nw LEFT JOIN m USING (vec_id)
+UNION ALL
+SELECT 'probe' AS kind, nw.vec_id, COALESCE(mp.n, 0) AS n
+FROM nw LEFT JOIN mp USING (vec_id)
 """
 
 

@@ -203,7 +203,8 @@ def streaming_embedding_candidates(df: DataFrame,
                                    method: str = "auto",
                                    dim: int | None = None,
                                    seen_table: str | None = None,
-                                   threshold: float = 0.95) -> DataFrame:
+                                   threshold: float = 0.95,
+                                   probes: int = 0) -> DataFrame:
     """Streaming near-duplicate candidates for the EMBEDDING modality —
     the vector twin of :func:`streaming_minhash_candidates`, completing
     the streaming x cross-run unification for both modalities.
@@ -233,6 +234,14 @@ def streaming_embedding_candidates(df: DataFrame,
     anchor, or the SEEN corpus id for probe hits (per-rep rows;
     distinct on (id_a, id_b) downstream if pair-unique output is
     needed, the batch operators' dropDuplicates convention).
+
+    ``probes > 0`` multi-probes the PERSISTED-table leg only (each
+    micro-batch row also joins under its lowest-margin bit-flip
+    signatures — the batch operator's recall lever, same banding
+    pass): it requires ``seen_table`` because multi-probing the
+    IN-STREAM state buckets is not meaningful — every stream item is
+    both query and corpus there, and probe rows would mint spurious
+    anchors; the stateful detector reads base-signature rows only.
     """
     from ..operators.similarity import (
         _hyperplane_banded,
@@ -249,6 +258,11 @@ def streaming_embedding_candidates(df: DataFrame,
             "streaming_embedding_candidates needs dim= for a pure "
             "in-stream run (a stream cannot be sampled for it); with "
             "seen_table= it loads from the sidecar instead")
+    if probes and seen is None:
+        raise ValueError(
+            "probes > 0 requires seen_table=: multi-probe is a QUERY-"
+            "side lever against a persisted corpus; in-stream state "
+            "buckets have no query/corpus asymmetry to probe")
 
     out_schema = T.StructType(
         [
@@ -286,12 +300,17 @@ def streaming_embedding_candidates(df: DataFrame,
             )
 
     banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
-                                   repetitions, method, dim=dim)
+                                   repetitions, method, dim=dim,
+                                   probes=probes)
     # the stateful detector reads only the id — don't ship rep x dim
     # floats per vector through its exchange (the minhash twin's
     # drop("sig") rationale); the probe leg below keeps the vector for
-    # its inline cosine verify
-    in_stream = banded.drop(vec_col).groupBy(
+    # its inline cosine verify.  With multi-probe on, the detector
+    # additionally sees BASE-signature rows only (probe rows would
+    # mint spurious in-stream anchors).
+    in_base = (banded.where(F.col("__probe") == 0).drop("__probe")
+               if probes else banded)
+    in_stream = in_base.drop(vec_col).groupBy(
         "__rep", "__sig").applyInPandasWithState(
         detect,
         outputStructType=out_schema,

@@ -1599,6 +1599,101 @@ def test_near_dup_null_element_vector(spark):
         assert got == {(1, 2)}, method
 
 
+def test_multiprobe_banding_flips_lowest_margin_bit(spark):
+    """Multi-probe band rows: per (vector, rep) the base signature
+    plus `probes` variants, each differing in EXACTLY one bit — the
+    t-th lowest-|dot| bit per numpy's stable argsort — identically in
+    the Arrow kernel and the Column twin, including the null-element
+    vector whose margins are all NaN/NULL (flip tie-breaks to bit 0)."""
+    import numpy as np
+
+    from dask_histogram_spark.operators.similarity import (
+        _hyperplane_banded)
+
+    planes, dim, seed = 6, 4, 23
+    rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(dim).tolist() for _ in range(5)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(9, [1.0, None, 0.0,
+                                                        2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for method in ("arrow", "column"):
+        banded, _ = _hyperplane_banded(df, "embedding", "vec_id",
+                                       planes, seed, 2, method, probes=2)
+        got[method] = sorted(
+            (r["vec_id"], r["__rep"], r["__probe"], r["__sig"])
+            for r in banded.collect())
+    assert got["arrow"] == got["column"]
+    by_key = {}
+    for vid, rep, probe, sig in got["arrow"]:
+        by_key.setdefault((vid, rep), {})[probe] = sig
+    H0 = np.random.default_rng(seed).standard_normal((planes, dim))
+    for (vid, rep), sigs in by_key.items():
+        assert set(sigs) == {0, 1, 2}
+        base = sigs[0]
+        for t in (1, 2):
+            diff = [p for p in range(planes) if sigs[t][p] != base[p]]
+            assert len(diff) == 1, (vid, rep, t)
+        # independent numpy twin of the flip ranking (rep 0 only)
+        if rep == 0 and vid != 9:
+            dots = H0 @ np.asarray(vecs[vid], dtype=np.float64)
+            order = np.argsort(np.abs(dots), kind="stable")
+            exp_base = "".join("1" if d >= 0 else "0" for d in dots)
+            assert base == exp_base
+            for t in (1, 2):
+                flip = [p for p in range(planes)
+                        if sigs[t][p] != base[p]][0]
+                assert flip == order[t - 1], (vid, t)
+    # null-element vector: all margins NaN -> flips bits 0 then 1
+    assert {p for t in (1, 2)
+            for p in range(planes)
+            if by_key[(9, 0)][t][p] != by_key[(9, 0)][0][p]} == {0, 1}
+
+
+def test_multiprobe_recovers_single_bit_miss(spark, tmp_path):
+    """The recall mechanism end-to-end: construct a near-duplicate
+    pair that disagrees in EXACTLY the query's minimum-margin bit
+    (solve v = H^-1 @ dots for pinned dot targets), persist the seen
+    vector, and check the probed batch finds it where the unprobed
+    one cannot; counts are duplicate-free (superset property on the
+    exact re-ingest)."""
+    import numpy as np
+
+    from dask_histogram_spark.operators import (
+        embedding_dedup_incremental, write_embedding_signature_table)
+
+    planes = dim = 4
+    seed = 23
+    H = np.random.default_rng(seed).standard_normal((planes, dim))
+    Hinv = np.linalg.inv(H)
+    v_seen = Hinv @ np.array([2.0, 2.0, 2.0, 0.02])
+    v_new = Hinv @ np.array([2.0, 2.0, 2.0, -0.02])   # crosses plane 3 only
+    cos = float(v_seen @ v_new /
+                (np.linalg.norm(v_seen) * np.linalg.norm(v_new)))
+    assert cos > 0.99
+    seen = spark.createDataFrame(
+        [(0, v_seen.tolist()), (1, (v_seen * -1.0).tolist())],
+        "vec_id long, embedding array<float>")
+    write_embedding_signature_table(
+        seen, "mp_sigs", planes=planes, seed=seed, repetitions=1,
+        n_buckets=4, path=str(tmp_path / "mp"))
+    try:
+        new = spark.createDataFrame(
+            [(100, v_new.tolist()), (101, v_seen.tolist())],
+            "vec_id long, embedding array<float>")
+        base = {r.vec_id: r.n_matched_seen for r in
+                embedding_dedup_incremental(
+                    new, "mp_sigs", threshold=0.99).collect()}
+        probed = {r.vec_id: r.n_matched_seen for r in
+                  embedding_dedup_incremental(
+                      new, "mp_sigs", threshold=0.99, probes=1).collect()}
+        assert base[100] == 0 and probed[100] == 1   # recovered miss
+        assert base[101] == 1 and probed[101] == 1   # no double-count
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mp_sigs")
+        spark.sql("DROP TABLE IF EXISTS mp_sigs__params")
+
+
 def test_minhash_lsh_stats_string_ids(spark):
     """minhash_lsh_stats with a STRING id column: the capped-bucket
     empty-array fallback must carry the id column's actual type (a

@@ -511,6 +511,60 @@ def test_streaming_embedding_probe_matches_incremental(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS esig_stream_probe_t__params")
 
 
+def test_streaming_embedding_multiprobe_matches_batch(spark, tmp_path):
+    """probes=1 on the streaming probe leg must agree per-vector with
+    the batch gate at probes=1 (same banding pass, base rows only to
+    the stateful detector), and a probed pure in-stream run raises:
+    multi-probe is a query-side lever against a persisted corpus."""
+    import numpy as np
+    import pytest
+
+    from dask_histogram_spark.operators import (
+        embedding_dedup_incremental, write_embedding_signature_table)
+    from dask_histogram_spark.streaming import (
+        streaming_embedding_candidates)
+
+    planes = dim = 4
+    H = np.random.default_rng(23).standard_normal((planes, dim))
+    Hinv = np.linalg.inv(H)
+    v_seen = Hinv @ np.array([2.0, 2.0, 2.0, 0.02])
+    v_new = Hinv @ np.array([2.0, 2.0, 2.0, -0.02])  # one-bit miss
+    seen = spark.createDataFrame(
+        [(0, v_seen.tolist()), (1, (-v_seen).tolist())],
+        "vec_id long, embedding array<float>")
+    write_embedding_signature_table(seen, "esig_mprobe_t", planes=planes,
+                                    seed=23, repetitions=1, n_buckets=4,
+                                    path=str(tmp_path / "mpsigs"))
+    try:
+        new = spark.createDataFrame(
+            [(1_000_000, v_new.tolist()), (1_000_001, v_seen.tolist())],
+            "vec_id long, embedding array<float>")
+        d = str(tmp_path / "mprobe_stream")
+        new.repartition(2).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(new.schema).parquet(d)
+        out = streaming_embedding_candidates(
+            stream, seen_table="esig_mprobe_t", threshold=0.99, probes=1)
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("emprobe").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {}
+        for r in spark.sql("SELECT * FROM emprobe").collect():
+            if r.id_a < 1_000_000:
+                got.setdefault(r.id_b, set()).add(r.id_a)
+        batch = {r.vec_id: r.n_matched_seen
+                 for r in embedding_dedup_incremental(
+                     new, "esig_mprobe_t", threshold=0.99,
+                     probes=1).collect()}
+        assert batch[1_000_000] == 1  # the single-bit miss, recovered
+        for vec_id, n in batch.items():
+            assert len(got.get(vec_id, set())) == n, (vec_id, n)
+        with pytest.raises(ValueError, match="probes > 0 requires"):
+            streaming_embedding_candidates(stream, dim=dim, probes=1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS esig_mprobe_t")
+        spark.sql("DROP TABLE IF EXISTS esig_mprobe_t__params")
+
+
 def test_streaming_probe_matches_incremental_lsh(spark, tmp_path):
     """streaming_minhash_candidates(seen_table=...) must agree with the
     batch cross-run gate: for every streamed document, the distinct
