@@ -601,7 +601,8 @@ def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
                            hash_fn: str = "xxhash64",
                            jaccard: float = 0.5,
                            min_sig_matches: int | None = None,
-                           max_bench_bucket: int | None = None) -> DataFrame:
+                           max_bench_bucket: int | None = None,
+                           broadcast_counts: bool = True) -> DataFrame:
     """NEAR-duplicate benchmark-contamination scan — the fuzzy twin of
     :func:`contamination_check`: flag training documents whose text is
     a MinHash near-duplicate of ANY benchmark document.  Exact n-gram
@@ -638,6 +639,18 @@ def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
     row by the bucket size); the default (None) keeps every bucket —
     the multiplier is bounded by the benchmark's size, which is tiny
     by the operator's own premise.
+
+    ``broadcast_counts`` (default True) broadcasts the 0-fill
+    join-back's counts side — one row per CONTAMINATED training doc.
+    That is NOT bounded by the benchmark's size: one viral template
+    near-matching a single eval doc can contaminate an arbitrary
+    fraction of the corpus, and past Spark's broadcast limit the scan
+    fails LOUDLY.  That loud failure is the intended default (massive
+    contamination is a fire alarm, and the alternative — a bare left
+    join — silently plans a full shuffle of the training side on id,
+    the exact cost this operator exists to avoid); pass False on a
+    corpus where contamination is expected to be massive and the
+    shuffle is the honest price.
     """
     from .dedup import (_band_explode, _sig_agreement, agreement_gate,
                         minhash_signatures)
@@ -670,17 +683,12 @@ def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
         .groupBy("__train_id")
         .agg(F.count_distinct("__bench_id").alias("n_matched_bench"))
     )
-    # the 0-fill join-back BROADCASTS the counts side: it holds one row
-    # per CONTAMINATED train doc — small by the operator's premise (a
-    # corpus where a large fraction near-matches the eval suite is
-    # already a fire alarm, and the broadcast failing loudly at the
-    # size limit is a better failure mode there than this join
-    # silently shuffling the full 100 TB train side on id, which is
-    # what a bare left join plans as)
+    # 0-fill join-back: see the broadcast_counts docstring note —
+    # loud-failure broadcast by default, honest shuffle on request
+    counts_side = F.broadcast(counts) if broadcast_counts else counts
     return (
         train.select(id_col)
-        .join(F.broadcast(counts), F.col(id_col) == F.col("__train_id"),
-              "left")
+        .join(counts_side, F.col(id_col) == F.col("__train_id"), "left")
         .select(
             id_col,
             F.coalesce(F.col("n_matched_bench"), F.lit(0).cast("long"))

@@ -456,6 +456,43 @@ def _empty_pairs(df: DataFrame, id_col: str) -> DataFrame:
         ]))
 
 
+def _sequential_dots(X: "np.ndarray", Ht: "np.ndarray") -> "np.ndarray":
+    """(n, planes) hyperplane dots by TERM-BY-TERM accumulation over
+    the vector components — reproduces the Column fold's sequential
+    float64 adds exactly (a BLAS matmul's pairwise summation could
+    flip a sign on a near-zero dot).  ONE definition shared by the
+    probed and unprobed Arrow kernels: the persisted table is written
+    by one and probed through the other, so a drifted accumulation
+    would silently report every vector as fresh — with no formula-tag
+    mismatch to catch it."""
+    acc = np.zeros((X.shape[0], Ht.shape[1]))
+    for j in range(X.shape[1]):
+        acc += X[:, j, None] * Ht[None, j, :]
+    return acc
+
+
+def _dot_fold(v: Column, h) -> Column:
+    """Column twin of one plane of :func:`_sequential_dots`: the same
+    left-to-right sequential adds as an F.aggregate fold."""
+    return F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(float(x)) for x in h]),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, z: acc + z)
+
+
+def _sign_bit(dot: Column) -> Column:
+    """'1' iff the dot is a non-NULL, non-NaN value >= 0 — pinned to
+    the Arrow kernel's numpy semantics (``NaN >= 0`` is False), where
+    a NULL ELEMENT and a float NaN ELEMENT are indistinguishable
+    after coercion: both give NaN dots and the all-'0' signature.
+    Spark and DuckDB comparisons order NaN ABOVE zero, so a bare
+    ``dot >= 0`` would emit '1' there and silently diverge from the
+    production Arrow path on NaN-element vectors (the oracle's CASE
+    carries the same isnan guard)."""
+    return F.when((dot >= 0) & ~F.isnan(dot),
+                  F.lit("1")).otherwise(F.lit("0"))
+
+
 def _hyperplane_banded_probed(df: DataFrame, vec_col: str, id_col: str,
                               Hs: list, planes: int, method: str,
                               probes: int) -> DataFrame:
@@ -477,11 +514,8 @@ def _hyperplane_banded_probed(df: DataFrame, vec_col: str, id_col: str,
             X = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
             out = [[] for _ in range(len(vecs))]
             for Ht in Hts:
-                # sequential accumulation: see sigs_arrow's exactness note
-                acc = np.zeros((X.shape[0], Ht.shape[1]))
-                for j in range(X.shape[1]):
-                    acc += X[:, j, None] * Ht[None, j, :]
-                bits = (acc >= 0)  # NaN -> False, like the Column twin
+                acc = _sequential_dots(X, Ht)
+                bits = (acc >= 0)  # NaN -> False (see _sign_bit)
                 order = np.argsort(np.abs(acc), axis=1, kind="stable")
                 for i in range(len(vecs)):
                     row = bits[i]
@@ -498,20 +532,16 @@ def _hyperplane_banded_probed(df: DataFrame, vec_col: str, id_col: str,
     else:
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-        def dot_expr(h) -> Column:
-            return F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in h]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda acc, z: acc + z)
-
         def rep_sigs(H) -> Column:
-            dots = F.array(*[dot_expr(H[p]) for p in range(planes)])
+            dots = F.array(*[_dot_fold(v, H[p]) for p in range(planes)])
 
             def bit(p: int) -> Column:
-                return F.when(F.element_at(dots, p + 1) >= 0,
-                              F.lit("1")).otherwise(F.lit("0"))
+                return _sign_bit(F.element_at(dots, p + 1))
 
             base = F.concat(*[bit(p) for p in range(planes)])
+            # NaN margins stay NaN through abs (coalesce catches NULL
+            # only) and Spark sorts NaN above every double — the same
+            # sort-last the Arrow kernel's numpy argsort applies
             order = F.array_sort(F.array(*[
                 F.struct(
                     F.coalesce(F.abs(F.element_at(dots, p + 1)),
@@ -524,7 +554,7 @@ def _hyperplane_banded_probed(df: DataFrame, vec_col: str, id_col: str,
                 fi = F.element_at(order, t + 1).getField("i")
                 out.append(F.concat(*[
                     F.when(F.lit(p) == fi,
-                           F.when(F.element_at(dots, p + 1) >= 0,
+                           F.when(bit(p) == "1",
                                   F.lit("0")).otherwise(F.lit("1")))
                     .otherwise(bit(p))
                     for p in range(planes)
@@ -605,19 +635,12 @@ def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
             # dimension filter; np.asarray coerces None -> NaN, every
             # plane dot goes NaN, and the sign test (NaN >= 0 is
             # False) emits the same all-'0' signature as the Column
-            # fold's null dot (pinned by
+            # twin's _sign_bit (pinned by
             # test_near_dup_null_element_vector)
             X = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
             out = [[] for _ in range(len(vecs))]
             for Ht in Hts:
-                # term-by-term accumulation over j reproduces the
-                # Column fold's sequential float64 adds exactly (a
-                # BLAS matmul's pairwise summation could flip a sign
-                # on a near-zero dot)
-                acc = np.zeros((X.shape[0], Ht.shape[1]))
-                for j in range(X.shape[1]):
-                    acc += X[:, j, None] * Ht[None, j, :]
-                bits = np.where(acc >= 0, "1", "0")
+                bits = np.where(_sequential_dots(X, Ht) >= 0, "1", "0")
                 for i, s_ in enumerate("".join(r) for r in bits):
                     out[i].append(s_)
             return pd.Series(out)
@@ -627,22 +650,8 @@ def _hyperplane_banded(df: DataFrame, vec_col: str, id_col: str,
         v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
         def one_sig(H) -> Column:
-            return F.concat(*[
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            v,
-                            F.array(*[F.lit(float(h)) for h in H[p]]),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, z: acc + z,
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for p in range(planes)
-            ])
+            return F.concat(*[_sign_bit(_dot_fold(v, H[p]))
+                              for p in range(planes)])
 
         sigs = F.array(*[one_sig(H) for H in Hs])
 

@@ -1173,8 +1173,12 @@ def _hyperplane_sig_parts(planes: int = 8, dim: int = 64,
             "(acc, z) -> acc + z)"
         )
 
+    # the isnan guard pins NaN-element vectors to the engine's '0'
+    # bit (numpy NaN >= 0 is False; bare SQL NaN >= 0 is TRUE in both
+    # DuckDB and Spark — see operators.similarity._sign_bit)
     sig = "concat(" + ", ".join(
-        f"CASE WHEN {dot(f'h{p}')} >= 0 THEN '1' ELSE '0' END"
+        f"CASE WHEN isnan({dot(f'h{p}')}) THEN '0' "
+        f"WHEN {dot(f'h{p}')} >= 0 THEN '1' ELSE '0' END"
         for p in range(planes)
     ) + ")"
     dots = "[" + ", ".join(dot(f"h{p}") for p in range(planes)) + "]"

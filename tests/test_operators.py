@@ -1613,8 +1613,12 @@ def test_multiprobe_banding_flips_lowest_margin_bit(spark):
     planes, dim, seed = 6, 4, 23
     rng = np.random.default_rng(7)
     vecs = [rng.standard_normal(dim).tolist() for _ in range(5)]
-    rows = [(i, v) for i, v in enumerate(vecs)] + [(9, [1.0, None, 0.0,
-                                                        2.0])]
+    # 9: NULL element; 8: true float NaN element — indistinguishable
+    # after the Arrow kernel's coercion, and _sign_bit pins the Column
+    # twin to the same all-'0' convention (bare SQL NaN >= 0 is TRUE)
+    rows = ([(i, v) for i, v in enumerate(vecs)]
+            + [(9, [1.0, None, 0.0, 2.0]),
+               (8, [1.0, float("nan"), 0.0, 2.0])])
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {}
     for method in ("arrow", "column"):
@@ -1635,7 +1639,7 @@ def test_multiprobe_banding_flips_lowest_margin_bit(spark):
             diff = [p for p in range(planes) if sigs[t][p] != base[p]]
             assert len(diff) == 1, (vid, rep, t)
         # independent numpy twin of the flip ranking (rep 0 only)
-        if rep == 0 and vid != 9:
+        if rep == 0 and vid < len(vecs):
             dots = H0 @ np.asarray(vecs[vid], dtype=np.float64)
             order = np.argsort(np.abs(dots), kind="stable")
             exp_base = "".join("1" if d >= 0 else "0" for d in dots)
@@ -1644,10 +1648,14 @@ def test_multiprobe_banding_flips_lowest_margin_bit(spark):
                 flip = [p for p in range(planes)
                         if sigs[t][p] != base[p]][0]
                 assert flip == order[t - 1], (vid, t)
-    # null-element vector: all margins NaN -> flips bits 0 then 1
-    assert {p for t in (1, 2)
-            for p in range(planes)
-            if by_key[(9, 0)][t][p] != by_key[(9, 0)][0][p]} == {0, 1}
+    # null-element and NaN-element vectors: all-'0' base (margins all
+    # NaN/NULL), flips tie-break to bits 0 then 1
+    for vid in (8, 9):
+        assert by_key[(vid, 0)][0] == "0" * planes
+        assert {p for t in (1, 2)
+                for p in range(planes)
+                if by_key[(vid, 0)][t][p] != by_key[(vid, 0)][0][p]
+                } == {0, 1}
 
 
 def test_multiprobe_recovers_single_bit_miss(spark, tmp_path):

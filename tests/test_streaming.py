@@ -546,7 +546,7 @@ def test_streaming_embedding_multiprobe_matches_batch(spark, tmp_path):
             stream, seen_table="esig_mprobe_t", threshold=0.99, probes=1)
         q = (out.writeStream.outputMode("append").format("memory")
              .queryName("emprobe").trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in 180s"
         got = {}
         for r in spark.sql("SELECT * FROM emprobe").collect():
             if r.id_a < 1_000_000:
