@@ -902,6 +902,18 @@ def auto_hyperplane_params(n_rows: int, design_cos: float = 0.99,
     silently clamping would deliver e.g. 68% recall against a 98%
     target at 1e9 rows with a tight design cosine, exactly the
     production scale the auto mode exists for.
+
+    Storage note: query-side multi-probe
+    (:func:`embedding_dedup_incremental` ``probes=``) is a cheaper
+    route to the same recall when the TABLE size is the constraint —
+    measured, ``repetitions=r/2`` with ``probes=2`` matched the
+    plain ``repetitions=r`` recall at half the stored rows
+    (BASELINE.md round-7 multi-probe ladder).  The sizing here stays
+    analytic (the margin-ranked probe's capture rate has no closed
+    form, and measured probed recall EXCEEDS the independent-trial
+    prediction, so treating r as the only knob is conservative);
+    readers holding a storage budget can halve the returned
+    repetitions and probe with q=2.
     """
     from math import acos, ceil, log, log2, pi
 
