@@ -1702,6 +1702,22 @@ def test_multiprobe_recovers_single_bit_miss(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS mp_sigs__params")
 
 
+def test_contamination_near_dup_empty_inputs(spark):
+    """Empty benchmark -> every train doc reports 0 / clean; empty
+    train -> empty output; probed incremental on an empty batch stays
+    empty (the empty-input convention of the other gate operators)."""
+    from dask_histogram_spark.operators import contamination_near_dup
+
+    schema = "doc_id long, text string"
+    train = spark.createDataFrame(
+        [(1, "some training document body with words")], schema)
+    empty = spark.createDataFrame([], schema)
+    got = contamination_near_dup(train, empty).collect()
+    assert [(r.doc_id, r.n_matched_bench, r.contaminated)
+            for r in got] == [(1, 0, 0)]
+    assert contamination_near_dup(empty, train).collect() == []
+
+
 def test_minhash_lsh_stats_string_ids(spark):
     """minhash_lsh_stats with a STRING id column: the capped-bucket
     empty-array fallback must carry the id column's actual type (a
