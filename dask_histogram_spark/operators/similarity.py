@@ -907,8 +907,11 @@ def auto_hyperplane_params(n_rows: int, design_cos: float = 0.99,
     (:func:`embedding_dedup_incremental` ``probes=``) is a cheaper
     route to the same recall when the TABLE size is the constraint —
     measured, ``repetitions=r/2`` with ``probes=2`` matched the
-    plain ``repetitions=r`` recall at half the stored rows
-    (BASELINE.md round-7 multi-probe ladder).  The sizing here stays
+    plain ``repetitions=r`` recall at half the stored rows at 1M,
+    and at 10M EXCEEDED the full-reps table's recall (.9700 vs
+    .9484 at the hardest level) at half the rows, a third of the
+    build and half the batch wall (BASELINE.md round-7 multi-probe
+    ladder + thin-auto tables).  The sizing here stays
     analytic (the margin-ranked probe's capture rate has no closed
     form, and measured probed recall EXCEEDS the independent-trial
     prediction, so treating r as the only knob is conservative);
