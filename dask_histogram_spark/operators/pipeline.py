@@ -26,6 +26,7 @@ __all__ = ["prepare_training_corpus", "corpus_stats", "hash_sample",
            "hash_sample_sql", "hash_split", "hash_split_sql",
            "pack_sequences", "pack_sequences_sql", "token_vocabulary",
            "stratified_sample", "stratified_sample_sql",
+           "quota_sample", "quota_rank_sql",
            "contamination_check", "contamination_near_dup"]
 
 
@@ -152,6 +153,17 @@ _SPLIT_M = 1 << 31
 _SPLIT_A = 1327217885  # odd, (M-1)*A < 2^63: no long overflow
 
 
+def _gold_hash(id_col: str, seed: int = 0) -> "F.Column":
+    """The shared golden-ratio hash Column, an integer in [0, 2^31):
+    ``((x ^ (x >> 31)) mod M) * A mod M`` with ``x = id XOR seed``.
+    Pure 64-bit integer arithmetic — bit-identical in Spark, DuckDB
+    (the ``*_sql`` twins) and numpy, so every sampler built on it is
+    oracle-checkable and rerun/partitioning/cluster-size stable."""
+    x = F.col(id_col).cast("long").bitwiseXOR(F.lit(int(seed)))
+    folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
+    return F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
+
+
 def hash_split(df: DataFrame, ratios: dict[str, float],
                id_col: str = "doc_id", out_col: str = "split") -> DataFrame:
     """Deterministic train/val/test assignment by universal hash of the
@@ -170,10 +182,7 @@ def hash_split(df: DataFrame, ratios: dict[str, float],
     total = sum(ratios.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"ratios must sum to 1.0, got {total}")
-    x = F.col(id_col).cast("long")
-    folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
-    h = F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
-    frac = h.cast("double") / F.lit(float(_SPLIT_M))
+    frac = _gold_hash(id_col).cast("double") / F.lit(float(_SPLIT_M))
     expr = None
     cum = 0.0
     names = list(ratios)
@@ -234,10 +243,7 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    x = F.col(id_col).cast("long").bitwiseXOR(F.lit(int(seed)))
-    folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
-    h = F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
-    frac = h.cast("double") / F.lit(float(_SPLIT_M))
+    frac = _gold_hash(id_col, seed).cast("double") / F.lit(float(_SPLIT_M))
     return df.where(frac < F.lit(float(fraction)))
 
 
@@ -367,10 +373,7 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
         rate = (F.when(*branch) if rate is None else rate.when(*branch))
     rate = (rate.otherwise(F.lit(float(default_rate)))
             if rate is not None else F.lit(float(default_rate)))
-    x = F.col(id_col).cast("long").bitwiseXOR(F.lit(int(seed)))
-    folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
-    h = F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
-    frac = h.cast("double") / F.lit(float(_SPLIT_M))
+    frac = _gold_hash(id_col, seed).cast("double") / F.lit(float(_SPLIT_M))
     return df.where(frac < rate)
 
 
@@ -394,6 +397,115 @@ def stratified_sample_sql(rates: dict[str, float], group_col: str,
                      for g, r in rates.items())
     rate = f"(CASE {group_col} {whens} ELSE {float(default_rate)!r} END)"
     return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {rate}"
+
+
+def quota_sample(df: DataFrame, max_per_group: int,
+                 group_col: str = "source", id_col: str = "doc_id",
+                 seed: int = 0, method: str = "auto",
+                 margin: int | None = None, validate: bool = True,
+                 broadcast_counts: bool = True) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group — the head-domain
+    capping primitive of corpus balancing (e.g. "no source contributes
+    more than N documents").  Selection is the exact top-N by the same
+    golden-ratio id hash as :func:`hash_sample` (ties broken by id), so
+    the kept set is a pure function of (ids, seed): stable under
+    reruns, partitionings, cluster sizes and other engines — the
+    DuckDB twin is ``QUALIFY`` on :func:`quota_rank_sql`.
+
+    Scale plan (``method="auto"``): a naive
+    ``row_number() OVER (PARTITION BY group)`` shuffles the ENTIRE
+    input and sorts every mega-group in one task — the exact pattern
+    that dies on a head-heavy domain distribution at 100 TB.  Instead:
+
+    1. per-group counts (map-side partial agg -> one tiny row per
+       group) are broadcast back onto the rows;
+    2. ONE narrow filter keeps small groups (``count <= N``) wholesale
+       and prefilters oversized groups to the rows whose hash falls
+       under a per-group integer threshold ``ceil(k*M/count)`` sized to
+       leave ``k = N + margin`` expected survivors (margin defaults to
+       ``8*sqrt(N)+32`` — an >8-sigma Chernoff cushion, so the chance
+       any group undershoots N true survivors is ~1e-15 per group);
+    3. the row_number window runs on that bounded survivor set only —
+       the sole data exchange carries ~``groups x (N+margin)`` rows no
+       matter how skewed the input is, and per-group sort cost is
+       O(margin log margin), not O(group size).
+
+    The result is still EXACT top-N-by-hash: the prefilter can only
+    cut rows ranked below the threshold count.  ``validate=True``
+    (default) runs one extra small aggregate asserting every oversized
+    group kept >= N survivors and raises with guidance if the margin
+    ever proved too thin (deterministic per dataset; costs one more
+    pass — production reruns on the same corpus may disable it).
+    ``method="window"`` is the naive reference plan for tiny inputs
+    and differential tests.  ``broadcast_counts=False`` opts out of
+    the broadcast when the group cardinality itself is huge (the
+    counts side is one row PER DISTINCT GROUP — small vs the data but
+    not vs driver memory at, say, 100M domains); the join then
+    shuffles both sides on the group key.
+
+    ``id_col`` must be unique within a group — exact (hash, id) ties
+    between distinct rows are ranked arbitrarily.
+    """
+    n = int(max_per_group)
+    if n < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    if method not in ("auto", "window"):
+        raise ValueError(f"method must be 'auto' or 'window', got {method!r}")
+    out_cols = df.columns
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("__qh").asc(), F.col(id_col).asc()))
+    if method == "window":
+        return (df.withColumn("__qh", _gold_hash(id_col, seed))
+                  .withColumn("__qrn", F.row_number().over(w))
+                  .where(F.col("__qrn") <= n)
+                  .select(*out_cols))
+    if margin is None:
+        margin = int(8 * np.sqrt(n)) + 32
+    k = n + max(0, int(margin))
+    counts = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__qcnt"))
+              .withColumnRenamed(group_col, "__qgrp"))
+    cside = F.broadcast(counts) if broadcast_counts else counts
+    joined = df.join(
+        cside, F.col(group_col).eqNullSafe(F.col("__qgrp")),
+    ).drop("__qgrp")
+    kept = (
+        joined
+        .withColumn("__qh", _gold_hash(id_col, seed))
+        # integer ceil(k*M/count): k*M < 2^45 so the div is exact long
+        # arithmetic; unused (OR short-circuits) for small groups
+        .withColumn("__qthr", F.expr(
+            f"({k * _SPLIT_M} + __qcnt - 1) div __qcnt"))
+        .where((F.col("__qcnt") <= n) | (F.col("__qh") < F.col("__qthr")))
+    )
+    if validate:
+        bad = (kept.where(F.col("__qcnt") > n)
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("__qsurv"))
+               .where(F.col("__qsurv") < n)
+               .limit(1).collect())
+        if bad:
+            g = bad[0][group_col]
+            raise ValueError(
+                f"quota_sample threshold prefilter undershot: group {g!r} "
+                f"kept {bad[0]['__qsurv']} < {n} survivors. Re-run with a "
+                f"larger margin (got {margin}) or method='window'."
+            )
+    return (kept.withColumn("__qrn", F.row_number().over(w))
+            .where(F.col("__qrn") <= n)
+            .select(*out_cols))
+
+
+def quota_rank_sql(group_col: str, id_col: str = "doc_id",
+                   seed: int = 0) -> str:
+    """DuckDB twin rank of :func:`quota_sample`: ``QUALIFY <this> <= N``
+    selects the identical rows (same hash constants and arithmetic as
+    :func:`hash_sample_sql`, same (hash, id) tie-break)."""
+    x = f"xor({id_col}, {int(seed)})"
+    inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
+             f"+ {_SPLIT_M}) % {_SPLIT_M})")
+    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    return (f"row_number() OVER (PARTITION BY {group_col} "
+            f"ORDER BY {h}, {id_col})")
 
 
 def _sorted_member_count(h: "np.ndarray", b: "np.ndarray") -> int:

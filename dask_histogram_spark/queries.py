@@ -2176,15 +2176,26 @@ _STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
 
 
 def _q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hash_split + hash_sample + stratified_sample gated in ONE driver
-    row (registry consolidated to the driver's 50-row budget): every
-    doc's deterministic split label, its (doc_id, seed)-pure 25% sample
-    membership, and its per-language stratified-sample membership
-    (language downmixing — rates keyed on pred_lang) as 0/1 flags.
-    The left joins against the sampled ids are gate-row plumbing only —
-    production callers use the operators directly (both samplers
-    filter inline, zero shuffle)."""
-    from .operators import hash_sample, hash_split, language_id, stratified_sample
+    """hash_split + hash_sample + stratified_sample + quota_sample
+    gated in ONE driver row (registry consolidated to the driver's
+    50-row budget): every doc's deterministic split label, its
+    (doc_id, seed)-pure 25% sample membership, its per-language
+    stratified-sample membership (language downmixing — rates keyed
+    on pred_lang), and its per-source quota membership (head-source
+    capping at 10 docs; every 97th doc is diverted to a tiny
+    ``__rare`` group so BOTH quota branches — wholesale small-group
+    pass and threshold+window on oversized groups — execute under the
+    gate) as 0/1 flags.  The left joins against the sampled ids are
+    gate-row plumbing only — production callers use the operators
+    directly (the samplers filter inline, zero shuffle; quota windows
+    only its bounded survivor set)."""
+    from .operators import (
+        hash_sample,
+        hash_split,
+        language_id,
+        quota_sample,
+        stratified_sample,
+    )
 
     d = get_tables(spark, sf_dir)["documents"]
     split = hash_split(d, _SPLIT_RATIOS).select("doc_id", "split", "n_chars")
@@ -2194,16 +2205,26 @@ def _q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat = stratified_sample(
         langed, _STRAT_RATES, "pred_lang", seed=11, default_rate=0.1
     ).select("doc_id", F.lit(1).alias("in_strat"))
+    grouped = d.withColumn(
+        "qgrp",
+        F.when(F.col("doc_id") % 97 == 0, F.lit("__rare"))
+        .otherwise(F.col("source")),
+    )
+    quota = quota_sample(grouped, 10, group_col="qgrp", seed=13).select(
+        "doc_id", F.lit(1).alias("in_quota"))
     return (
         split.join(samp, "doc_id", "left")
         .join(strat, "doc_id", "left")
+        .join(quota, "doc_id", "left")
         .withColumn("in_sample", F.coalesce(F.col("in_sample"), F.lit(0)))
         .withColumn("in_strat", F.coalesce(F.col("in_strat"), F.lit(0)))
+        .withColumn("in_quota", F.coalesce(F.col("in_quota"), F.lit(0)))
     )
 
 
 from .operators.pipeline import hash_sample_sql as _sample_sql  # noqa: E402
 from .operators.pipeline import hash_split_sql as _split_sql  # noqa: E402
+from .operators.pipeline import quota_rank_sql as _quota_sql  # noqa: E402
 from .operators.pipeline import stratified_sample_sql as _strat_sql  # noqa: E402
 
 
@@ -2222,6 +2243,10 @@ def _lang_case_sql() -> str:
     return f"CASE {cases} ELSE 'unknown' END"
 
 
+_QUOTA_GRP_SQL = (
+    "CASE WHEN doc_id % 97 = 0 THEN '__rare' ELSE source END"
+)
+
 _register(
     "corpus_split_sample",
     _q_corpus_split_sample,
@@ -2229,8 +2254,12 @@ _register(
     f"CAST(CASE WHEN {_sample_sql(0.25, seed=7)} THEN 1 ELSE 0 END AS INT) "
     "AS in_sample, "
     f"CAST(CASE WHEN {_strat_sql(_STRAT_RATES, 'grp', seed=11, default_rate=0.1)} "
-    "THEN 1 ELSE 0 END AS INT) AS in_strat, n_chars FROM "
-    f"(SELECT doc_id, n_chars, {_lang_case_sql()} AS grp FROM documents)",
+    "THEN 1 ELSE 0 END AS INT) AS in_strat, "
+    "CAST(CASE WHEN qrank <= 10 THEN 1 ELSE 0 END AS INT) AS in_quota, "
+    "n_chars FROM "
+    f"(SELECT doc_id, n_chars, {_lang_case_sql()} AS grp, "
+    f"{_quota_sql(_QUOTA_GRP_SQL, 'doc_id', seed=13)} AS qrank "
+    "FROM documents)",
 )
 
 

@@ -1,0 +1,134 @@
+"""quota_sample — per-group cap by deterministic hash rank.
+
+The corpus-balancing primitive (cap head domains / sources at N docs):
+exact top-N-by-hash per group, but the full input never shuffles — a
+broadcast per-group count join routes small groups through wholesale
+and prefilters oversized groups to ~N survivors before the only
+row_number window runs (see operators/pipeline.py docstring for the
+Chernoff margin argument).
+"""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dask_histogram_spark.operators.pipeline import (
+    _SPLIT_A,
+    _SPLIT_M,
+    quota_rank_sql,
+    quota_sample,
+)
+
+
+def _skewed_df(spark):
+    # one huge group, one exactly-at-cap group, one tiny group, one NULL
+    rows = (
+        [(i, "huge") for i in range(500)]
+        + [(1000 + i, "atcap") for i in range(10)]
+        + [(2000 + i, "tiny") for i in range(3)]
+        + [(3000 + i, None) for i in range(25)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, src string")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.collect())
+
+
+def test_quota_methods_agree_and_respect_cap(spark):
+    df = _skewed_df(spark)
+    auto = quota_sample(df, 10, group_col="src", seed=3)
+    win = quota_sample(df, 10, group_col="src", seed=3, method="window")
+    assert _ids(auto) == _ids(win)
+    per_group = {
+        r.src: r.n
+        for r in auto.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group["huge"] == 10
+    assert per_group["atcap"] == 10          # c == N: kept wholesale
+    assert per_group["tiny"] == 3            # under cap: all kept
+    assert per_group[None] == 10             # NULL is its own group
+
+
+def test_quota_matches_duckdb_window(spark):
+    df = _skewed_df(spark)
+    got = _ids(quota_sample(df, 10, group_col="src", seed=3))
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    rank = quota_rank_sql("src", "doc_id", seed=3)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM t QUALIFY {rank} <= 10"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_quota_deterministic_under_repartition(spark):
+    df = _skewed_df(spark)
+    a = _ids(quota_sample(df, 7, group_col="src", seed=11))
+    b = _ids(quota_sample(df.repartition(13), 7, group_col="src", seed=11))
+    assert a == b
+
+
+def test_quota_rank_sql_and_spark_hash_share_constants():
+    sql = quota_rank_sql("src", "doc_id", seed=5)
+    assert str(_SPLIT_M) in sql and str(_SPLIT_A) in sql
+    assert "row_number() OVER (PARTITION BY src" in sql
+
+
+def test_quota_validate_raises_on_threshold_undershoot(spark):
+    # margin=0 keeps expected N survivors exactly, so some seed
+    # deterministically undershoots on a fixed dataset; find one and
+    # assert the loud error instead of a silent sub-N group.
+    # NOTE scattered ids: consecutive ids under the multiplicative
+    # hash form a low-discrepancy progression whose survivor count
+    # never undershoots — real binomial behavior needs spread ids.
+    import random
+
+    rng = random.Random(0)
+    ids = rng.sample(range(1 << 40), 500)
+    df = spark.createDataFrame([(i, "huge") for i in ids],
+                               "doc_id long, src string")
+    hit = None
+    for seed in range(40):
+        try:
+            quota_sample(df, 10, group_col="src", seed=seed, margin=0)
+        except ValueError as e:
+            hit = e
+            break
+    assert hit is not None and "margin" in str(hit)
+
+
+def test_quota_validate_off_is_lazy(spark):
+    # validate=False must not trigger a Spark job at call time
+    df = _skewed_df(spark)
+    out = quota_sample(df, 10, group_col="src", seed=3, validate=False)
+    assert out.columns == df.columns
+
+
+def test_quota_plan_windows_only_the_survivor_set(spark):
+    """The full input must NOT feed the row_number exchange: the plan
+    is broadcast counts-join -> threshold Filter -> (bounded) window.
+    Exactly two hash exchanges exist — the tiny counts aggregate and
+    the bounded survivor window — and the window's input filter
+    carries the integer-div threshold predicate."""
+    df = _skewed_df(spark)
+    out = quota_sample(df, 10, group_col="src", seed=3, validate=False)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-execution tree too — audit the
+    # final plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    n_hash_ex = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_hash_ex == 2, plan  # tiny counts agg + bounded window only
+    assert " div " in plan  # threshold prefilter reached the plan
+    # rank-limit pushdown: Spark caps each input partition at N rows
+    # per group BEFORE the window exchange on top of our prefilter
+    assert "WindowGroupLimit" in plan
