@@ -164,6 +164,16 @@ def _gold_hash(id_col: str, seed: int = 0) -> "F.Column":
     return F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
 
 
+def _gold_hash_sql(id_col: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`_gold_hash` (both ``%`` reductions wrapped
+    non-negative where the Spark side uses pmod, so negative ids hash
+    identically) — the single source for every ``*_sql`` builder."""
+    x = f"xor({id_col}, {int(seed)})"
+    inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
+             f"+ {_SPLIT_M}) % {_SPLIT_M})")
+    return f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+
+
 def hash_split(df: DataFrame, ratios: dict[str, float],
                id_col: str = "doc_id", out_col: str = "split") -> DataFrame:
     """Deterministic train/val/test assignment by universal hash of the
@@ -201,10 +211,7 @@ def hash_split_sql(ratios: dict[str, float], id_col: str = "doc_id",
     same arithmetic, same branch order).  Both `%` reductions are
     wrapped to non-negative (DuckDB `%` is sign-preserving where the
     Spark side uses pmod) so negative ids split identically."""
-    inner = (f"(((xor({id_col}, {id_col} >> 31) % {_SPLIT_M}) "
-             f"+ {_SPLIT_M}) % {_SPLIT_M})")
-    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
-    frac = f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r})"
+    frac = f"(CAST({_gold_hash_sql(id_col)} AS DOUBLE) / {float(_SPLIT_M)!r})"
     names = list(ratios)
     whens = []
     cum = 0.0
@@ -251,10 +258,7 @@ def hash_sample_sql(fraction: float, id_col: str = "doc_id",
                     seed: int = 0) -> str:
     """DuckDB twin predicate of :func:`hash_sample` (same constants,
     same arithmetic; `%` wrapped non-negative like hash_split_sql)."""
-    x = f"xor({id_col}, {int(seed)})"
-    inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
-             f"+ {_SPLIT_M}) % {_SPLIT_M})")
-    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    h = _gold_hash_sql(id_col, seed)
     return f"(CAST({h} AS DOUBLE) / {float(_SPLIT_M)!r}) < {float(fraction)!r}"
 
 
@@ -383,10 +387,8 @@ def stratified_sample_sql(rates: dict[str, float], group_col: str,
     """DuckDB twin predicate of :func:`stratified_sample` (same hash
     arithmetic as :func:`hash_sample_sql`, same CASE order).
     ``group_col`` may be any SQL expression producing the group."""
-    x = f"xor({id_col}, {int(seed)})"
-    inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
-             f"+ {_SPLIT_M}) % {_SPLIT_M})")
-    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    h = _gold_hash_sql(id_col, seed)
+
     def lit(g) -> str:
         # always a single-quoted SQL string literal with '' escaping —
         # Python repr of a value containing a quote would emit a
@@ -444,13 +446,18 @@ def quota_sample(df: DataFrame, max_per_group: int,
     shuffles both sides on the group key.
 
     ``id_col`` must be unique within a group — exact (hash, id) ties
-    between distinct rows are ranked arbitrarily.
+    between distinct rows are ranked arbitrarily.  Rows with a NULL id
+    are DROPPED up-front (their hash is NULL, the same fate they meet
+    in :func:`hash_sample`/:func:`stratified_sample` predicates) —
+    this keeps both methods and the SQL twin trivially equivalent; the
+    twin's caller must filter ``id IS NOT NULL`` alike.
     """
     n = int(max_per_group)
     if n < 1:
         raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
     if method not in ("auto", "window"):
         raise ValueError(f"method must be 'auto' or 'window', got {method!r}")
+    df = df.where(F.col(id_col).isNotNull())
     out_cols = df.columns
     w = (Window.partitionBy(group_col)
          .orderBy(F.col("__qh").asc(), F.col(id_col).asc()))
@@ -478,13 +485,21 @@ def quota_sample(df: DataFrame, max_per_group: int,
         .where((F.col("__qcnt") <= n) | (F.col("__qh") < F.col("__qthr")))
     )
     if validate:
-        bad = (kept.where(F.col("__qcnt") > n)
-               .groupBy(group_col)
-               .agg(F.count(F.lit(1)).alias("__qsurv"))
+        # LEFT join from the oversized-group list so a group whose
+        # prefilter kept ZERO survivors (absent from `kept` entirely)
+        # still surfaces as an undershoot instead of silently vanishing
+        surv = (kept.where(F.col("__qcnt") > n)
+                .groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("__qsurv")))
+        bad = (counts.where(F.col("__qcnt") > n)
+               .join(surv,
+                     F.col("__qgrp").eqNullSafe(surv[group_col]), "left")
+               .withColumn("__qsurv",
+                           F.coalesce(F.col("__qsurv"), F.lit(0)))
                .where(F.col("__qsurv") < n)
                .limit(1).collect())
         if bad:
-            g = bad[0][group_col]
+            g = bad[0]["__qgrp"]
             raise ValueError(
                 f"quota_sample threshold prefilter undershot: group {g!r} "
                 f"kept {bad[0]['__qsurv']} < {n} survivors. Re-run with a "
@@ -499,11 +514,10 @@ def quota_rank_sql(group_col: str, id_col: str = "doc_id",
                    seed: int = 0) -> str:
     """DuckDB twin rank of :func:`quota_sample`: ``QUALIFY <this> <= N``
     selects the identical rows (same hash constants and arithmetic as
-    :func:`hash_sample_sql`, same (hash, id) tie-break)."""
-    x = f"xor({id_col}, {int(seed)})"
-    inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
-             f"+ {_SPLIT_M}) % {_SPLIT_M})")
-    h = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    :func:`hash_sample_sql`, same (hash, id) tie-break).  Rows whose
+    id is NULL must be excluded before ranking (the Spark side drops
+    them up-front — see :func:`quota_sample`)."""
+    h = _gold_hash_sql(id_col, seed)
     return (f"row_number() OVER (PARTITION BY {group_col} "
             f"ORDER BY {h}, {id_col})")
 

@@ -2210,7 +2210,10 @@ def _q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 97 == 0, F.lit("__rare"))
         .otherwise(F.col("source")),
     )
-    quota = quota_sample(grouped, 10, group_col="qgrp", seed=13).select(
+    # validate=False: the guard is an eager extra scan, and this row's
+    # correctness check IS the DuckDB QUALIFY twin
+    quota = quota_sample(grouped, 10, group_col="qgrp", seed=13,
+                         validate=False).select(
         "doc_id", F.lit(1).alias("in_quota"))
     return (
         split.join(samp, "doc_id", "left")

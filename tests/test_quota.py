@@ -104,10 +104,61 @@ def test_quota_validate_raises_on_threshold_undershoot(spark):
 
 
 def test_quota_validate_off_is_lazy(spark):
-    # validate=False must not trigger a Spark job at call time
+    # validate=False must not trigger a Spark job at call time; pin it
+    # with a job group — construction must leave the group empty while
+    # validate=True provably runs jobs in it
+    sc = spark.sparkContext
     df = _skewed_df(spark)
-    out = quota_sample(df, 10, group_col="src", seed=3, validate=False)
+    sc.setJobGroup("quota-lazy", "quota laziness probe")
+    try:
+        out = quota_sample(df, 10, group_col="src", seed=3, validate=False)
+        lazy_jobs = list(sc.statusTracker().getJobIdsForGroup("quota-lazy"))
+        quota_sample(df, 10, group_col="src", seed=3, validate=True)
+        eager_jobs = list(sc.statusTracker().getJobIdsForGroup("quota-lazy"))
+    finally:
+        sc.setJobGroup("", "")
+    assert lazy_jobs == []
+    assert len(eager_jobs) > 0
     assert out.columns == df.columns
+
+
+def test_quota_validate_catches_zero_survivor_group(spark):
+    # the review-found hole: a group whose prefilter kept ZERO rows is
+    # absent from the kept-side aggregate, so a survivors-only check
+    # never sees it.  Find (numpy twin) a seed where no row of an
+    # oversized group hashes under the n=1, margin=0 threshold and
+    # assert the guard still raises (via the LEFT join from counts).
+    import random
+
+    import numpy as np
+
+    rng = random.Random(1)
+    ids = np.array(rng.sample(range(1 << 40), 1000), dtype=np.int64)
+    m, a = _SPLIT_M, _SPLIT_A
+    thr = (1 * m + 1000 - 1) // 1000  # k=1 threshold at c=1000
+
+    def gold(seed):
+        x = ids ^ np.int64(seed)
+        folded = (x ^ (x >> 31)) % m
+        return (folded * a) % m
+
+    seed = next(s for s in range(2000) if (gold(s) < thr).sum() == 0)
+    df = spark.createDataFrame(
+        [(int(i), "g") for i in ids], "doc_id long, src string")
+    with pytest.raises(ValueError, match="kept 0 < 1"):
+        quota_sample(df, 1, group_col="src", seed=seed, margin=0)
+
+
+def test_quota_null_ids_dropped_consistently(spark):
+    rows = ([(i, "g") for i in range(30)]
+            + [(None, "g"), (None, "h"), (40, "h")])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    auto = quota_sample(df, 5, group_col="src", seed=3)
+    win = quota_sample(df, 5, group_col="src", seed=3, method="window")
+    assert _ids(auto) == _ids(win)
+    assert None not in {r.doc_id for r in auto.collect()}
+    # 'h' has one non-null row: kept; no NULL backfill into the cap
+    assert sum(1 for r in auto.collect() if r.src == "h") == 1
 
 
 def test_quota_plan_windows_only_the_survivor_set(spark):
