@@ -1,0 +1,179 @@
+"""BPE trainer/encoder: exact differential vs an in-test reference
+implementation (full recount, no pair index — written independently of
+the module so index-update bugs can't hide), local==distributed
+equality, encode properties, and the batching approximation contract.
+"""
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_histogram_spark.operators.bpe import (
+    _train_local,
+    apply_bpe,
+    train_bpe,
+    word_freq_table,
+)
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "a hat for the cat and a hat for the rat",
+    "that cat is the fattest cat",
+    "rats and cats chat in the attic",
+    "low lower lowest newer newest wider widest",
+    "low low low lower lower newest newest newest newest",
+]
+
+
+def _reference_bpe(word_counts: dict[str, int], num_merges: int,
+                   min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Sennrich semantics, brute force: full pair recount every merge,
+    overlapping occurrences counted, left-to-right non-overlapping
+    replace, ties (count desc, pair lexicographic)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, n in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        a, b = best
+        for w in seqs:
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+        merges.append(best)
+    return merges
+
+
+def _docs(spark, corpus=CORPUS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+
+
+def _word_counts(corpus=CORPUS):
+    c: Counter = Counter()
+    for t in corpus:
+        c.update(t.split())
+    return dict(c)
+
+
+def test_word_freq_table_matches_python_split(spark):
+    got = {r.word: r.n for r in word_freq_table(_docs(spark)).collect()}
+    assert got == _word_counts()
+
+
+def test_local_trainer_matches_reference_exactly(spark):
+    want = _reference_bpe(_word_counts(), 40)
+    got = train_bpe(_docs(spark), 40)  # word table tiny -> local path
+    assert got == want
+    assert len(got) > 10  # the corpus genuinely supports many merges
+
+
+def test_distributed_trainer_matches_local(spark):
+    local = train_bpe(_docs(spark), 25)
+    dist = train_bpe(_docs(spark), 25, small_vocab_words=0)
+    assert dist == local
+
+
+def test_min_pair_count_stops_early(spark):
+    merges = train_bpe(_docs(spark), 500, min_pair_count=3)
+    ref = _reference_bpe(_word_counts(), 500, min_pair_count=3)
+    assert merges == ref
+    assert len(merges) < 500
+
+
+def test_batched_rounds_are_symbol_disjoint_and_close_to_exact(spark):
+    exact = train_bpe(_docs(spark), 24)
+    batched = train_bpe(_docs(spark), 24, merges_per_round=4,
+                        small_vocab_words=0)
+    # contract: same length cap, every batch symbol-disjoint by
+    # construction; quality: large overlap with the exact merge SET
+    # (order may differ — documented approximation)
+    assert len(batched) <= 24
+    overlap = len(set(batched) & set(exact)) / len(set(batched))
+    assert overlap >= 0.7, (exact, batched)
+
+
+def test_apply_bpe_reconstructs_and_compresses(spark):
+    d = _docs(spark)
+    merges = train_bpe(d, 40)
+    enc = apply_bpe(d, merges).collect()
+    texts = {i: t for i, t in enumerate(CORPUS)}
+    vocab = {a + b for a, b in merges}
+    for r in enc:
+        words = texts[r.doc_id].split()
+        # concatenating tokens reproduces the concatenated words
+        assert "".join(r.bpe_tokens) == "".join(words)
+        assert r.n_bpe == len(r.bpe_tokens)
+        # every multi-char token is a learned merge product
+        for t in r.bpe_tokens:
+            assert len(t) == 1 or t in vocab
+        # compression: fewer tokens than characters
+        assert r.n_bpe < sum(len(w) for w in words)
+
+
+def test_apply_bpe_priority_semantics_pinned():
+    # hand-computed: merges [(a,b), (ab,c)] on 'abcabc' ->
+    # ab c ab c -> abc abc (rank order, all occurrences per rank)
+    from dask_histogram_spark.operators.bpe import _merge_seq
+
+    syms = list("abcabc")
+    syms = _merge_seq(syms, "a", "b", "ab")
+    assert syms == ["ab", "c", "ab", "c"]
+    syms = _merge_seq(syms, "ab", "c", "abc")
+    assert syms == ["abc", "abc"]
+    # overlap: 'aaa' under (a,a) merges left-to-right non-overlapping
+    assert _merge_seq(list("aaa"), "a", "a", "aa") == ["aa", "a"]
+
+
+def test_train_bpe_empty_and_edge_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert train_bpe(empty, 5) == []
+    blank = spark.createDataFrame([(0, "   "), (1, None), (2, "x")],
+                                  "doc_id long, text string")
+    assert train_bpe(blank, 5) == []  # no pair reaches min count
+    enc = apply_bpe(blank, [("a", "b")]).orderBy("doc_id").collect()
+    assert [r.bpe_tokens for r in enc] == [[], [], ["x"]]
+
+
+def test_train_bpe_unicode_astral_parity(spark):
+    # astral-plane chars must segment identically on both paths
+    corpus = ["\U0001F600x \U0001F600x \U0001F600y \U0001F600y"] * 2
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                              "doc_id long, text string")
+    local = train_bpe(d, 3)
+    dist = train_bpe(d, 3, small_vocab_words=0)
+    assert local == dist
+    assert local  # the emoji-prefix pair merges
+
+def test_train_bpe_validates_args(spark):
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe(d, 0)
+    with pytest.raises(ValueError, match="merges_per_round"):
+        train_bpe(d, 5, merges_per_round=0)
+
+
+def test_apply_bpe_lowercase_matches_lowercased_training(spark):
+    d = spark.createDataFrame([(0, "The THE the tHe")],
+                              "doc_id long, text string")
+    merges = train_bpe(d, 5, lowercase=True, min_pair_count=2)
+    enc = apply_bpe(d, merges, lowercase=True).collect()[0]
+    assert enc.bpe_tokens == ["the"] * 4
