@@ -21,8 +21,12 @@ Scale design — the part Spark buys:
   word table at or under ``small_vocab_words`` rows is collected once
   and trained with an incremental pair-index kernel on the driver
   (per-merge cost ~ words containing the pair, not the table) — zero
-  iterative Spark jobs, identical merges.  Above it, the distributed
-  loop runs: per round one pair-count aggregate over the checkpointed
+  iterative Spark jobs, identical merges.  The default threshold is
+  byte-sized like dedup_clusters' edge cap: 200k words cost ~100-200
+  MB of driver heap as Python char lists + pair index (dicts/sets of
+  int entries dominate at ~60-100 B each — far heavier per row than
+  the 16 B/edge numpy kernel), a broadcast-class transfer, not a
+  multi-GB one.  Above it, the distributed loop runs: per round one pair-count aggregate over the checkpointed
   word table + one Arrow re-segmentation kernel, lineage cut by an
   eager ``localCheckpoint`` per round (superseded rounds released).
 - ``merges_per_round > 1`` batches symbol-disjoint merges per
@@ -59,10 +63,22 @@ def word_freq_table(df: DataFrame, text_col: str = "text",
     aggregate on the word; all downstream iterations see only this.
     (Case is the caller's choice — unlike ``text._tokens`` this does
     NOT fold case unless asked; the :func:`apply_bpe` kernel
-    pre-tokenizes with the exact Python twin of this split.)"""
+    pre-tokenizes with the exact Python twin of this split.  The
+    lowercase=True twin of the gated ``pipeline.token_vocabulary``
+    counts is pinned by a differential test — change tokenization
+    semantics in BOTH or neither.)"""
     t = F.col(text_col)
     if lowercase:
-        t = F.lower(t)
+        # Python casing on BOTH sides: JVM lowercase and str.lower()
+        # disagree on locale/context-sensitive mappings (Turkish I,
+        # final sigma), and the encode kernel folds with str.lower —
+        # the trained symbols must match what encoding produces.  The
+        # default (no fold) path stays pure codegen.
+        @F.pandas_udf(T.StringType())
+        def _py_lower(s: pd.Series) -> pd.Series:
+            return s.str.lower()
+
+        t = _py_lower(t)
     w = F.explode(F.split(F.trim(t), r"\s+")).alias("word")
     return (df.select(w).where(F.length("word") > 0)
             .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
@@ -145,7 +161,7 @@ _SYMS_TYPE = T.ArrayType(T.StringType())
 def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
               lowercase: bool = False, min_pair_count: int = 2,
               merges_per_round: int = 1,
-              small_vocab_words: int = 2_000_000) -> list[tuple[str, str]]:
+              small_vocab_words: int = 200_000) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a corpus DataFrame; returns
     the ordered merge list (a driver-side object by design — it IS the
     model, vocab-sized, like ``fit_centroids``' centroid matrix).
@@ -198,9 +214,14 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
             .agg(F.sum("n").alias("cnt"))
         )
         want = min(merges_per_round, num_merges - len(merges))
+        # over-fetch: disjointness filtering happens below, and early
+        # rounds are conflict-heavy (top pairs share hot symbols) — a
+        # bare limit(want) would under-fill the batch and inflate the
+        # round count.  The fetch is still a tiny driver list.
+        fetch = want if want == 1 else min(8 * want, want + 256)
         top = (pair_counts.where(F.col("cnt") >= min_pair_count)
                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-               .limit(want).collect())
+               .limit(fetch).collect())
         if not top:
             break
         batch: list[tuple[str, str]] = []
@@ -211,6 +232,8 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
                 continue  # symbol-disjoint batching only
             batch.append((a, b))
             used.update((a, b, a + b))
+            if len(batch) == want:
+                break
         @F.pandas_udf(_SYMS_TYPE)
         def apply_batch(syms: pd.Series) -> pd.Series:
             out = []
@@ -223,9 +246,12 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
 
         # eager checkpoint truncates lineage each round; the superseded
         # round's blocks are released immediately (dedup_clusters
-        # protocol — a released checkpoint must never be scanned again)
-        nxt = words.select(apply_batch("syms").alias("syms"),
-                           "n").localCheckpoint()
+        # protocol — a released checkpoint must never be scanned again).
+        # Fully-merged single-symbol words can never pair again and are
+        # dropped, so the table SHRINKS as hot words finish merging
+        nxt = (words.select(apply_batch("syms").alias("syms"), "n")
+               .where(F.size("syms") > 1)
+               .localCheckpoint())
         _release_local_checkpoint(words)
         words = nxt
         merges.extend(batch)
@@ -234,8 +260,7 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
 
 
 def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
-              text_col: str = "text", id_col: str = "doc_id",
-              lowercase: bool = False,
+              text_col: str = "text", lowercase: bool = False,
               out_col: str = "bpe_tokens") -> DataFrame:
     """Encode texts with a learned merge list: each pre-tokenized word
     is re-segmented by repeatedly applying the PRESENT pair with the
