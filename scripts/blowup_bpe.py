@@ -13,6 +13,10 @@ occurrence morphological suffix multiplies distinct words by
 ``variants``) — no RNG state, no driver-side data.
 
 Usage: python scripts/blowup_bpe.py [n_docs ...]   (default 1M 10M)
+Env knobs: BPE_BASES (x8 suffixes = distinct words; 125000 -> a
+1M-word vocabulary), BPE_MERGES, BPE_BATCH (merges_per_round for the
+batched leg), BPE_SKIP_SERIAL=1 (skip the 1-merge-per-round
+distributed leg when rounds x job-floor would dominate the run).
 Write output to a /tmp log when running long points in the background.
 """
 
@@ -30,10 +34,12 @@ from dask_histogram_spark.operators import train_bpe, word_freq_table  # noqa: E
 from dask_histogram_spark.session import get_spark  # noqa: E402
 
 WORDS_PER_DOC = 16
-BASES = 5000
+BASES = int(os.environ.get("BPE_BASES", "5000"))
 VARIANTS = 8
 SUFFIXES = ["", "s", "ed", "ing", "er", "est", "ly", "ness"]
-NUM_MERGES = 64
+NUM_MERGES = int(os.environ.get("BPE_MERGES", "64"))
+MERGES_PER_ROUND = int(os.environ.get("BPE_BATCH", "16"))
+SKIP_SERIAL = os.environ.get("BPE_SKIP_SERIAL", "") == "1"
 
 
 def synth_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
@@ -46,13 +52,17 @@ def synth_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
         branch = (F.col("v") % VARIANTS == i, F.lit(s))
         suffix_case = (F.when(*branch) if suffix_case is None
                        else suffix_case.when(*branch))
-    word = F.concat(
-        # 3 base-26 letters from the base id (values < 5000 < 26^3)
-        F.char(F.lit(97) + (F.col("b") / 676).cast("int") % 26),
-        F.char(F.lit(97) + (F.col("b") / 26).cast("int") % 26),
-        F.char(F.lit(97) + F.col("b") % 26),
-        suffix_case,
-    )
+    # enough base-26 letters to spell any base id (3 at the default
+    # 5000 bases; 4 from 17577 up — BPE_BASES=125000 gives 1M words)
+    n_letters = 3
+    while 26 ** n_letters < BASES:
+        n_letters += 1
+    letters = [
+        F.char(F.lit(97)
+               + (F.col("b") / (26 ** (n_letters - 1 - j))).cast("int") % 26)
+        for j in range(n_letters)
+    ]
+    word = F.concat(*letters, suffix_case)
     return (
         d.select(
             "doc_id",
@@ -76,23 +86,26 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
     t_scan = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    local = train_bpe(df, NUM_MERGES)
+    local = train_bpe(df, NUM_MERGES, small_vocab_words=10**9)
     t_local = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    dist = train_bpe(df, NUM_MERGES, small_vocab_words=0)
-    t_dist = time.perf_counter() - t0
+    if SKIP_SERIAL:
+        t_dist, dist = float("nan"), local  # 1-merge rounds too slow
+    else:
+        t0 = time.perf_counter()
+        dist = train_bpe(df, NUM_MERGES, small_vocab_words=0)
+        t_dist = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     batched = train_bpe(df, NUM_MERGES, small_vocab_words=0,
-                        merges_per_round=16)
+                        merges_per_round=MERGES_PER_ROUND)
     t_batch = time.perf_counter() - t0
 
     agree = len(set(batched) & set(local)) / max(len(set(batched)), 1)
     print(
         f"n_docs={n_docs:>10,}  distinct_words={n_words:,}  "
         f"scan={t_scan:5.1f}s  local({NUM_MERGES}m)={t_local:5.1f}s  "
-        f"dist={t_dist:6.1f}s  batch16={t_batch:5.1f}s  "
+        f"dist={t_dist:6.1f}s  batch{MERGES_PER_ROUND}={t_batch:5.1f}s  "
         f"dist==local={dist == local}  batch_set_agree={agree:.2f}",
         flush=True,
     )

@@ -209,6 +209,53 @@ def test_train_bpe_validates_args(spark):
         train_bpe(d, 5, merges_per_round=0)
 
 
+def test_full_corpus_prep_chain_composes(spark):
+    """The composition story end-to-end on real testdata: per-source
+    quota cap -> dedup/quality prepare -> BPE train -> BPE encode ->
+    pack into fixed-token-budget sequences.  Every stage is the public
+    operator surface; asserts are structural (schemas compose, budgets
+    hold) — per-operator values are gated elsewhere."""
+    from dask_histogram_spark.operators import (
+        apply_bpe,
+        pack_sequences,
+        quota_sample,
+        train_bpe,
+    )
+    from dask_histogram_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from dask_histogram_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    capped = quota_sample(docs, 8, group_col="source", seed=13)
+    # prepare returns the kept ids + token accounting; texts ride back
+    # in on the id (the gate row does the same)
+    kept = capped.join(
+        prepare_training_corpus(capped, min_chars=40,
+                                min_tokens=5).select("doc_id"),
+        "doc_id",
+    )
+    merges = train_bpe(kept, 50)
+    assert len(merges) == 50
+    enc = apply_bpe(kept, merges)
+    packed = pack_sequences(enc, max_tokens=512, tokens_col="n_bpe")
+    rows = (packed.groupBy("seq_id")
+            .agg(F.sum("n_bpe").alias("tok"),
+                 F.count("*").alias("docs"))
+            .collect())
+    assert rows, "chain produced no sequences"
+    n_kept = kept.count()
+    total_docs = sum(r["docs"] for r in rows)
+    assert total_docs == n_kept
+    assert n_kept <= 8 * 20  # quota bound held (20 sources)
+    # seq assignment is by exclusive running sum, docs never split: a
+    # sequence may overshoot by at most its straddling doc's length
+    max_doc = enc.agg(F.max("n_bpe")).first()[0]
+    for r in rows:
+        assert r["tok"] < 512 + max_doc, r
+    assert len(rows) >= total_docs * 50 // 512  # budget actually fills
+
+
 def test_apply_bpe_lowercase_matches_lowercased_training(spark):
     d = spark.createDataFrame([(0, "The THE the tHe")],
                               "doc_id long, text string")
