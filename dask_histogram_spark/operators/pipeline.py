@@ -26,7 +26,7 @@ __all__ = ["prepare_training_corpus", "corpus_stats", "hash_sample",
            "hash_sample_sql", "hash_split", "hash_split_sql",
            "pack_sequences", "pack_sequences_sql", "token_vocabulary",
            "stratified_sample", "stratified_sample_sql",
-           "quota_sample", "quota_rank_sql",
+           "quota_sample", "quota_rank_sql", "mix_corpora", "mix_plan",
            "contamination_check", "contamination_near_dup"]
 
 
@@ -508,6 +508,108 @@ def quota_sample(df: DataFrame, max_per_group: int,
     return (kept.withColumn("__qrn", F.row_number().over(w))
             .where(F.col("__qrn") <= n)
             .select(*out_cols))
+
+
+def mix_plan(token_totals: dict[str, int], weights: dict[str, float],
+             total_tokens: int | None = None) -> dict[str, dict]:
+    """The arithmetic of a corpus mixture, separated out so it is
+    driver-side-testable and user-inspectable before any data moves:
+    given per-source available token totals and target mixture
+    weights, return per-source ``{rate, target_tokens}``.
+
+    ``total_tokens=None`` takes the LARGEST feasible budget without
+    upsampling: ``min_i(T_i / w_i)`` — the binding source is sampled
+    at rate 1.0 and everything else downsampled to proportion.  An
+    explicit budget above that raises (this engine does not duplicate
+    documents to fake mixture mass; see the epoch-weighting note in
+    the docstring of :func:`mix_corpora`).
+    """
+    if set(token_totals) != set(weights):
+        raise ValueError(
+            f"sources {sorted(token_totals)} != weights {sorted(weights)}")
+    if not token_totals:
+        raise ValueError("at least one source required")
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+        if token_totals[s] <= 0:
+            raise ValueError(f"source {s!r} has no tokens")
+    wsum = float(sum(weights.values()))
+    norm = {s: w / wsum for s, w in weights.items()}
+    feasible = min(token_totals[s] / norm[s] for s in norm)
+    if total_tokens is None:
+        total_tokens = feasible
+    elif total_tokens > feasible * (1 + 1e-9):
+        binding = min(norm, key=lambda s: token_totals[s] / norm[s])
+        raise ValueError(
+            f"total_tokens={total_tokens:,.0f} needs more than source "
+            f"{binding!r} holds ({token_totals[binding]:,} tokens for a "
+            f"{norm[binding]:.3f} share; max feasible total is "
+            f"{feasible:,.0f}). Lower the budget, the source's weight, "
+            "or repeat the source across epochs upstream."
+        )
+    return {
+        s: {
+            "rate": min(1.0, norm[s] * total_tokens / token_totals[s]),
+            "target_tokens": norm[s] * total_tokens,
+            "available_tokens": int(token_totals[s]),
+        }
+        for s in norm
+    }
+
+
+def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
+                tokens_col: str = "n_tokens", id_col: str = "doc_id",
+                seed: int = 0, total_tokens: int | None = None,
+                source_col: str = "mix_source") -> DataFrame:
+    """Deterministic weighted corpus mixture — the stage between
+    per-source curation and packing: union the sources with each
+    downsampled so token mass lands at the target ``weights``
+    proportions (e.g. ``{"web": 0.6, "code": 0.3, "books": 0.1}``).
+
+    Mechanics: one tiny aggregate per source reads its total tokens
+    (map-side partial sum — the only eager work), :func:`mix_plan`
+    turns (totals, weights, budget) into per-source Bernoulli rates,
+    and each source keeps rows via the same pure (id, seed) golden-
+    ratio hash as :func:`hash_sample` — zero shuffle, the mixture is
+    reproducible across reruns/partitionings/engines and each source's
+    kept set is independent of the others.  Hitting the target is in
+    EXPECTATION over documents (docs are atomic): relative error
+    concentrates like 1/sqrt(docs kept per source), negligible at
+    corpus scale and measured in tests.
+
+    No upsampling: a budget that needs a source repeated raises (see
+    :func:`mix_plan`).  Epoch-weighting a small high-quality source is
+    an upstream concern (union N copies with distinct epoch ids —
+    deterministic and visible — rather than this operator silently
+    duplicating documents).
+
+    All sources must share ``id_col`` + ``tokens_col``; output columns
+    are the COMMON columns across sources (in the first source's
+    order) plus ``source_col`` tagging provenance.
+    """
+    if not sources:
+        raise ValueError("at least one source required")
+    first = next(iter(sources.values()))
+    common = [c for c in first.columns
+              if all(c in df.columns for df in sources.values())]
+    if id_col not in common or tokens_col not in common:
+        raise ValueError(
+            f"all sources must share {id_col!r} and {tokens_col!r}; "
+            f"common columns: {common}")
+    totals = {
+        name: (df.agg(F.sum(F.col(tokens_col)).alias("t")).first()["t"] or 0)
+        for name, df in sources.items()
+    }
+    plan = mix_plan(totals, weights, total_tokens)
+    mixed = None
+    for name, df in sources.items():
+        part = (hash_sample(df, plan[name]["rate"], id_col=id_col,
+                            seed=seed)
+                .select(*common)
+                .withColumn(source_col, F.lit(name)))
+        mixed = part if mixed is None else mixed.unionByName(part)
+    return mixed
 
 
 def quota_rank_sql(group_col: str, id_col: str = "doc_id",

@@ -1,0 +1,89 @@
+"""mix_corpora / mix_plan — deterministic weighted corpus mixture."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_histogram_spark.operators import hash_sample, mix_corpora, mix_plan
+
+
+def _src(spark, name, n_docs, tokens_each, start=0):
+    return spark.createDataFrame(
+        [(start + i, name, tokens_each) for i in range(n_docs)],
+        "doc_id long, origin string, n_tokens long")
+
+
+def test_mix_plan_arithmetic():
+    plan = mix_plan({"web": 6_000, "code": 3_000, "books": 3_000},
+                    {"web": 0.6, "code": 0.3, "books": 0.1})
+    # binding source: web (6000/0.6 = 10000 <= code 10000, books 30000)
+    assert plan["web"]["rate"] == 1.0
+    assert plan["code"]["rate"] == pytest.approx(1.0)
+    assert plan["books"]["rate"] == pytest.approx(1000 / 3000)
+    assert plan["web"]["target_tokens"] == pytest.approx(6000)
+    # explicit smaller budget scales every rate down proportionally
+    half = mix_plan({"web": 6_000, "code": 3_000, "books": 3_000},
+                    {"web": 0.6, "code": 0.3, "books": 0.1},
+                    total_tokens=5_000)
+    assert half["web"]["rate"] == pytest.approx(0.5)
+    assert half["books"]["rate"] == pytest.approx(500 / 3000)
+
+
+def test_mix_plan_rejects_infeasible_and_bad_args():
+    with pytest.raises(ValueError, match="max feasible"):
+        mix_plan({"a": 100, "b": 100}, {"a": 0.5, "b": 0.5},
+                 total_tokens=1_000)
+    with pytest.raises(ValueError, match="sources"):
+        mix_plan({"a": 100}, {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="weight"):
+        mix_plan({"a": 100}, {"a": 0.0})
+    with pytest.raises(ValueError, match="no tokens"):
+        mix_plan({"a": 0}, {"a": 1.0})
+
+
+def test_mix_corpora_hits_proportions_and_is_deterministic(spark):
+    srcs = {
+        "web": _src(spark, "web", 4000, 10),            # 40k tokens
+        "code": _src(spark, "code", 1000, 20, 10_000),  # 20k tokens
+        "books": _src(spark, "books", 500, 30, 20_000), # 15k tokens
+    }
+    w = {"web": 0.5, "code": 0.3, "books": 0.2}
+    mixed = mix_corpora(srcs, w, seed=7)
+    got = {r["mix_source"]: r["tok"] for r in
+           mixed.groupBy("mix_source").agg(F.sum("n_tokens").alias("tok"))
+           .collect()}
+    total = sum(got.values())
+    # binding source: code (20k/0.3 ~ 66.7k) -> total ~ 66.7k capped
+    # by availability; proportions within doc-sampling noise
+    for s, target in w.items():
+        assert got[s] / total == pytest.approx(target, rel=0.12), (s, got)
+    assert got["code"] == 20_000  # rate-1.0 source kept wholesale
+    # determinism incl. under repartition
+    again = mix_corpora(
+        {k: v.repartition(7) for k, v in srcs.items()}, w, seed=7)
+    assert sorted(r.doc_id for r in mixed.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+
+def test_mix_corpora_equals_per_source_hash_sample(spark):
+    srcs = {"a": _src(spark, "a", 1000, 10),
+            "b": _src(spark, "b", 1000, 10, 5_000)}
+    mixed = mix_corpora(srcs, {"a": 0.25, "b": 0.75}, seed=3)
+    plan = mix_plan({"a": 10_000, "b": 10_000}, {"a": 0.25, "b": 0.75})
+    for name in srcs:
+        want = sorted(r.doc_id for r in
+                      hash_sample(srcs[name], plan[name]["rate"],
+                                  seed=3).collect())
+        got = sorted(r.doc_id for r in
+                     mixed.where(F.col("mix_source") == name).collect())
+        assert got == want, name
+
+
+def test_mix_corpora_common_columns_and_missing_required(spark):
+    a = _src(spark, "a", 10, 5)
+    b = _src(spark, "b", 10, 5, 100).withColumn("extra", F.lit(1))
+    mixed = mix_corpora({"a": a, "b": b}, {"a": 0.5, "b": 0.5})
+    assert mixed.columns == ["doc_id", "origin", "n_tokens", "mix_source"]
+    with pytest.raises(ValueError, match="must share"):
+        mix_corpora({"a": a.drop("n_tokens"), "b": b.drop("n_tokens")},
+                    {"a": 0.5, "b": 0.5})
