@@ -149,29 +149,47 @@ WHERE n_chars >= {min_chars} AND digit_ratio <= {max_digit_ratio}
 # equidistributes CONSECUTIVE ids across [0, 1), which an affine
 # (a*x+b) mod p scheme does not (for small ids the product never wraps
 # p, leaving the "hash" linear and every id in the first split).
+#
+# TWO rounds, not one: a single multiplicative round is AFFINE in the
+# id, so an XOR seed merely translates the output lattice — measured
+# over consecutive ids, two equal-rate samples at seeds 7 and 11
+# overlapped 0% (expected 6.25%) and a 10% sample could nest exactly
+# inside a 40% one.  The second xor-shift + multiply round breaks the
+# affine structure: measured cross-seed overlaps land at 0.0618-0.0643
+# for p=0.25 over all seed pairs tried (BASELINE "Round-7 sampler
+# seed-independence fix").  Same family as the round-6 MinHash
+# permutation catch: validate seeded hashes by DISTRIBUTION, not just
+# determinism.
 _SPLIT_M = 1 << 31
 _SPLIT_A = 1327217885  # odd, (M-1)*A < 2^63: no long overflow
+_SPLIT_A2 = 2654435761  # round 2: odd, (M-1)*A2 < 2^63 still
 
 
 def _gold_hash(id_col: str, seed: int = 0) -> "F.Column":
-    """The shared golden-ratio hash Column, an integer in [0, 2^31):
-    ``((x ^ (x >> 31)) mod M) * A mod M`` with ``x = id XOR seed``.
-    Pure 64-bit integer arithmetic — bit-identical in Spark, DuckDB
-    (the ``*_sql`` twins) and numpy, so every sampler built on it is
+    """The shared seeded hash Column, an integer in [0, 2^31): two
+    xor-shift + golden-multiply rounds over ``x = id XOR seed`` (see
+    the constants comment for why one round is not enough).  Pure
+    64-bit integer arithmetic — bit-identical in Spark, DuckDB (the
+    ``*_sql`` twins) and numpy, so every sampler built on it is
     oracle-checkable and rerun/partitioning/cluster-size stable."""
     x = F.col(id_col).cast("long").bitwiseXOR(F.lit(int(seed)))
     folded = F.pmod(x.bitwiseXOR(F.shiftright(x, 31)), F.lit(_SPLIT_M))
-    return F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
+    h1 = F.pmod(folded * F.lit(_SPLIT_A), F.lit(_SPLIT_M))
+    mixed = h1.bitwiseXOR(F.shiftright(h1, 15))  # < 2^31, no reduce
+    return F.pmod(mixed * F.lit(_SPLIT_A2), F.lit(_SPLIT_M))
 
 
 def _gold_hash_sql(id_col: str, seed: int = 0) -> str:
-    """DuckDB twin of :func:`_gold_hash` (both ``%`` reductions wrapped
+    """DuckDB twin of :func:`_gold_hash` (every ``%`` reduction wrapped
     non-negative where the Spark side uses pmod, so negative ids hash
     identically) — the single source for every ``*_sql`` builder."""
     x = f"xor({id_col}, {int(seed)})"
     inner = (f"(((xor({x}, {x} >> 31) % {_SPLIT_M}) "
              f"+ {_SPLIT_M}) % {_SPLIT_M})")
-    return f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    h1 = f"((({inner} * {_SPLIT_A}) % {_SPLIT_M} + {_SPLIT_M}) % {_SPLIT_M})"
+    mixed = f"xor({h1}, {h1} >> 15)"
+    return (f"((({mixed} * {_SPLIT_A2}) % {_SPLIT_M} "
+            f"+ {_SPLIT_M}) % {_SPLIT_M})")
 
 
 def hash_split(df: DataFrame, ratios: dict[str, float],
@@ -231,9 +249,12 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
     (the SQL twin) select the IDENTICAL subset.  Narrow map, zero
     shuffle.
 
-    Same golden-ratio multiplicative hash as :func:`hash_split`;
-    ``seed`` xors into the folded id so different seeds give
-    (near-)independent samples of the same corpus.
+    Same two-round seeded hash as :func:`hash_split`; different seeds
+    give (near-)independent samples of the same corpus — a property
+    the second hash round EARNS rather than assumes (one round is
+    affine in the id, making equal-rate samples at different seeds
+    disjoint translates; see the ``_SPLIT_A2`` comment), and which
+    ``test_hash_sample_seed_independence`` measures.
 
     Examples
     --------
@@ -243,7 +264,7 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
     >>> df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
     >>> ids = sorted(r.doc_id for r in hash_sample(df, 0.3, seed=7).collect())
     >>> ids
-    [2, 5, 7, 8, 10, 13, 16]
+    [1, 7, 8, 10, 12, 17]
     >>> sorted(r.doc_id for r in
     ...        hash_sample(df.repartition(5), 0.3, seed=7).collect()) == ids
     True
@@ -534,6 +555,9 @@ def mix_plan(token_totals: dict[str, int], weights: dict[str, float],
             raise ValueError(f"weight for {s!r} must be > 0, got {w}")
         if token_totals[s] <= 0:
             raise ValueError(f"source {s!r} has no tokens")
+    if total_tokens is not None and total_tokens <= 0:
+        raise ValueError(
+            f"total_tokens must be > 0, got {total_tokens}")
     wsum = float(sum(weights.values()))
     norm = {s: w / wsum for s, w in weights.items()}
     feasible = min(token_totals[s] / norm[s] for s in norm)
@@ -548,9 +572,15 @@ def mix_plan(token_totals: dict[str, int], weights: dict[str, float],
             f"{feasible:,.0f}). Lower the budget, the source's weight, "
             "or repeat the source across epochs upstream."
         )
+    def rate(s: str) -> float:
+        r = norm[s] * total_tokens / token_totals[s]
+        # the binding source's rate is 1.0 by construction; snap the
+        # float-division epsilon so "kept wholesale" is branchable
+        return 1.0 if r >= 1.0 - 1e-9 else r
+
     return {
         s: {
-            "rate": min(1.0, norm[s] * total_tokens / token_totals[s]),
+            "rate": rate(s),
             "target_tokens": norm[s] * total_tokens,
             "available_tokens": int(token_totals[s]),
         }
@@ -571,9 +601,13 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
     (map-side partial sum — the only eager work), :func:`mix_plan`
     turns (totals, weights, budget) into per-source Bernoulli rates,
     and each source keeps rows via the same pure (id, seed) golden-
-    ratio hash as :func:`hash_sample` — zero shuffle, the mixture is
-    reproducible across reruns/partitionings/engines and each source's
-    kept set is independent of the others.  Hitting the target is in
+    ratio hash as :func:`hash_sample`, seeded per source
+    (``seed XOR blake2b(source name)`` — overlapping id spaces across
+    independently-curated corpora would otherwise make one source's
+    kept ids a strict subset of any higher-rate source's).  Zero
+    shuffle; the mixture is reproducible across reruns/partitionings/
+    engines and each source's kept set is (near-)independent of the
+    others.  Hitting the target is in
     EXPECTATION over documents (docs are atomic): relative error
     concentrates like 1/sqrt(docs kept per source), negligible at
     corpus scale and measured in tests.
@@ -590,6 +624,11 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
     """
     if not sources:
         raise ValueError("at least one source required")
+    if set(sources) != set(weights):
+        # checked here too (mix_plan re-checks) so a typo'd weight key
+        # fails BEFORE the per-source token scans, not after
+        raise ValueError(
+            f"sources {sorted(sources)} != weights {sorted(weights)}")
     first = next(iter(sources.values()))
     common = [c for c in first.columns
               if all(c in df.columns for df in sources.values())]
@@ -597,6 +636,11 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
         raise ValueError(
             f"all sources must share {id_col!r} and {tokens_col!r}; "
             f"common columns: {common}")
+    if source_col in common:
+        raise ValueError(
+            f"sources already carry a {source_col!r} column (re-mixing "
+            "a mixture?) — pass a distinct source_col instead of "
+            "silently overwriting provenance")
     totals = {
         name: (df.agg(F.sum(F.col(tokens_col)).alias("t")).first()["t"] or 0)
         for name, df in sources.items()
@@ -605,11 +649,23 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
     mixed = None
     for name, df in sources.items():
         part = (hash_sample(df, plan[name]["rate"], id_col=id_col,
-                            seed=seed)
+                            seed=_mix_seed(seed, name))
                 .select(*common)
                 .withColumn(source_col, F.lit(name)))
         mixed = part if mixed is None else mixed.unionByName(part)
     return mixed
+
+
+def _mix_seed(seed: int, source_name: str) -> int:
+    """Per-source sampling seed: the base seed folded with a stable
+    hash of the source NAME, so sources with overlapping id spaces
+    draw (near-)independent samples — a shared seed would make one
+    source's kept ids a strict subset of any higher-rate source's."""
+    import hashlib
+
+    h = hashlib.blake2b(source_name.encode("utf-8"),
+                        digest_size=8).digest()
+    return int(seed) ^ (int.from_bytes(h, "big", signed=False) >> 1)
 
 
 def quota_rank_sql(group_col: str, id_col: str = "doc_id",

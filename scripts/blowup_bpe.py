@@ -90,7 +90,7 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
     t_local = time.perf_counter() - t0
 
     if SKIP_SERIAL:
-        t_dist, dist = float("nan"), local  # 1-merge rounds too slow
+        t_dist, dist = float("nan"), None  # 1-merge rounds too slow
     else:
         t0 = time.perf_counter()
         dist = train_bpe(df, NUM_MERGES, small_vocab_words=0)
@@ -102,11 +102,12 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
     t_batch = time.perf_counter() - t0
 
     agree = len(set(batched) & set(local)) / max(len(set(batched)), 1)
+    eq = "skipped" if dist is None else str(dist == local)
     print(
         f"n_docs={n_docs:>10,}  distinct_words={n_words:,}  "
         f"scan={t_scan:5.1f}s  local({NUM_MERGES}m)={t_local:5.1f}s  "
         f"dist={t_dist:6.1f}s  batch{MERGES_PER_ROUND}={t_batch:5.1f}s  "
-        f"dist==local={dist == local}  batch_set_agree={agree:.2f}",
+        f"dist==local={eq}  batch_set_agree={agree:.2f}",
         flush=True,
     )
 

@@ -66,6 +66,8 @@ def test_mix_corpora_hits_proportions_and_is_deterministic(spark):
 
 
 def test_mix_corpora_equals_per_source_hash_sample(spark):
+    from dask_histogram_spark.operators.pipeline import _mix_seed
+
     srcs = {"a": _src(spark, "a", 1000, 10),
             "b": _src(spark, "b", 1000, 10, 5_000)}
     mixed = mix_corpora(srcs, {"a": 0.25, "b": 0.75}, seed=3)
@@ -73,10 +75,48 @@ def test_mix_corpora_equals_per_source_hash_sample(spark):
     for name in srcs:
         want = sorted(r.doc_id for r in
                       hash_sample(srcs[name], plan[name]["rate"],
-                                  seed=3).collect())
+                                  seed=_mix_seed(3, name)).collect())
         got = sorted(r.doc_id for r in
                      mixed.where(F.col("mix_source") == name).collect())
         assert got == want, name
+
+
+def test_mix_corpora_overlapping_ids_not_nested(spark):
+    # independently-curated corpora share id space 0..N; with a shared
+    # seed the lower-rate source's kept ids would be a strict SUBSET
+    # of the higher-rate source's — per-source seeding breaks that
+    srcs = {"big": _src(spark, "big", 2000, 10),
+            "small": _src(spark, "small", 2000, 10)}  # same ids 0..1999
+    # explicit budget keeps BOTH rates fractional (0.4 / 0.1) — at the
+    # default budget the binding source keeps everything and nesting
+    # would be trivially true regardless of seeding
+    mixed = mix_corpora(srcs, {"big": 0.8, "small": 0.2}, seed=5,
+                        total_tokens=10_000)
+    kept = {
+        name: {r.doc_id for r in
+               mixed.where(F.col("mix_source") == name).collect()}
+        for name in srcs
+    }
+    assert not kept["small"] <= kept["big"], "kept sets are nested"
+
+
+def test_mix_plan_snaps_binding_rate_and_rejects_nonpositive_budget():
+    # float-division epsilon must not leave the binding source at
+    # 0.999...; and a non-positive budget is a loud error
+    plan = mix_plan({"a": 7_565_091, "b": 2_808_328},
+                    {"a": 0.6, "b": 0.3})
+    assert max(p["rate"] for p in plan.values()) == 1.0
+    with pytest.raises(ValueError, match="total_tokens"):
+        mix_plan({"a": 100}, {"a": 1.0}, total_tokens=0)
+
+
+def test_mix_corpora_refuses_source_col_collision(spark):
+    a = _src(spark, "a", 10, 5).withColumn("mix_source", F.lit("old"))
+    b = _src(spark, "b", 10, 5, 100).withColumn("mix_source", F.lit("old"))
+    with pytest.raises(ValueError, match="source_col"):
+        mix_corpora({"a": a, "b": b}, {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="sources"):
+        mix_corpora({"a": a}, {"typo": 1.0})
 
 
 def test_mix_corpora_common_columns_and_missing_required(spark):

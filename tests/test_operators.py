@@ -1012,22 +1012,31 @@ def test_registry_paths_leave_no_cached_blocks(spark):
     # tests are reclaimed when their Python handles are gc'd, and a
     # reclaim landing mid-test would make `base` stale
     gc.collect()
+    def settle_to(limit, timeout=10.0):
+        # async ContextCleaner/unpersist: poll until the block count
+        # drains to the limit.  A REAL leak never drains, so the
+        # assert still fails — this only absorbs reclaim timing (the
+        # two-sample stability probe raced under host contention)
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if sc.getPersistentRDDs().size() <= limit:
+                return
+            time.sleep(0.25)
+
+    settle_to(0, timeout=5.0)
     base = sc.getPersistentRDDs().size()
-    for _ in range(20):
-        time.sleep(0.25)
-        cur = sc.getPersistentRDDs().size()
-        if cur == base:
-            break
-        base = cur
     QUERIES["minhash_lsh_stats"](spark, SF_DIR).collect()
-    assert sc.getPersistentRDDs().size() == base
+    settle_to(base)
+    assert sc.getPersistentRDDs().size() <= base
     clusters = QUERIES["dedup_pipeline"](spark, SF_DIR)
     clusters.collect()
+    settle_to(base + 1)
     assert sc.getPersistentRDDs().size() <= base + 1
     # the one surviving block is the result's own final-labels
     # checkpoint; its release handle drains it back to base
     release_clusters_checkpoint(clusters)
-    assert sc.getPersistentRDDs().size() == base
+    settle_to(base)
+    assert sc.getPersistentRDDs().size() <= base
 
 
 def test_sig_agreement_gate_keeps_all_verified_winners(spark, tables):
@@ -1154,6 +1163,25 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     assert 0.2 < len(s1) / 4000 < 0.3
     other = {r.doc_id for r in hash_sample(df, 0.25, seed=8).collect()}
     assert other != s1  # seeds decorrelate
+
+
+def test_hash_sample_seed_independence(spark):
+    """Distribution check, not just determinism (the round-6 MinHash
+    lesson): equal-rate samples at different seeds must intersect like
+    independent draws (p^2), not like the disjoint/nested translates
+    the single-round affine hash produced (seeds 7 vs 11 overlapped
+    exactly 0% before the second hash round)."""
+    from dask_histogram_spark.operators import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(20000)],
+                               "doc_id long")
+    sets = {s: {r.doc_id for r in hash_sample(df, 0.25, seed=s).collect()}
+            for s in (7, 11, 12345, 1 << 40)}
+    seeds = list(sets)
+    for i in range(len(seeds)):
+        for j in range(i + 1, len(seeds)):
+            ol = len(sets[seeds[i]] & sets[seeds[j]]) / 20000
+            assert 0.04 < ol < 0.09, (seeds[i], seeds[j], ol)
 
 
 def test_hash_sample_negative_ids_cross_engine(spark):

@@ -132,6 +132,8 @@ def test_quota_validate_catches_zero_survivor_group(spark):
 
     import numpy as np
 
+    from dask_histogram_spark.operators.pipeline import _SPLIT_A2
+
     rng = random.Random(1)
     ids = np.array(rng.sample(range(1 << 40), 1000), dtype=np.int64)
     m, a = _SPLIT_M, _SPLIT_A
@@ -140,7 +142,8 @@ def test_quota_validate_catches_zero_survivor_group(spark):
     def gold(seed):
         x = ids ^ np.int64(seed)
         folded = (x ^ (x >> 31)) % m
-        return (folded * a) % m
+        h1 = (folded * a) % m
+        return ((h1 ^ (h1 >> 15)) * np.int64(_SPLIT_A2)) % m
 
     seed = next(s for s in range(2000) if (gold(s) < thr).sum() == 0)
     df = spark.createDataFrame(
