@@ -201,10 +201,11 @@ def hash_split(df: DataFrame, ratios: dict[str, float],
     shuffle.
 
     ``ratios``: ordered {name: fraction} summing to ~1.0, e.g.
-    ``{"train": 0.9, "val": 0.05, "test": 0.05}``.  The hash is
-    golden-ratio multiplicative: fold the id's high bits in
-    (``x XOR (x >> 31)``), then ``(x * A) mod 2^31 / 2^31`` — plain
-    integer arithmetic reproducible in any SQL engine, so the
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}``.  The hash is the
+    shared TWO-round fold-and-multiply of :func:`_gold_hash` —
+    ``h1 = ((x ^ (x >> 31)) mod 2^31) * A mod 2^31`` then
+    ``h = ((h1 ^ (h1 >> 15)) * A2) mod 2^31``, ``frac = h / 2^31`` —
+    plain integer arithmetic reproducible in any SQL engine, so the
     assignment is oracle-checkable bit-for-bit.
     """
     total = sum(ratios.values())
@@ -636,11 +637,14 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
         raise ValueError(
             f"all sources must share {id_col!r} and {tokens_col!r}; "
             f"common columns: {common}")
-    if source_col in common:
+    if any(source_col in df.columns for df in sources.values()):
+        # ANY source, not just `common` — a prior mixture re-mixed
+        # with one fresh source would otherwise slip past the guard
+        # and still lose its provenance in the select/withColumn
         raise ValueError(
-            f"sources already carry a {source_col!r} column (re-mixing "
-            "a mixture?) — pass a distinct source_col instead of "
-            "silently overwriting provenance")
+            f"a source already carries a {source_col!r} column "
+            "(re-mixing a mixture?) — pass a distinct source_col "
+            "instead of silently overwriting provenance")
     totals = {
         name: (df.agg(F.sum(F.col(tokens_col)).alias("t")).first()["t"] or 0)
         for name, df in sources.items()
@@ -648,10 +652,13 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
     plan = mix_plan(totals, weights, total_tokens)
     mixed = None
     for name, df in sources.items():
-        part = (hash_sample(df, plan[name]["rate"], id_col=id_col,
-                            seed=_mix_seed(seed, name))
-                .select(*common)
-                .withColumn(source_col, F.lit(name)))
+        r = plan[name]["rate"]
+        # the binding source (rate snapped to exactly 1.0) is usually
+        # the LARGEST corpus — skip the per-row hash + always-true
+        # filter entirely rather than evaluating it 10^12 times
+        part = df if r >= 1.0 else hash_sample(
+            df, r, id_col=id_col, seed=_mix_seed(seed, name))
+        part = part.select(*common).withColumn(source_col, F.lit(name))
         mixed = part if mixed is None else mixed.unionByName(part)
     return mixed
 

@@ -1024,6 +1024,17 @@ def test_registry_paths_leave_no_cached_blocks(spark):
             time.sleep(0.25)
 
     settle_to(0, timeout=5.0)
+    # if stale blocks remain past the drain attempt, wait for the
+    # count to hold still over a full second before trusting it as
+    # `base` — a base captured MID-drain would let later drains mask
+    # a genuine leak under the <= asserts
+    prev = -1
+    for _ in range(40):
+        cur = sc.getPersistentRDDs().size()
+        if cur == 0 or cur == prev:
+            break
+        prev = cur
+        time.sleep(1.0)
     base = sc.getPersistentRDDs().size()
     QUERIES["minhash_lsh_stats"](spark, SF_DIR).collect()
     settle_to(base)
