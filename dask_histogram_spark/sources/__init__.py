@@ -1,3 +1,12 @@
-from .io import load_histogram, read_table, save_histogram, write_bucketed
+from .io import (
+    load_histogram,
+    read_shard_manifest,
+    read_table,
+    save_histogram,
+    write_bucketed,
+    write_training_shards,
+)
 
-__all__ = ["read_table", "save_histogram", "load_histogram", "write_bucketed"]
+__all__ = ["read_table", "save_histogram", "load_histogram",
+           "write_bucketed", "write_training_shards",
+           "read_shard_manifest"]

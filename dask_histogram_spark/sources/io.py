@@ -35,7 +35,8 @@ from ..spec import (
 )
 
 __all__ = ["read_table", "save_histogram", "load_histogram",
-           "write_bucketed"]
+           "write_bucketed", "write_training_shards",
+           "read_shard_manifest"]
 
 
 def read_table(spark: SparkSession, path: str, fmt: str | None = None,
@@ -152,3 +153,62 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols, n_buckets: int,
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          id_col: str = "doc_id",
+                          mode: str = "error") -> dict:
+    """The corpus SINK: write ``df`` as ``n_shards`` balanced parquet
+    shards plus a JSON manifest — the handoff format a training run's
+    data loader consumes (stable shard membership lets a loader
+    checkpoint/resume by shard, and lets distinct workers own distinct
+    shards with no coordination).
+
+    Shard assignment is ``pmod(xxhash64(id), n_shards)`` — a pure
+    function of the id, so a rewritten corpus puts every surviving doc
+    in the SAME shard (append-only consumers resync cheaply), and
+    balance follows from hash uniformity rather than input order.
+    The write repartitions ON the shard id (one exchange — this is
+    the one operator whose JOB is to move data) and writes
+    ``partitionBy`` shard directories so a loader can read one shard
+    as one parquet directory.
+
+    Returns (and persists as ``_manifest.json``) per-shard row counts
+    read back from the written files' parquet FOOTERS grouped on the
+    partition column — a metadata-only pass, no data pages re-read.
+    """
+    import pyspark.sql.functions as F
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        .cast("int"))
+    (sharded.repartition(n_shards, "shard")
+     .write.mode(mode).partitionBy("shard").parquet(path))
+    # counts from the written files' footers: one metadata-only scan,
+    # grouped on the partition column (no data pages read)
+    spark = df.sparkSession
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest = {
+        "n_shards": int(n_shards),
+        "id_col": id_col,
+        "assignment": "pmod(xxhash64(id), n_shards)",
+        "rows_per_shard": {str(k): counts.get(k, 0)
+                           for k in range(n_shards)},
+        "total_rows": int(sum(counts.values())),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_shard_manifest(path: str) -> dict:
+    """Load the ``_manifest.json`` written by
+    :func:`write_training_shards`."""
+    with open(os.path.join(path, "_manifest.json")) as f:
+        return json.load(f)

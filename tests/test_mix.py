@@ -119,6 +119,20 @@ def test_mix_corpora_refuses_source_col_collision(spark):
         mix_corpora({"a": a}, {"typo": 1.0})
 
 
+def test_mix_corpora_plan_has_no_shuffle(spark):
+    # the mixture is per-source narrow filters + union: after the
+    # eager token-total aggregates, the returned plan must carry NO
+    # hashpartitioning exchange (the 100 TB posture: mixing is free)
+    srcs = {"a": _src(spark, "a", 500, 10),
+            "b": _src(spark, "b", 500, 10, 5_000)}
+    mixed = mix_corpora(srcs, {"a": 0.5, "b": 0.5}, seed=3,
+                        total_tokens=4_000)
+    mixed.collect()
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
 def test_mix_corpora_common_columns_and_missing_required(spark):
     a = _src(spark, "a", 10, 5)
     b = _src(spark, "b", 10, 5, 100).withColumn("extra", F.lit(1))

@@ -133,3 +133,48 @@ def test_negative_nanos_floor_to_microsecond(spark, tmp_path):
     df = read_table(spark, path)
     got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
     assert got == sorted([-2, 1, -1, -1])
+
+
+def test_write_training_shards_balanced_stable_manifest(spark, tmp_path):
+    """The corpus sink: shards are hash-balanced, membership is a pure
+    function of the id (a rewritten corpus keeps every doc in the same
+    shard), each shard reads as one directory, and the manifest's
+    counts reconcile."""
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.sources import (
+        read_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+    path = str(tmp_path / "shards")
+    man = write_training_shards(df, path, n_shards=8)
+    assert man["total_rows"] == 10_000
+    counts = [man["rows_per_shard"][str(i)] for i in range(8)]
+    assert sum(counts) == 10_000
+    assert min(counts) > 10_000 / 8 * 0.8  # hash balance
+    assert read_shard_manifest(path) == man
+    # one shard reads as one directory; ids in it satisfy the
+    # documented assignment
+    shard0 = spark.read.parquet(path + "/shard=0")
+    ids = [r.doc_id for r in shard0.collect()]
+    assign = {r.doc_id: r.s for r in df.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").alias("s"))
+        .collect()}
+    assert ids and all(assign[i] == 0 for i in ids)
+    # stability: a filtered rewrite keeps survivors in the SAME shard
+    path2 = str(tmp_path / "shards2")
+    man2 = write_training_shards(df.where(F.col("doc_id") % 3 == 0),
+                                 path2, n_shards=8)
+    surv0 = {r.doc_id for r in
+             spark.read.parquet(path2 + "/shard=0").collect()}
+    assert surv0 == {i for i in ids if i % 3 == 0}
+    assert man2["total_rows"] == 3334
+    # mode='error' refuses to clobber
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        write_training_shards(df, path, n_shards=8)
