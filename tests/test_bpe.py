@@ -254,6 +254,14 @@ def test_full_corpus_prep_chain_composes(spark):
     for r in rows:
         assert r["tok"] < 512 + max_doc, r
     assert len(rows) >= total_docs * 50 // 512  # budget actually fills
+    # ... and out the sink: shard counts reconcile with the chain
+    import tempfile
+
+    from dask_histogram_spark.sources import write_training_shards
+
+    man = write_training_shards(
+        packed, tempfile.mkdtemp() + "/chain_shards", n_shards=4)
+    assert man["total_rows"] == n_kept
 
 
 def test_apply_bpe_lowercase_matches_lowercased_training(spark):
