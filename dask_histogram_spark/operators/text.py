@@ -365,11 +365,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     """
     toks = _tokens(F.col(text_col))
 
-    def dup_ratio(k: int) -> Column:
-        grams = F.transform(
+    def grams_of(k: int) -> Column:
+        return F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
+
+    def dup_ratio(k: int) -> Column:
+        grams = grams_of(k)
         return F.round(
             F.lit(1.0)
             - F.size(F.array_distinct(grams))
@@ -377,10 +380,40 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             6,
         )
 
+    # Gopher-style top-n-gram concentration: occurrences of the single
+    # most frequent 2-gram over total 2-grams (boilerplate/template
+    # pages score high even when their dup ratio is modest).  Max
+    # multiplicity = longest equal-run of the SORTED gram array —
+    # O(d log d) doc-local work in the same narrow map (the obvious
+    # distinct x filter form is O(d*u) per doc and measurably dies on
+    # long documents; values identical).  prev seeds NULL, not '':
+    # a doc whose first sorted gram is empty must start run=1
+    g2 = grams_of(2)
+    run = F.aggregate(
+        F.array_sort(g2),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top2 = F.round(run / F.size(g2).cast("double"), 6)
+
     return df.select(
         F.col(id_col),
         dup_ratio(2).alias("dup_2gram_ratio"),
         dup_ratio(n).alias(f"dup_{n}gram_ratio"),
+        top2.alias("top_2gram_ratio"),
     )
 
 

@@ -972,18 +972,29 @@ _QUALITY_GATES_SQL = """(
 _REPETITION_SQL = r"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
            FROM documents)
-SELECT doc_id,
+SELECT g.doc_id,
   ROUND(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
     AS dup_2gram_ratio,
   ROUND(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
-    AS dup_3gram_ratio
+    AS dup_3gram_ratio,
+  ROUND(top.topc / CAST(len(g2) AS DOUBLE), 6) AS top_2gram_ratio
 FROM (
   SELECT doc_id,
     [array_to_string(toks[i:i+1], ' ')
      FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS g2,
     [array_to_string(toks[i:i+2], ' ')
      FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS g3
-  FROM t)
+  FROM t) g
+JOIN (
+  -- max 2-gram multiplicity relationally (unnest + group), not via
+  -- O(d*u) list lambdas
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, gram, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS gram
+      FROM t)
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id) top USING (doc_id)
 """
 
 from .operators.text import normalize_text_sql as _norm_sql  # noqa: E402
@@ -994,7 +1005,7 @@ _register(
     _q_quality,
     f"""
 SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality_score, q.keep,
-       r.dup_2gram_ratio, r.dup_3gram_ratio,
+       r.dup_2gram_ratio, r.dup_3gram_ratio, r.top_2gram_ratio,
        n.n_norm_chars, n.norm_text, n.redacted_text, n.changed
 FROM (
   SELECT doc_id, n_chars, n_tokens,

@@ -711,11 +711,16 @@ def test_repetition_stats_known_values(spark):
          (2, "x y z w")],          # all 2-grams distinct
         "doc_id LONG, text STRING",
     )
-    got = {r.doc_id: (r.dup_2gram_ratio, r.dup_3gram_ratio)
+    got = {r.doc_id: (r.dup_2gram_ratio, r.dup_3gram_ratio,
+                      r.top_2gram_ratio)
            for r in repetition_stats(df).collect()}
     assert got[1][0] == pytest.approx(1 - 2 / 5)
     assert got[2][0] == 0.0
     assert got[2][1] == 0.0
+    # top-2-gram concentration: 'a b' occurs 3x of 5 grams; all
+    # distinct in doc 2 -> 1/3
+    assert got[1][2] == pytest.approx(3 / 5)
+    assert got[2][2] == pytest.approx(round(1 / 3, 6))
 
 
 def test_minhash_max_bucket_cap(spark):
