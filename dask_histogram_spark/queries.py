@@ -972,29 +972,30 @@ _QUALITY_GATES_SQL = """(
 _REPETITION_SQL = r"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
            FROM documents)
+-- grams built ONCE in the CTE; numerator and denominator of
+-- top_2gram_ratio must share the same g2 expression
+, g AS (
+  SELECT doc_id,
+    [array_to_string(toks[i:i+1], ' ')
+     FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS g2,
+    [array_to_string(toks[i:i+2], ' ')
+     FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS g3
+  FROM t)
+, top AS (
+  -- max 2-gram multiplicity relationally (unnest + group), not via
+  -- O(d*u) list lambdas
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, gram, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(g2) AS gram FROM g)
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id)
 SELECT g.doc_id,
   ROUND(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
     AS dup_2gram_ratio,
   ROUND(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
     AS dup_3gram_ratio,
   ROUND(top.topc / CAST(len(g2) AS DOUBLE), 6) AS top_2gram_ratio
-FROM (
-  SELECT doc_id,
-    [array_to_string(toks[i:i+1], ' ')
-     FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS g2,
-    [array_to_string(toks[i:i+2], ' ')
-     FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS g3
-  FROM t) g
-JOIN (
-  -- max 2-gram multiplicity relationally (unnest + group), not via
-  -- O(d*u) list lambdas
-  SELECT doc_id, MAX(c) AS topc FROM (
-    SELECT doc_id, gram, COUNT(*) AS c FROM (
-      SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
-        FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS gram
-      FROM t)
-    GROUP BY doc_id, gram)
-  GROUP BY doc_id) top USING (doc_id)
+FROM g JOIN top USING (doc_id)
 """
 
 from .operators.text import normalize_text_sql as _norm_sql  # noqa: E402

@@ -181,17 +181,33 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already carries a 'shard' column — rename it; the "
+            "sink writes its assignment there and would silently "
+            "overwrite the data")
+    if mode == "append" and os.path.exists(
+            os.path.join(path, "_manifest.json")):
+        prior = read_shard_manifest(path)
+        if prior.get("n_shards") != int(n_shards):
+            raise ValueError(
+                f"appending with n_shards={n_shards} to a corpus "
+                f"sharded {prior.get('n_shards')} ways would break "
+                "the stable-membership contract (different pmod "
+                "modulus) and orphan existing shard directories")
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         .cast("int"))
     (sharded.repartition(n_shards, "shard")
      .write.mode(mode).partitionBy("shard").parquet(path))
     # counts from the written files' footers: one metadata-only scan,
-    # grouped on the partition column (no data pages read)
+    # grouped on the partition column (no data pages read).  The
+    # explicit schema keeps the read alive for a fully-filtered
+    # (0-row) corpus, where inference finds no parquet file to probe
     spark = df.sparkSession
     counts = {
         int(r["shard"]): int(r["n"])
-        for r in spark.read.parquet(path)
+        for r in spark.read.schema(sharded.schema).parquet(path)
         .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     manifest = {

@@ -209,7 +209,7 @@ def test_train_bpe_validates_args(spark):
         train_bpe(d, 5, merges_per_round=0)
 
 
-def test_full_corpus_prep_chain_composes(spark):
+def test_full_corpus_prep_chain_composes(spark, tmp_path):
     """The composition story end-to-end on real testdata: per-source
     quota cap -> dedup/quality prepare -> BPE train -> BPE encode ->
     pack into fixed-token-budget sequences.  Every stage is the public
@@ -255,12 +255,10 @@ def test_full_corpus_prep_chain_composes(spark):
         assert r["tok"] < 512 + max_doc, r
     assert len(rows) >= total_docs * 50 // 512  # budget actually fills
     # ... and out the sink: shard counts reconcile with the chain
-    import tempfile
-
     from dask_histogram_spark.sources import write_training_shards
 
     man = write_training_shards(
-        packed, tempfile.mkdtemp() + "/chain_shards", n_shards=4)
+        packed, str(tmp_path / "chain_shards"), n_shards=4)
     assert man["total_rows"] == n_kept
 
 

@@ -178,3 +178,16 @@ def test_write_training_shards_balanced_stable_manifest(spark, tmp_path):
 
     with _pytest.raises(Exception):
         write_training_shards(df, path, n_shards=8)
+    # append with a DIFFERENT modulus would orphan directories and
+    # break stable membership — loud error
+    with _pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(df, path, n_shards=4, mode="append")
+    # a pre-existing 'shard' column must not be silently overwritten
+    with _pytest.raises(ValueError, match="shard"):
+        write_training_shards(df.withColumn("shard", F.lit(99)),
+                              str(tmp_path / "x"), n_shards=2)
+    # a fully-filtered corpus still writes a coherent zero manifest
+    empty = write_training_shards(df.where(F.col("doc_id") < 0),
+                                  str(tmp_path / "empty"), n_shards=3)
+    assert empty["total_rows"] == 0
+    assert list(empty["rows_per_shard"].values()) == [0, 0, 0]
