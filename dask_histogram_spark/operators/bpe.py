@@ -53,7 +53,8 @@ from pyspark.sql import types as T
 from .dedup import _release_local_checkpoint
 from .pipeline import _WS_ASCII
 
-__all__ = ["word_freq_table", "train_bpe", "apply_bpe"]
+__all__ = ["word_freq_table", "train_bpe", "apply_bpe",
+           "save_bpe", "load_bpe"]
 
 
 def word_freq_table(df: DataFrame, text_col: str = "text",
@@ -308,3 +309,25 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
     t = F.col(text_col)
     return (df.withColumn(out_col, encode(t))
             .withColumn("n_bpe", F.size(out_col).cast("int")))
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as JSON — the model artifact a
+    separate encode job (or a restarted stream) loads.  Order IS the
+    model; the file keeps it."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"format": "bpe-merges-v1",
+                   "merges": [list(p) for p in merges]}, f)
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    """Load a merge list written by :func:`save_bpe`."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("format") != "bpe-merges-v1":
+        raise ValueError(f"not a bpe-merges-v1 file: {path}")
+    return [tuple(p) for p in d["merges"]]

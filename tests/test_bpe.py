@@ -201,6 +201,41 @@ def test_batched_round_fills_want_despite_conflicts(spark):
     assert set(batched) == set(exact)
 
 
+def test_save_load_bpe_roundtrip(spark, tmp_path):
+    from dask_histogram_spark.operators import load_bpe, save_bpe
+
+    merges = train_bpe(_docs(spark), 20)
+    p = str(tmp_path / "model.json")
+    save_bpe(merges, p)
+    back = load_bpe(p)
+    assert back == merges
+    a = apply_bpe(_docs(spark), merges).select("bpe_tokens").collect()
+    b = apply_bpe(_docs(spark), back).select("bpe_tokens").collect()
+    assert [r.bpe_tokens for r in a] == [r.bpe_tokens for r in b]
+    with pytest.raises(ValueError, match="bpe-merges-v1"):
+        (tmp_path / "bad.json").write_text("{}")
+        load_bpe(str(tmp_path / "bad.json"))
+
+
+def test_apply_bpe_runs_on_streams(spark, tmp_path):
+    # encode is a narrow Arrow map: it must run unchanged on a
+    # streaming DataFrame, token-for-token equal to the batch result
+    merges = train_bpe(_docs(spark), 20)
+    src = str(tmp_path / "src")
+    _docs(spark).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    out: list = []
+    q = (apply_bpe(stream, merges).writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: out.extend(b.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.bpe_tokens for r in out}
+    want = {r.doc_id: r.bpe_tokens
+            for r in apply_bpe(_docs(spark), merges).collect()}
+    assert got == want
+
+
 def test_train_bpe_validates_args(spark):
     d = _docs(spark)
     with pytest.raises(ValueError, match="num_merges"):

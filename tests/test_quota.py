@@ -152,6 +152,16 @@ def test_quota_validate_catches_zero_survivor_group(spark):
         quota_sample(df, 1, group_col="src", seed=seed, margin=0)
 
 
+def test_quota_no_broadcast_optout_identical(spark):
+    # broadcast_counts=False (huge group cardinality) must select the
+    # identical rows through the shuffled join path
+    df = _skewed_df(spark)
+    a = _ids(quota_sample(df, 10, group_col="src", seed=3))
+    b = _ids(quota_sample(df, 10, group_col="src", seed=3,
+                          broadcast_counts=False))
+    assert a == b
+
+
 def test_quota_null_ids_dropped_consistently(spark):
     rows = ([(i, "g") for i in range(30)]
             + [(None, "g"), (None, "h"), (40, "h")])
