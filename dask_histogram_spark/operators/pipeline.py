@@ -443,16 +443,21 @@ def quota_sample(df: DataFrame, max_per_group: int,
 
     1. per-group counts (map-side partial agg -> one tiny row per
        group) are broadcast back onto the rows;
-    2. ONE narrow filter keeps small groups (``count <= N``) wholesale
-       and prefilters oversized groups to the rows whose hash falls
-       under a per-group integer threshold ``ceil(k*M/count)`` sized to
-       leave ``k = N + margin`` expected survivors (margin defaults to
+    2. small groups (``count <= N``) pass wholesale and BYPASS the
+       window entirely (in fat-tail layouts they dominate the kept
+       set — they must not ride the exchange); oversized groups are
+       prefiltered to the rows whose hash falls under a per-group
+       integer threshold ``ceil(k*M/count)`` sized to leave
+       ``k = N + margin`` expected survivors (margin defaults to
        ``8*sqrt(N)+32`` — an >8-sigma Chernoff cushion, so the chance
        any group undershoots N true survivors is ~1e-15 per group);
     3. the row_number window runs on that bounded survivor set only —
-       the sole data exchange carries ~``groups x (N+margin)`` rows no
-       matter how skewed the input is, and per-group sort cost is
-       O(margin log margin), not O(group size).
+       the sole data exchange carries ~``oversized groups x
+       (N+margin)`` rows no matter how skewed the input is, and
+       per-group sort cost is O(margin log margin), not O(group
+       size).  The union costs a second (pushdown-pruned) narrow
+       scan of the counts join — cheap against shuffling the kept
+       corpus.
 
     The result is still EXACT top-N-by-hash: the prefilter can only
     cut rows ranked below the threshold count.  ``validate=True``
@@ -497,21 +502,28 @@ def quota_sample(df: DataFrame, max_per_group: int,
     joined = df.join(
         cside, F.col(group_col).eqNullSafe(F.col("__qgrp")),
     ).drop("__qgrp")
+    # small groups (count <= N) pass wholesale and NEVER reach the
+    # window exchange — in fat-tail layouts (most groups under cap)
+    # the kept set is dominated by exactly these rows, and routing
+    # them around the window is the difference between shuffling the
+    # whole kept corpus and shuffling only ~oversized x (N+margin)
+    # survivors (measured at 100M rows, BASELINE "quota blowup").
+    # The second narrow scan this union costs is pushdown-pruned.
+    small = joined.where(F.col("__qcnt") <= n)
     kept = (
-        joined
+        joined.where(F.col("__qcnt") > n)
         .withColumn("__qh", _gold_hash(id_col, seed))
         # integer ceil(k*M/count): k*M < 2^45 so the div is exact long
-        # arithmetic; unused (OR short-circuits) for small groups
+        # arithmetic
         .withColumn("__qthr", F.expr(
             f"({k * _SPLIT_M} + __qcnt - 1) div __qcnt"))
-        .where((F.col("__qcnt") <= n) | (F.col("__qh") < F.col("__qthr")))
+        .where(F.col("__qh") < F.col("__qthr"))
     )
     if validate:
         # LEFT join from the oversized-group list so a group whose
         # prefilter kept ZERO survivors (absent from `kept` entirely)
         # still surfaces as an undershoot instead of silently vanishing
-        surv = (kept.where(F.col("__qcnt") > n)
-                .groupBy(group_col)
+        surv = (kept.groupBy(group_col)
                 .agg(F.count(F.lit(1)).alias("__qsurv")))
         bad = (counts.where(F.col("__qcnt") > n)
                .join(surv,
@@ -527,9 +539,10 @@ def quota_sample(df: DataFrame, max_per_group: int,
                 f"kept {bad[0]['__qsurv']} < {n} survivors. Re-run with a "
                 f"larger margin (got {margin}) or method='window'."
             )
-    return (kept.withColumn("__qrn", F.row_number().over(w))
-            .where(F.col("__qrn") <= n)
-            .select(*out_cols))
+    ranked = (kept.withColumn("__qrn", F.row_number().over(w))
+              .where(F.col("__qrn") <= n)
+              .select(*out_cols))
+    return small.select(*out_cols).unionByName(ranked)
 
 
 def mix_plan(token_totals: dict[str, int], weights: dict[str, float],

@@ -2186,6 +2186,12 @@ _SPLIT_RATIOS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 _STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
 
+# mix leg of the corpus_split_sample row: exact binary-fraction
+# weights (wsum == 1.0 exactly) so Python and SQL double arithmetic
+# produce bit-identical per-source rates
+_MIX_SOURCES = ("web", "code", "books")
+_MIX_WEIGHTS = {"web": 0.5, "code": 0.25, "books": 0.25}
+
 
 def _q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hash_split + hash_sample + stratified_sample + quota_sample
@@ -2227,13 +2233,28 @@ def _q_corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = quota_sample(grouped, 10, group_col="qgrp", seed=13,
                          validate=False).select(
         "doc_id", F.lit(1).alias("in_quota"))
+    # mix_corpora leg: doc_id % 3 carves three pseudo-sources; n_chars
+    # stands in for the token budget.  Weights are exact binary
+    # fractions so the Python rate arithmetic (mix_plan) and the
+    # oracle's SQL doubles agree bit-for-bit
+    from .operators import mix_corpora
+
+    srcs = {
+        name: d.where(F.pmod(F.col("doc_id"), F.lit(3)) == k)
+        for k, name in enumerate(_MIX_SOURCES)
+    }
+    mixed = mix_corpora(srcs, _MIX_WEIGHTS, tokens_col="n_chars",
+                        seed=17).select(
+        "doc_id", F.lit(1).alias("in_mix"))
     return (
         split.join(samp, "doc_id", "left")
         .join(strat, "doc_id", "left")
         .join(quota, "doc_id", "left")
+        .join(mixed, "doc_id", "left")
         .withColumn("in_sample", F.coalesce(F.col("in_sample"), F.lit(0)))
         .withColumn("in_strat", F.coalesce(F.col("in_strat"), F.lit(0)))
         .withColumn("in_quota", F.coalesce(F.col("in_quota"), F.lit(0)))
+        .withColumn("in_mix", F.coalesce(F.col("in_mix"), F.lit(0)))
     )
 
 
@@ -2262,19 +2283,52 @@ _QUOTA_GRP_SQL = (
     "CASE WHEN doc_id % 97 = 0 THEN '__rare' ELSE source END"
 )
 
+from .operators.pipeline import _SPLIT_M as _GOLD_M  # noqa: E402
+from .operators.pipeline import _gold_hash_sql as _ghash_sql  # noqa: E402
+from .operators.pipeline import _mix_seed as _mseed  # noqa: E402
+
+
+def _mix_flag_sql() -> str:
+    """The in_mix CASE for the corpus_split_sample oracle: the
+    per-source frac (same derived seeds as mix_corpora) compared to
+    the rate the `rates` CTE computes with mix_plan's exact float
+    order of operations."""
+    def frac(name: str) -> str:
+        h = _ghash_sql("doc_id", _mseed(17, name))
+        return f"(CAST({h} AS DOUBLE) / {float(_GOLD_M)!r})"
+
+    w, c, b = (frac(s) for s in _MIX_SOURCES)
+    pick = (f"CASE mix_s WHEN 'web' THEN {w} WHEN 'code' THEN {c} "
+            f"ELSE {b} END")
+    return f"CAST(CASE WHEN {pick} < r.rate THEN 1 ELSE 0 END AS INT)"
+
+
 _register(
     "corpus_split_sample",
     _q_corpus_split_sample,
+    "WITH base AS ("
+    f"  SELECT doc_id, n_chars, {_lang_case_sql()} AS grp, "
+    f"  {_quota_sql(_QUOTA_GRP_SQL, 'doc_id', seed=13)} AS qrank, "
+    "  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN "
+    "  'code' ELSE 'books' END AS mix_s "
+    "  FROM documents), "
+    "tot AS (SELECT mix_s, CAST(SUM(n_chars) AS DOUBLE) AS T "
+    "        FROM base GROUP BY mix_s), "
+    "wts(mix_s, w) AS (VALUES "
+    + ", ".join(f"('{s}', {float(_MIX_WEIGHTS[s])!r})"
+                for s in _MIX_SOURCES) + "), "
+    "feas AS (SELECT MIN(T / w) AS total FROM tot JOIN wts USING (mix_s)), "
+    "rates AS (SELECT mix_s, CASE WHEN w * f.total / T >= "
+    f"{1.0 - 1e-9!r} THEN 1.0 ELSE w * f.total / T END AS rate "
+    "          FROM tot JOIN wts USING (mix_s), feas f) "
     f"SELECT doc_id, {_split_sql(_SPLIT_RATIOS)}, "
     f"CAST(CASE WHEN {_sample_sql(0.25, seed=7)} THEN 1 ELSE 0 END AS INT) "
     "AS in_sample, "
     f"CAST(CASE WHEN {_strat_sql(_STRAT_RATES, 'grp', seed=11, default_rate=0.1)} "
     "THEN 1 ELSE 0 END AS INT) AS in_strat, "
     "CAST(CASE WHEN qrank <= 10 THEN 1 ELSE 0 END AS INT) AS in_quota, "
-    "n_chars FROM "
-    f"(SELECT doc_id, n_chars, {_lang_case_sql()} AS grp, "
-    f"{_quota_sql(_QUOTA_GRP_SQL, 'doc_id', seed=13)} AS qrank "
-    "FROM documents)",
+    f"{_mix_flag_sql()} AS in_mix, "
+    "n_chars FROM base JOIN rates r USING (mix_s)",
 )
 
 

@@ -189,9 +189,13 @@ def test_quota_plan_windows_only_the_survivor_set(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
     n_hash_ex = sum(
-        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        1 for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "ReusedExchange" not in l
     )
     assert n_hash_ex == 2, plan  # tiny counts agg + bounded window only
+    # the small-group branch reaches the Union with NO exchange: both
+    # counts-join branches reuse ONE counts shuffle
+    assert "ReusedExchange" in plan
     assert " div " in plan  # threshold prefilter reached the plan
     # rank-limit pushdown: Spark caps each input partition at N rows
     # per group BEFORE the window exchange on top of our prefilter
