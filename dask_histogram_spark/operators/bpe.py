@@ -314,20 +314,36 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
 def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
     """Persist a learned merge list as JSON — the model artifact a
     separate encode job (or a restarted stream) loads.  Order IS the
-    model; the file keeps it."""
+    model; the file keeps it.  Written tmp-then-rename so a crash
+    mid-write can neither truncate the artifact nor destroy a
+    previous good model at the same path."""
     import json
+    import os
 
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"format": "bpe-merges-v1",
                    "merges": [list(p) for p in merges]}, f)
+    os.replace(tmp, path)
 
 
 def load_bpe(path: str) -> list[tuple[str, str]]:
-    """Load a merge list written by :func:`save_bpe`."""
+    """Load a merge list written by :func:`save_bpe` — payload
+    validated, not just the format tag (a malformed entry would
+    otherwise load silently and never match during encode)."""
     import json
 
     with open(path) as f:
         d = json.load(f)
     if d.get("format") != "bpe-merges-v1":
         raise ValueError(f"not a bpe-merges-v1 file: {path}")
-    return [tuple(p) for p in d["merges"]]
+    merges = d.get("merges")
+    if not isinstance(merges, list) or any(
+        not (isinstance(p, list) and len(p) == 2
+             and all(isinstance(x, str) for x in p))
+        for p in merges
+    ):
+        raise ValueError(
+            f"corrupt bpe-merges-v1 payload in {path}: 'merges' must "
+            "be a list of [str, str] pairs")
+    return [tuple(p) for p in merges]

@@ -2288,6 +2288,19 @@ from .operators.pipeline import _gold_hash_sql as _ghash_sql  # noqa: E402
 from .operators.pipeline import _mix_seed as _mseed  # noqa: E402
 
 
+def _mix_carve_sql() -> str:
+    """The doc_id -> pseudo-source CASE, generated from _MIX_SOURCES
+    (single source of truth with the Spark side's enumerate) and
+    wrapped non-negative like every other % twin so negative ids
+    carve identically to pmod."""
+    whens = " ".join(
+        f"WHEN {k} THEN '{s}'"
+        for k, s in enumerate(_MIX_SOURCES[:-1])
+    )
+    return (f"CASE CAST((doc_id % 3 + 3) % 3 AS INT) {whens} "
+            f"ELSE '{_MIX_SOURCES[-1]}' END")
+
+
 def _mix_flag_sql() -> str:
     """The in_mix CASE for the corpus_split_sample oracle: the
     per-source frac (same derived seeds as mix_corpora) compared to
@@ -2297,9 +2310,10 @@ def _mix_flag_sql() -> str:
         h = _ghash_sql("doc_id", _mseed(17, name))
         return f"(CAST({h} AS DOUBLE) / {float(_GOLD_M)!r})"
 
-    w, c, b = (frac(s) for s in _MIX_SOURCES)
-    pick = (f"CASE mix_s WHEN 'web' THEN {w} WHEN 'code' THEN {c} "
-            f"ELSE {b} END")
+    whens = " ".join(
+        f"WHEN '{s}' THEN {frac(s)}" for s in _MIX_SOURCES[:-1]
+    )
+    pick = f"CASE mix_s {whens} ELSE {frac(_MIX_SOURCES[-1])} END"
     return f"CAST(CASE WHEN {pick} < r.rate THEN 1 ELSE 0 END AS INT)"
 
 
@@ -2309,8 +2323,7 @@ _register(
     "WITH base AS ("
     f"  SELECT doc_id, n_chars, {_lang_case_sql()} AS grp, "
     f"  {_quota_sql(_QUOTA_GRP_SQL, 'doc_id', seed=13)} AS qrank, "
-    "  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN "
-    "  'code' ELSE 'books' END AS mix_s "
+    f"  {_mix_carve_sql()} AS mix_s "
     "  FROM documents), "
     "tot AS (SELECT mix_s, CAST(SUM(n_chars) AS DOUBLE) AS T "
     "        FROM base GROUP BY mix_s), "

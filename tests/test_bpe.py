@@ -215,6 +215,16 @@ def test_save_load_bpe_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="bpe-merges-v1"):
         (tmp_path / "bad.json").write_text("{}")
         load_bpe(str(tmp_path / "bad.json"))
+    # payload validation: missing/malformed merges raise loudly
+    # instead of silently degrading encode to character level
+    (tmp_path / "trunc.json").write_text('{"format": "bpe-merges-v1"}')
+    with pytest.raises(ValueError, match="merges"):
+        load_bpe(str(tmp_path / "trunc.json"))
+    (tmp_path / "mal.json").write_text(
+        '{"format": "bpe-merges-v1", "merges": [["a", "b", "c"]]}')
+    with pytest.raises(ValueError, match="pairs"):
+        load_bpe(str(tmp_path / "mal.json"))
+    assert not (tmp_path / "model.json.tmp").exists()  # atomic rename
 
 
 def test_apply_bpe_runs_on_streams(spark, tmp_path):
@@ -229,7 +239,12 @@ def test_apply_bpe_runs_on_streams(spark, tmp_path):
     q = (apply_bpe(stream, merges).writeStream.outputMode("append")
          .foreachBatch(lambda b, _: out.extend(b.collect()))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    try:
+        # awaitTermination returns False on timeout (no raise) — a
+        # bare call would fall through to a confusing partial diff
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
     got = {r.doc_id: r.bpe_tokens for r in out}
     want = {r.doc_id: r.bpe_tokens
             for r in apply_bpe(_docs(spark), merges).collect()}
