@@ -437,9 +437,13 @@ def quota_sample(df: DataFrame, max_per_group: int,
     DuckDB twin is ``QUALIFY`` on :func:`quota_rank_sql`.
 
     Scale plan (``method="auto"``): a naive
-    ``row_number() OVER (PARTITION BY group)`` shuffles the ENTIRE
-    input and sorts every mega-group in one task — the exact pattern
-    that dies on a head-heavy domain distribution at 100 TB.  Instead:
+    ``row_number() OVER (PARTITION BY group)`` is partially rescued on
+    Spark 3.5+ by WindowGroupLimit (map-side trim to N+1 rows per
+    group per input partition), but its exchange bound is still
+    ``N x input_partitions`` rows per group — at 100 TB cluster widths
+    (10^5 partitions) that is 10^8 shuffled rows per mega-domain, and
+    the bound LOOSENS as the cluster grows.  This plan's bound is
+    partition-count-independent:
 
     1. per-group counts (map-side partial agg -> one tiny row per
        group) are broadcast back onto the rows;
