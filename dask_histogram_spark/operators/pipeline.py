@@ -488,6 +488,13 @@ def quota_sample(df: DataFrame, max_per_group: int,
         raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
     if method not in ("auto", "window"):
         raise ValueError(f"method must be 'auto' or 'window', got {method!r}")
+    clash = [c for c in ("__qh", "__qcnt", "__qrn", "__qthr", "__qgrp")
+             if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input carries quota_sample's internal column(s) {clash} — "
+            "rename them (the plan would silently overwrite or "
+            "ambiguously reference them)")
     df = df.where(F.col(id_col).isNotNull())
     out_cols = df.columns
     w = (Window.partitionBy(group_col)
@@ -615,8 +622,10 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
     downsampled so token mass lands at the target ``weights``
     proportions (e.g. ``{"web": 0.6, "code": 0.3, "books": 0.1}``).
 
-    Mechanics: one tiny aggregate per source reads its total tokens
-    (map-side partial sum — the only eager work), :func:`mix_plan`
+    Mechanics: ONE union aggregate reads every source's total tokens
+    (map-side partial sums, all source scans in one job — the only
+    eager work; NULL-id rows are dropped uniformly first so their
+    mass can't skew rates), :func:`mix_plan`
     turns (totals, weights, budget) into per-source Bernoulli rates,
     and each source keeps rows via the same pure (id, seed) golden-
     ratio hash as :func:`hash_sample`, seeded per source
@@ -662,10 +671,25 @@ def mix_corpora(sources: dict[str, DataFrame], weights: dict[str, float],
             f"a source already carries a {source_col!r} column "
             "(re-mixing a mixture?) — pass a distinct source_col "
             "instead of silently overwriting provenance")
-    totals = {
-        name: (df.agg(F.sum(F.col(tokens_col)).alias("t")).first()["t"] or 0)
-        for name, df in sources.items()
+    # NULL-id rows drop UNIFORMLY up-front (the hash predicate would
+    # drop them from sampled sources anyway, but a rate-1.0 binding
+    # source would keep them and their mass would still skew every
+    # rate via the totals) — same rule as quota_sample
+    sources = {name: df.where(F.col(id_col).isNotNull())
+               for name, df in sources.items()}
+    # ONE aggregate job for all sources (a per-source .first() loop
+    # would serialize N full scans — the only eager step here)
+    tagged = None
+    for name, df in sources.items():
+        part = df.select(F.lit(name).alias("__src"),
+                         F.col(tokens_col).alias("__tok"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    collected = {
+        r["__src"]: int(r["t"] or 0)
+        for r in tagged.groupBy("__src")
+        .agg(F.sum("__tok").alias("t")).collect()
     }
+    totals = {name: collected.get(name, 0) for name in sources}
     plan = mix_plan(totals, weights, total_tokens)
     mixed = None
     for name, df in sources.items():

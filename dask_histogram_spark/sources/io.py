@@ -186,9 +186,17 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
             "input already carries a 'shard' column — rename it; the "
             "sink writes its assignment there and would silently "
             "overwrite the data")
-    if mode == "append" and os.path.exists(
-            os.path.join(path, "_manifest.json")):
-        prior = read_shard_manifest(path)
+    if mode == "append" and os.path.isdir(path):
+        # refuse to append without a readable manifest: a crash that
+        # lost it leaves the prior modulus unknowable, and appending
+        # with a different one silently breaks stable membership
+        try:
+            prior = read_shard_manifest(path)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{path} exists but has no _manifest.json — cannot "
+                "verify the prior n_shards; rebuild with "
+                "mode='overwrite'")
         if prior.get("n_shards") != int(n_shards):
             raise ValueError(
                 f"appending with n_shards={n_shards} to a corpus "
@@ -218,8 +226,12 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
                            for k in range(n_shards)},
         "total_rows": int(sum(counts.values())),
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
+    # tmp-then-rename: a crash mid-write must not leave a truncated
+    # manifest beside committed shard data (same rule as save_bpe)
+    mpath = os.path.join(path, "_manifest.json")
+    with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
     return manifest
 
 

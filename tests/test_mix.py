@@ -110,6 +110,25 @@ def test_mix_plan_snaps_binding_rate_and_rejects_nonpositive_budget():
         mix_plan({"a": 100}, {"a": 1.0}, total_tokens=0)
 
 
+def test_mix_corpora_drops_null_ids_uniformly(spark):
+    # NULL-id rows must vanish from BOTH the totals (no rate skew) and
+    # the output of every source — including a rate-1.0 binding source
+    # whose pass-through branch skips the hash predicate
+    rows_a = [(i, "a", 10) for i in range(100)] + [(None, "a", 1000)]
+    rows_b = [(1000 + i, "b", 10) for i in range(100)]
+    a = spark.createDataFrame(rows_a, "doc_id long, origin string, n_tokens long")
+    b = spark.createDataFrame(rows_b, "doc_id long, origin string, n_tokens long")
+    mixed = mix_corpora({"a": a, "b": b}, {"a": 0.5, "b": 0.5}, seed=3)
+    assert None not in {r.doc_id for r in mixed.collect()}
+    got = {r["mix_source"]: r["tok"] for r in
+           mixed.groupBy("mix_source").agg(F.sum("n_tokens").alias("tok"))
+           .collect()}
+    # equal non-null mass + equal weights: both sources bind at 1.0
+    # and keep all 100 non-null docs; the 1000-token NULL row did not
+    # inflate a's total (which would have downsampled b)
+    assert got == {"a": 1000, "b": 1000}
+
+
 def test_mix_corpora_refuses_source_col_collision(spark):
     a = _src(spark, "a", 10, 5).withColumn("mix_source", F.lit("old"))
     b = _src(spark, "b", 10, 5, 100).withColumn("mix_source", F.lit("old"))

@@ -152,6 +152,12 @@ def test_quota_validate_catches_zero_survivor_group(spark):
         quota_sample(df, 1, group_col="src", seed=seed, margin=0)
 
 
+def test_quota_rejects_internal_column_clash(spark):
+    df = _skewed_df(spark).withColumn("__qh", F.lit(1))
+    with pytest.raises(ValueError, match="__qh"):
+        quota_sample(df, 5, group_col="src")
+
+
 def test_quota_no_broadcast_optout_identical(spark):
     # broadcast_counts=False (huge group cardinality) must select the
     # identical rows through the shuffled join path

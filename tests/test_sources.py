@@ -191,3 +191,10 @@ def test_write_training_shards_balanced_stable_manifest(spark, tmp_path):
                                   str(tmp_path / "empty"), n_shards=3)
     assert empty["total_rows"] == 0
     assert list(empty["rows_per_shard"].values()) == [0, 0, 0]
+    # append onto a directory whose manifest was lost: refuse — the
+    # prior modulus is unknowable
+    import os as _os
+
+    _os.remove(path + "/_manifest.json")
+    with _pytest.raises(ValueError, match="_manifest"):
+        write_training_shards(df, path, n_shards=8, mode="append")
