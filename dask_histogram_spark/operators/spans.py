@@ -1,0 +1,441 @@
+"""Sub-document (span-level) exact dedup: find and REMOVE word-n-gram
+windows that repeat across the corpus.
+
+The dedup ladder so far stops at document granularity — ``dedup_exact``
+(whole-text hash), minhash/simhash/Jaccard (whole-doc similarity).
+Real training corpora also carry *intra-document* duplication: shared
+boilerplate (footers, license banners, templated headers) and long
+verbatim passages repeated across otherwise-distinct pages.  Removing
+those spans, not the documents, is its own pipeline stage
+(Lee et al., "Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499 — exact substring dedup; RefinedWeb / Dolma
+run the same idea at line/paragraph granularity).  This module is the
+window-granularity version of that operator, expressed Spark-first:
+
+* ``span_windows``      — (id, pos, hash) for every n-word window.
+* ``dup_span_stats``    — per-document duplicated-window profile.
+* ``remove_duplicate_spans`` — rebuild each document without the
+  duplicated spans (``policy='keep_first'`` keeps the globally first
+  occurrence of each window, Lee-et-al. style; ``policy='all'`` strips
+  every occurrence — boilerplate removal).
+
+Semantics (pinned, both engines): tokens are
+``split(trim(lower(text)), '\\s+')`` — the corpus-wide tokenization
+convention (trim strips SPACES only, ``\\s`` is ASCII; see
+``pipeline._word_gram_hash_batch``).  A document with m >= n tokens
+has windows at positions 0..m-n (width n); a shorter document has ONE
+degenerate window at position 0 of width m.  A window is *duplicated*
+when its token sequence occurs >= ``min_df`` times corpus-wide; the
+*first* occurrence of a window is the one with the smallest
+(id, pos).  A word is removed when any removable window covers it, so
+a repeated region longer than n disappears wholesale (its interior is
+covered by many windows) while the unique words beside it survive.
+Cleaned text is therefore normalized text (lowercase, single spaces)
+minus the covered words.
+
+Scale shape (the 100 TB plan):
+
+* The corpus-wide frequency pass shuffles ONLY 8-byte window hashes
+  into a count aggregate (partial map-side combine; text never moves).
+* ``remove_duplicate_spans(plan='broadcast')`` then re-scans the
+  corpus ONCE with the duplicated-window set broadcast — zero
+  exchanges end-to-end, so it composes with partition pruning and
+  runs at scan speed.  That is the boilerplate configuration: with a
+  high ``min_df`` (a span repeated across thousands of pages) the dup
+  set is small by definition.
+* ``plan='join'`` is the strict-dedup configuration (``min_df=2``
+  makes the dup set corpus-sized, far beyond any broadcast): removable
+  window *positions* (two ints per window) shuffle back to their
+  documents and the text meets them in one sort-merge join — the only
+  stage where document text crosses the wire.
+* ``plan='auto'`` counts the dup set (one bounded aggregate) and picks.
+
+Engine/oracle parity: duplication is decided on token *sequences*.
+The Arrow kernel compares rolling 64-bit combines of per-token hashes
+(collision odds ~|windows|^2/2^64), the Column twin xxhash64 of the
+joined gram string, and the DuckDB oracle the gram string itself —
+counts, first-occurrence ranks and removal sets are hash-function-
+agnostic, so all three agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .pipeline import _WS_ASCII
+
+__all__ = [
+    "span_windows",
+    "dup_span_stats",
+    "remove_duplicate_spans",
+]
+
+# same full-width odd multiplier as pipeline._word_gram_hash_batch: the
+# rolling combine is a degree-(n-1) polynomial in uint64, so window
+# identity == token-sequence identity up to ~2^-64 accidents
+_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+# plan='auto' broadcasts the dup-window set below this many grams
+# (3 numpy arrays x 8-16 B/gram -> low hundreds of MB at the cap)
+_MAX_BROADCAST_GRAMS = 2_000_000
+
+
+def _toks_col(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _tokenize(t: str | None) -> list[str] | None:
+    if t is None:
+        return None
+    return _WS_ASCII.split(t.lower().strip(" "))
+
+
+def _window_hashes(toks: list[str], n: int,
+                   tok_hash: np.ndarray) -> np.ndarray:
+    """Rolling-combine hashes for every window of one document.
+
+    ``tok_hash`` is the document's slice of the batch-level
+    ``pd.util.hash_array`` output.  m >= n tokens -> m-n+1 full-width
+    windows; fewer -> one degenerate window over all m tokens (the
+    same combine form, so it can only collide with a full-width gram
+    by hash accident — and the string twin cannot collide at all: a
+    join of n tokens contains n-1 spaces).
+    """
+    m = len(toks)
+    if m >= n:
+        acc = tok_hash[: m - n + 1].copy()
+        for j in range(1, n):
+            acc = acc * _MULT + tok_hash[j: m - n + 1 + j]
+        return acc
+    acc = tok_hash[:1].copy()
+    for j in range(1, m):
+        acc = acc * _MULT + tok_hash[j: j + 1]
+    return acc
+
+
+def _batch_window_hashes(texts: list,
+                         n: int) -> tuple[list, list, np.ndarray]:
+    """Tokenize + hash a batch in two bulk calls.
+
+    Returns (token_lists, per_doc_window_hash_arrays) with None for
+    NULL texts; ONE ``pd.util.hash_array`` call hashes every token in
+    the batch (categorize=True -> cost tracks vocabulary)."""
+    tok_lists = [_tokenize(t) for t in texts]
+    flat: list[str] = []
+    offs: list[tuple[int, int] | None] = []
+    for toks in tok_lists:
+        if toks is None:
+            offs.append(None)
+            continue
+        offs.append((len(flat), len(toks)))
+        flat.extend(toks)
+    th = (pd.util.hash_array(np.asarray(flat, dtype=object),
+                             categorize=True)
+          if flat else np.zeros(0, dtype=np.uint64))
+    hashes: list[np.ndarray | None] = []
+    for off in offs:
+        if off is None:
+            hashes.append(None)
+            continue
+        o, m = off
+        toks_m = tok_lists[len(hashes)]
+        hashes.append(_window_hashes(toks_m, n, th[o: o + m]))
+    return tok_lists, hashes, th
+
+
+def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 method: str = "auto") -> DataFrame:
+    """Explode every document into (id, pos, h): one row per n-word
+    window, ``h`` a 64-bit hash of the window's token sequence.
+
+    NULL texts contribute no rows (both methods).  The hash VALUES
+    differ between methods (rolling token-hash combine vs xxhash64 of
+    the gram string) — every consumer in this module is
+    hash-function-agnostic, so outputs do not.
+
+    ``method='arrow'`` (the ``'auto'`` default) is one mapInPandas
+    kernel computed in the scan stage — the text never shuffles;
+    ``'column'`` is the pure-JVM twin (sequence/slice/array_join
+    HOFs + xxhash64) the kernel is differentially tested against.
+    """
+    if method == "auto":
+        method = "arrow"
+    if method == "column":
+        toks = _toks_col(text_col)
+        nw = F.greatest(F.size(toks) - n + 1, F.lit(1))
+        # NULL text contributes no windows (the arrow kernel skips it;
+        # without the filter, sequence(0, greatest(null,1)-1) would
+        # still emit one row hashing a null gram)
+        df = df.where(F.col(text_col).isNotNull())
+        e = df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), nw - 1)).alias("pos"),
+        )
+        gram = F.array_join(F.slice(F.col("__toks"), F.col("pos") + 1, n),
+                            " ")
+        return e.select(F.col(id_col), F.col("pos").cast("int"),
+                        F.xxhash64(gram).alias("h"))
+    if method != "arrow":
+        raise ValueError(f"unknown span_windows method: {method!r}")
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("h", T.LongType()),
+    ])
+
+    def gen(batches):
+        for b in batches:
+            ids = b[id_col].to_numpy()
+            _, hashes, _ = _batch_window_hashes(b[text_col].tolist(), n)
+            out_i, out_p, out_h = [], [], []
+            for i, hs in enumerate(hashes):
+                if hs is None or len(hs) == 0:
+                    continue
+                out_i.append(np.full(len(hs), ids[i]))
+                out_p.append(np.arange(len(hs), dtype=np.int32))
+                out_h.append(hs.view(np.int64))
+            if out_i:
+                yield pd.DataFrame({
+                    id_col: np.concatenate(out_i),
+                    "pos": np.concatenate(out_p),
+                    "h": np.concatenate(out_h),
+                })
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def _dup_grams(windows: DataFrame, id_col: str, min_df: int) -> DataFrame:
+    """(h, df, first) for every window hash seen >= min_df times;
+    ``first`` is the globally smallest (id, pos) occurrence."""
+    return (
+        windows.groupBy("h")
+        .agg(F.count("*").alias("df"),
+             F.min(F.struct(F.col(id_col).alias("i"),
+                            F.col("pos").alias("p"))).alias("first"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def dup_span_stats(df: DataFrame, n: int = 6, min_df: int = 2,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   method: str = "auto") -> DataFrame:
+    """Per-document duplicated-window profile: (id, n_windows,
+    n_dup_windows, n_removable_windows, dup_fraction).
+
+    ``n_dup_windows`` counts windows whose sequence repeats >= min_df
+    times anywhere in the corpus; ``n_removable_windows`` excludes
+    each sequence's globally first occurrence (what
+    ``policy='keep_first'`` removal deletes).  Plan: one 8-byte-hash
+    count shuffle + a join of window rows against the (usually tiny —
+    AQE broadcasts it when so) dup set; document text never shuffles.
+    """
+    w = span_windows(df, n, text_col, id_col, method)
+    d = _dup_grams(w, id_col, min_df)
+    j = w.join(d, "h", "left")
+    not_first = (
+        F.col("df").isNotNull()
+        & ~((F.col("first.i") == F.col(id_col))
+            & (F.col("first.p") == F.col("pos")))
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("df").alias("n_dup_windows"),
+            F.sum(not_first.cast("long")).alias("n_removable_windows"),
+            F.round(F.count("df") / F.count("*"), 6).alias("dup_fraction"),
+        )
+    )
+
+
+def _rebuild_batch(toks_list: list, starts_list: list, n: int,
+                   texts_out: list, removed_out: list) -> None:
+    """Coverage + rebuild for one batch: a word is dropped when any
+    removable window start s covers it (s <= p <= s + w - 1, w the
+    document's window width).  Linear per document via a delta array."""
+    for toks, starts in zip(toks_list, starts_list):
+        if toks is None:
+            texts_out.append(None)
+            removed_out.append(None)
+            continue
+        m = len(toks)
+        if starts is None or len(starts) == 0:
+            texts_out.append(" ".join(toks))
+            removed_out.append(0)
+            continue
+        w = min(n, m)
+        s = np.asarray(starts, dtype=np.int64)
+        delta = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(delta, s, 1)
+        np.add.at(delta, np.minimum(s + w - 1, m - 1) + 1, -1)
+        cov = np.cumsum(delta[:m]) > 0
+        texts_out.append(" ".join(
+            t for t, c in zip(toks, cov) if not c))
+        removed_out.append(int(cov.sum()))
+
+
+def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
+                           policy: str = "keep_first",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           plan: str = "auto", method: str = "auto",
+                           max_broadcast_grams: int = _MAX_BROADCAST_GRAMS,
+                           ) -> DataFrame:
+    """Rebuild every document without its duplicated spans.
+
+    Output: the input columns plus ``clean_text`` (normalized text
+    minus covered words; '' when everything was duplicated) and
+    ``n_removed_words``.
+
+    ``policy='keep_first'`` (default) keeps each window sequence's
+    globally first (min (id, pos)) occurrence — corpus content is
+    deduplicated, not deleted (Lee et al. semantics at window
+    granularity).  ``policy='all'`` strips every occurrence —
+    boilerplate removal.
+
+    ``plan='broadcast'`` collects the dup-window set and re-scans the
+    corpus once (zero exchanges; the scale path whenever the set is
+    bounded, i.e. boilerplate-style ``min_df``); ``plan='join'``
+    shuffles removable window positions back to their documents and
+    sort-merge joins the text once (the strict ``min_df=2`` path);
+    ``plan='auto'`` counts the set and picks (<= max_broadcast_grams
+    -> broadcast).  ``method`` selects the join plan's rebuild:
+    ``'arrow'`` (auto; linear-per-doc kernel) or ``'column'`` (pure
+    JVM HOF twin — exact but O(words x dup_starts) per doc).
+    """
+    if policy not in ("keep_first", "all"):
+        raise ValueError(f"unknown policy: {policy!r}")
+    if method == "auto":
+        method = "arrow"
+    spark = df.sparkSession
+
+    if plan == "auto":
+        d_cnt = _dup_grams(
+            span_windows(df, n, text_col, id_col), id_col, min_df).count()
+        plan = "broadcast" if d_cnt <= max_broadcast_grams else "join"
+
+    if plan == "broadcast":
+        d = _dup_grams(
+            span_windows(df, n, text_col, id_col, "arrow"),
+            id_col, min_df)
+        tbl = d.select("h", "first.i", "first.p").toArrow()
+        hs = tbl.column("h").to_numpy(zero_copy_only=False)
+        if len(hs) > max_broadcast_grams:
+            raise ValueError(
+                f"dup-window set ({len(hs)} grams) exceeds "
+                f"max_broadcast_grams={max_broadcast_grams}; use "
+                "plan='join' (or raise the cap)")
+        order = np.argsort(hs, kind="stable")
+        hs = hs[order]
+        fi = tbl.column("i").to_numpy(zero_copy_only=False)[order]
+        fp = tbl.column("p").to_numpy(zero_copy_only=False)[order]
+        keep_first = policy == "keep_first"
+        bc = spark.sparkContext.broadcast((hs, fi, fp))
+
+        out_schema = T.StructType(
+            list(df.schema)
+            + [T.StructField("clean_text", T.StringType()),
+               T.StructField("n_removed_words", T.IntegerType())])
+
+        def scan(batches):
+            hs_g, fi_g, fp_g = bc.value
+            for b in batches:
+                toks_list, hashes, _ = _batch_window_hashes(
+                    b[text_col].tolist(), n)
+                ids = b[id_col].to_numpy()
+                starts_list = []
+                for i, wh in enumerate(hashes):
+                    if wh is None:
+                        starts_list.append(None)
+                        continue
+                    sh = wh.view(np.int64)
+                    idx = np.searchsorted(hs_g, sh)
+                    idx[idx == len(hs_g)] = 0
+                    hit = (hs_g[idx] == sh) if len(hs_g) else \
+                        np.zeros(len(sh), dtype=bool)
+                    if keep_first and hit.any():
+                        j = idx[hit]
+                        pos_hit = np.nonzero(hit)[0]
+                        own = (fi_g[j] == ids[i]) & (fp_g[j] == pos_hit)
+                        hit[pos_hit[own]] = False
+                    starts_list.append(np.nonzero(hit)[0])
+                texts_out: list = []
+                removed_out: list = []
+                _rebuild_batch(toks_list, starts_list, n,
+                               texts_out, removed_out)
+                out = b.copy()
+                out["clean_text"] = texts_out
+                out["n_removed_words"] = pd.array(
+                    removed_out, dtype="Int32")
+                yield out
+
+        return df.mapInPandas(scan, out_schema)
+
+    if plan != "join":
+        raise ValueError(f"unknown plan: {plan!r}")
+
+    w = span_windows(df, n, text_col, id_col)
+    d = _dup_grams(w, id_col, min_df)
+    rem = w.join(d, "h")
+    if policy == "keep_first":
+        rem = rem.filter(
+            ~((F.col("first.i") == F.col(id_col))
+              & (F.col("first.p") == F.col("pos"))))
+    starts = (rem.groupBy(id_col)
+              .agg(F.collect_list("pos").alias("__dup_starts")))
+    joined = df.join(starts, id_col, "left")
+
+    if method == "column":
+        toks = _toks_col(text_col)
+        m = F.size(toks)
+        wdt = F.least(F.lit(n), m)
+        ds = F.coalesce(F.col("__dup_starts"),
+                        F.array().cast("array<int>"))
+        idx = F.sequence(F.lit(0), m - 1)
+        covered = F.filter(
+            idx,
+            lambda p: F.exists(ds, lambda s: (p >= s)
+                               & (p <= s + wdt - 1)))
+        kept = F.filter(
+            idx,
+            lambda p: ~F.exists(ds, lambda s: (p >= s)
+                                & (p <= s + wdt - 1)))
+        nn = F.col(text_col).isNotNull()  # NULL text -> NULL outputs
+        return (
+            joined
+            .withColumn("clean_text", F.when(nn, F.array_join(
+                F.transform(kept,
+                            lambda p: F.element_at(toks, p + 1)), " ")))
+            .withColumn("n_removed_words",
+                        F.when(nn, F.size(covered)).cast("int"))
+            .drop("__dup_starts")
+        )
+    if method != "arrow":
+        raise ValueError(f"unknown rebuild method: {method!r}")
+
+    out_schema = T.StructType(
+        [f for f in joined.schema if f.name != "__dup_starts"]
+        + [T.StructField("clean_text", T.StringType()),
+           T.StructField("n_removed_words", T.IntegerType())])
+
+    def rebuild(batches):
+        for b in batches:
+            toks_list = [_tokenize(t) for t in b[text_col].tolist()]
+            starts_list = list(b["__dup_starts"])
+            texts_out: list = []
+            removed_out: list = []
+            _rebuild_batch(toks_list, starts_list, n,
+                           texts_out, removed_out)
+            out = b.drop(columns=["__dup_starts"])
+            out["clean_text"] = texts_out
+            out["n_removed_words"] = pd.array(removed_out, dtype="Int32")
+            yield out
+
+    return joined.mapInPandas(rebuild, out_schema)

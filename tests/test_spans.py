@@ -1,0 +1,206 @@
+"""Span-level (sub-document) dedup: operators/spans.py.
+
+Pinned against an in-test pure-Python reference implementation (the
+BPE-module precedent: an independent dict-based model of the pinned
+semantics), plus arrow==column and join==broadcast differentials.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_histogram_spark.operators import (
+    dup_span_stats,
+    remove_duplicate_spans,
+    span_windows,
+)
+
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _ref(docs: dict, n: int, min_df: int):
+    """Reference model of the pinned semantics: gram STRINGS, explicit
+    first-occurrence ranking, per-position coverage."""
+    toks = {i: _WS.split(t.lower().strip(" ")) for i, t in docs.items()
+            if t is not None}
+    wins = {}  # (id, pos) -> gram string
+    for i in sorted(toks):
+        ts = toks[i]
+        if len(ts) >= n:
+            for p in range(len(ts) - n + 1):
+                wins[(i, p)] = " ".join(ts[p: p + n])
+        else:
+            wins[(i, 0)] = " ".join(ts)
+    df = {}
+    first = {}
+    for (i, p), g in sorted(wins.items()):
+        df[g] = df.get(g, 0) + 1
+        first.setdefault(g, (i, p))
+    stats, clean = {}, {}
+    for i, ts in toks.items():
+        ws = [(p, g) for (j, p), g in wins.items() if j == i]
+        nw = len(ws)
+        nd = sum(1 for _, g in ws if df[g] >= min_df)
+        nr = sum(1 for p, g in ws
+                 if df[g] >= min_df and first[g] != (i, p))
+        stats[i] = (nw, nd, nr, round(nd / nw, 6))
+        for policy in ("keep_first", "all"):
+            w = min(n, len(ts))
+            cov = [False] * len(ts)
+            for p, g in ws:
+                if df[g] < min_df:
+                    continue
+                if policy == "keep_first" and first[g] == (i, p):
+                    continue
+                for q in range(p, min(p + w, len(ts))):
+                    cov[q] = True
+            clean[(i, policy)] = (
+                " ".join(t for t, c in zip(ts, cov) if not c),
+                sum(cov))
+    return stats, clean
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    boiler = "all rights reserved contact the site admin team today"
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta eta theta " + boiler,
+        1: "one two three four five six seven eight " + boiler,
+        2: "unique words only in this document nine ten",
+        3: "alpha beta gamma delta epsilon zeta eta theta " + boiler,
+        4: "short doc",
+        5: "short doc",
+        6: "tiny",
+        7: "",
+    }
+    return docs
+
+
+def _sdf(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string")
+
+
+@pytest.mark.parametrize("method", ["arrow", "column"])
+def test_stats_match_reference(spark, corpus, method):
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                      r["n_removable_windows"], r["dup_fraction"])
+        for r in dup_span_stats(_sdf(spark, corpus), n=4, min_df=2,
+                                method=method).collect()
+    }
+    ref, _ = _ref(corpus, n=4, min_df=2)
+    assert got == ref
+
+
+@pytest.mark.parametrize("plan,method", [
+    ("join", "arrow"), ("join", "column"), ("broadcast", "arrow")])
+@pytest.mark.parametrize("policy", ["keep_first", "all"])
+def test_removal_matches_reference(spark, corpus, plan, method, policy):
+    out = remove_duplicate_spans(
+        _sdf(spark, corpus), n=4, min_df=2, policy=policy,
+        plan=plan, method=method)
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+           for r in out.collect()}
+    _, ref = _ref(corpus, n=4, min_df=2)
+    assert got == {i: ref[(i, policy)] for i in corpus}
+
+
+def test_keep_first_keeps_exactly_one_copy(spark, corpus):
+    """After keep_first removal, the boilerplate suffix survives in
+    exactly the globally-first doc; rerunning finds nothing removable
+    (the plant is a clean suffix, so removal cannot create new dups)."""
+    out = remove_duplicate_spans(_sdf(spark, corpus), n=4, min_df=2)
+    rows = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert "all rights reserved" in rows[0]
+    assert "all rights reserved" not in rows[1]
+    assert "all rights reserved" not in rows[3]
+    assert rows[4] == "short doc" and rows[5] == ""  # doc 4 is first
+    # fully-emptied docs ('' after removal) degenerate-window-match
+    # each other on rerun, so compare only the surviving content
+    rerun = _sdf(spark, {i: t for i, t in rows.items() if t})
+    again = dup_span_stats(rerun, n=4, min_df=2)
+    assert again.agg(F.sum("n_removable_windows")).first()[0] == 0
+
+
+def test_policy_all_strips_every_copy(spark, corpus):
+    out = remove_duplicate_spans(_sdf(spark, corpus), n=4, min_df=2,
+                                 policy="all", plan="broadcast")
+    rows = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    for i in (0, 1, 3):
+        assert "all rights reserved" not in rows[i]
+    assert rows[4] == "" and rows[5] == ""
+
+
+def test_null_text_and_preserved_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "x"), (2, None, "y"), (3, "a b c d e f", "z")],
+        "doc_id long, text string, extra string")
+    # stats: null-text doc absent
+    ids = {r["doc_id"] for r in dup_span_stats(df, n=3).collect()}
+    assert ids == {1, 3}
+    for plan in ("join", "broadcast"):
+        rows = {r["doc_id"]: r for r in
+                remove_duplicate_spans(df, n=3, plan=plan).collect()}
+        assert rows[2]["clean_text"] is None
+        assert rows[2]["n_removed_words"] is None
+        assert rows[2]["extra"] == "y"  # input columns ride through
+        assert rows[1]["clean_text"] == "a b c d e f"
+        assert rows[3]["clean_text"] == ""
+
+
+def test_span_windows_counts_agree_across_methods(spark, corpus):
+    df = _sdf(spark, corpus)
+    a = span_windows(df, n=4, method="arrow")
+    c = span_windows(df, n=4, method="column")
+    pa = {(r["doc_id"], r["pos"]) for r in a.collect()}
+    pc = {(r["doc_id"], r["pos"]) for r in c.collect()}
+    assert pa == pc
+    # hash VALUES differ, but gram-identity structure must not: the
+    # partition of (id, pos) rows into equal-hash classes is identical
+    import collections
+
+    def classes(rows):
+        by_h = collections.defaultdict(list)
+        for r in rows:
+            by_h[r["h"]].append((r[0], r["pos"]))
+        return sorted(sorted(v) for v in by_h.values())
+
+    assert classes(a.collect()) == classes(c.collect())
+
+
+def test_auto_plan_picks_broadcast_then_join(spark, corpus):
+    df = _sdf(spark, corpus)
+    small = remove_duplicate_spans(df, n=4, min_df=2, plan="auto")
+    forced = remove_duplicate_spans(df, n=4, min_df=2, plan="auto",
+                                    max_broadcast_grams=0)
+    a = {r["doc_id"]: r["clean_text"] for r in small.collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in forced.collect()}
+    assert a == b
+
+
+def test_broadcast_cap_raises(spark, corpus):
+    with pytest.raises(ValueError, match="max_broadcast_grams"):
+        remove_duplicate_spans(_sdf(spark, corpus), n=4, min_df=2,
+                               plan="broadcast",
+                               max_broadcast_grams=0).collect()
+
+
+def test_long_repeat_removed_wholesale(spark):
+    """A repeated region longer than n disappears end-to-end while the
+    unique flanks survive (interior fully covered by its windows)."""
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    df = spark.createDataFrame(
+        [(1, f"left flank {rep} right flank"),
+         (2, f"other page {rep} tail words")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in
+           remove_duplicate_spans(df, n=3, min_df=2,
+                                  policy="all").collect()}
+    for i in (1, 2):
+        assert "r1" not in out[i] and "r10" not in out[i]
+    assert out[1].startswith("left flank")
+    assert out[2].endswith("tail words")
