@@ -553,16 +553,107 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
 
 
+# span-dedup leg of the dedup_exact_stats row: a 12-word boilerplate
+# suffix planted on every 5th document (identical literal on both
+# engines) so keep_first removal has real work at every sf
+_SPAN_BOILER = ("all rights reserved contact the site admin team "
+                "for removal requests today")
+_SPAN_N = 6
+_SPAN_MIN_DF = 2
+
+
+def _span_ctes(src: str, n: int = _SPAN_N,
+               min_df: int = _SPAN_MIN_DF) -> str:
+    """DuckDB CTE chain replicating operators/spans.py semantics on
+    gram STRINGS (the engine groups by window hash; counts, ranks and
+    removal sets are hash-function-agnostic).  Parameterized by the
+    source CTE name — no textual surgery (round-6 ADVICE lesson)."""
+    return f"""
+spl AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM {src}
+), w0 AS (
+  SELECT doc_id, toks,
+         unnest(range(1, GREATEST(len(toks) - {n} + 1, 1) + 1)) AS i
+  FROM spl
+), w AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(toks, i, i + {n} - 1), ' ') AS gram,
+         LEAST({n}, len(toks)) AS width
+  FROM w0
+), marked AS (
+  SELECT doc_id, pos, width,
+         COUNT(*) OVER (PARTITION BY gram) AS df,
+         ROW_NUMBER() OVER (PARTITION BY gram
+                            ORDER BY doc_id, pos) AS rk
+  FROM w
+), span_stats AS (
+  SELECT doc_id,
+         COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_windows,
+         CAST(SUM(CASE WHEN df >= {min_df} AND rk > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removable_windows,
+         ROUND(SUM(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END)::DOUBLE
+               / COUNT(*), 6) AS dup_fraction
+  FROM marked GROUP BY doc_id
+), words0 AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM spl
+), words AS (
+  SELECT doc_id, CAST(j - 1 AS INT) AS p, toks[j] AS word FROM words0
+), removed AS (
+  SELECT DISTINCT wd.doc_id, wd.p
+  FROM words wd JOIN marked mk
+    ON mk.doc_id = wd.doc_id AND mk.df >= {min_df} AND mk.rk > 1
+   AND wd.p BETWEEN mk.pos AND mk.pos + mk.width - 1
+), clean AS (
+  SELECT wd.doc_id,
+         COALESCE(string_agg(CASE WHEN r.p IS NULL THEN wd.word END,
+                             ' ' ORDER BY wd.p), '') AS clean_text,
+         CAST(SUM(CASE WHEN r.p IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed_words
+  FROM words wd LEFT JOIN removed r
+    ON r.doc_id = wd.doc_id AND r.p = wd.p
+  GROUP BY wd.doc_id
+)"""
+
+
 def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_exact + exact_dup_stats gated in ONE row set: the per-doc
-    survivors carry the (broadcast, 1-row) corpus dup profile as
-    constant columns, so both operators' outputs hash-compare."""
-    from .operators import dedup_exact, exact_dup_stats
+    """dedup_exact + exact_dup_stats + the SPAN-granularity leg gated
+    in ONE row set: the per-doc survivors carry the (broadcast, 1-row)
+    corpus dup profile as constant columns, plus each base document's
+    duplicated-window profile and keep_first removal result
+    (dup_span_stats / remove_duplicate_spans over the
+    boilerplate-planted corpus — n_windows, n_dup_windows,
+    n_removable_windows, dup_fraction, n_removed_words, clean_md5)."""
+    from .operators import (
+        dedup_exact,
+        dup_span_stats,
+        exact_dup_stats,
+        remove_duplicate_spans,
+    )
 
     corpus = _dup_corpus(spark, sf_dir)
     kept = dedup_exact(corpus, exact=True)
     stats = exact_dup_stats(corpus)
-    return kept.crossJoin(F.broadcast(stats))
+    base = kept.crossJoin(F.broadcast(stats))
+
+    d = get_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)))
+        .otherwise(F.col("text")))
+    ss = dup_span_stats(planted, n=_SPAN_N, min_df=_SPAN_MIN_DF)
+    rc = remove_duplicate_spans(
+        planted, n=_SPAN_N, min_df=_SPAN_MIN_DF, policy="keep_first",
+        plan="auto",
+    ).select(
+        "doc_id",
+        F.col("n_removed_words").cast("long").alias("n_removed_words"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+    return base.join(ss.join(rc, "doc_id"), "doc_id")
 
 
 _register(
@@ -570,14 +661,25 @@ _register(
     _q_dedup_exact_stats,
     # CASTs: DuckDB types bare SUM(int) as HUGEINT -> pandas float64,
     # which hash-mismatches Spark's bigint even when values agree.
-    f"SELECT k.doc_id, k.n_copies, s.n_distinct, s.n_dup_groups, "
-    "s.n_removable FROM "
-    f"(SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM {_DUP_SQL} "
-    "GROUP BY text) k CROSS JOIN "
-    "(SELECT COUNT(*) AS n_distinct, "
-    "CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups, "
-    "CAST(SUM(n - 1) AS BIGINT) AS n_removable FROM "
-    f"(SELECT COUNT(*) AS n FROM {_DUP_SQL} GROUP BY text)) s",
+    f"""WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {_SPAN_BOILER}'
+              ELSE text END AS text
+  FROM documents
+), {_span_ctes('planted')}
+SELECT k.doc_id, k.n_copies, s.n_distinct, s.n_dup_groups, s.n_removable,
+       st.n_windows, st.n_dup_windows, st.n_removable_windows,
+       st.dup_fraction, c.n_removed_words, md5(c.clean_text) AS clean_md5
+FROM (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM {_DUP_SQL}
+      GROUP BY text) k
+CROSS JOIN
+     (SELECT COUNT(*) AS n_distinct,
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+             CAST(SUM(n - 1) AS BIGINT) AS n_removable FROM
+      (SELECT COUNT(*) AS n FROM {_DUP_SQL} GROUP BY text)) s
+JOIN span_stats st ON st.doc_id = k.doc_id
+JOIN clean c ON c.doc_id = k.doc_id""",
 )
 
 

@@ -204,3 +204,33 @@ def test_long_repeat_removed_wholesale(spark):
         assert "r1" not in out[i] and "r10" not in out[i]
     assert out[1].startswith("left flank")
     assert out[2].endswith("tail words")
+
+
+def test_broadcast_removal_plan_has_no_exchange(spark, corpus):
+    """The boilerplate-removal scale shape: once the dup-window set is
+    broadcast, the rebuild is ONE mapInPandas scan — no exchange
+    anywhere in the returned plan, so the operator composes with
+    partition pruning and runs at scan speed on the 100 TB side."""
+    out = remove_duplicate_spans(_sdf(spark, corpus), n=4, min_df=2,
+                                 plan="broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_stats_shuffles_hashes_and_ids_never_text(spark, corpus):
+    """dup_span_stats' exchanges carry 8-byte window hashes (the df
+    count) and ids (the per-doc rollup) — document text must never
+    cross the wire."""
+    out = dup_span_stats(_sdf(spark, corpus), n=4, min_df=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange hashpartitioning" in l]
+    assert shuffles, plan[:500]
+    for line in shuffles:
+        assert "text" not in line, line
+        assert ("h#" in line) or ("doc_id#" in line), line
+    # the count aggregate combines map-side: partial agg below the
+    # first exchange
+    first_exchange = plan.find("Exchange")
+    assert "HashAggregate" in plan[first_exchange:]
