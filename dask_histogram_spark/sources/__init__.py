@@ -1,5 +1,6 @@
 from .io import (
     load_histogram,
+    read_jsonl_corpus,
     read_shard_manifest,
     read_table,
     save_histogram,
@@ -7,6 +8,7 @@ from .io import (
     write_training_shards,
 )
 
-__all__ = ["read_table", "save_histogram", "load_histogram",
+__all__ = ["read_table", "read_jsonl_corpus", "save_histogram",
+           "load_histogram",
            "write_bucketed", "write_training_shards",
            "read_shard_manifest"]

@@ -34,8 +34,8 @@ from ..spec import (
     Variable,
 )
 
-__all__ = ["read_table", "save_histogram", "load_histogram",
-           "write_bucketed", "write_training_shards",
+__all__ = ["read_table", "read_jsonl_corpus", "save_histogram",
+           "load_histogram", "write_bucketed", "write_training_shards",
            "read_shard_manifest"]
 
 
@@ -63,6 +63,52 @@ def read_table(spark: SparkSession, path: str, fmt: str | None = None,
 
         return _normalize_timestamps(reader.parquet(path), path)
     return reader.format(fmt).load(path)
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str,
+                      schema: str | None = None,
+                      corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """Read a JSON-Lines corpus (the LLM-data interchange format —
+    one document object per line, optionally ``.gz``) with corrupt
+    lines QUARANTINED instead of silently dropped or job-fatal.
+
+    ``schema`` is a DDL string for the GOOD columns (e.g.
+    ``"doc_id long, text string, source string"``); when None the
+    schema is inferred (one extra pass — fine for exploration, pass a
+    schema in pipelines so a drifted field shows up as a corrupt row,
+    not a silent type widening).  The returned frame carries every
+    input line: parseable lines with ``corrupt_col`` NULL, and
+    malformed lines with their raw text preserved there for triage
+    (``df.where(F.col(corrupt_col).isNotNull())``).
+
+    Built as TEXT scan + ``from_json`` rather than ``spark.read.json``
+    with ``columnNameOfCorruptRecord``: the JSON reader treats its
+    corrupt column as internal and REJECTS the most natural queries
+    over it ("queries that reference only the internal corrupt record
+    column are not allowed" — e.g. ``df.where(corrupt.isNotNull())
+    .count()``).  Parsing line-text through ``from_json`` yields the
+    corrupt column as an ordinary field with no such restriction, at
+    identical scan cost (JSONL is a line format either way).  Blank
+    lines are not documents and are dropped.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if schema is None:
+        inferred = spark.read.json(path).schema  # extra pass, doc'd
+        fields = [f for f in inferred.fields if f.name != corrupt_col]
+        struct = T.StructType(fields)
+    else:
+        struct = T.StructType.fromDDL(schema)
+    full = T.StructType(list(struct) + [
+        T.StructField(corrupt_col, T.StringType())])
+    raw = spark.read.text(path).where(
+        F.length(F.trim(F.col("value"))) > 0)
+    parsed = raw.select(F.from_json(
+        F.col("value"), full,
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": corrupt_col}).alias("__j"))
+    return parsed.select("__j.*")
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +203,9 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols, n_buckets: int,
 
 def write_training_shards(df: DataFrame, path: str, n_shards: int,
                           id_col: str = "doc_id",
-                          mode: str = "error") -> dict:
+                          mode: str = "error",
+                          fmt: str = "parquet",
+                          compression: str | None = None) -> dict:
     """The corpus SINK: write ``df`` as ``n_shards`` balanced parquet
     shards plus a JSON manifest — the handoff format a training run's
     data loader consumes (stable shard membership lets a loader
@@ -176,11 +224,22 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     Returns (and persists as ``_manifest.json``) per-shard row counts
     read back from the written files' parquet FOOTERS grouped on the
     partition column — a metadata-only pass, no data pages re-read.
+
+    ``fmt='json'`` writes JSON-Lines shard directories instead (the
+    cross-framework interchange format; ``compression`` defaults to
+    gzip there, and :func:`read_jsonl_corpus` reads one shard back).
+    JSONL has no footer metadata, so the manifest counts re-read the
+    written lines — a real (documented) scan the parquet format does
+    not pay; parquet remains the loader-facing default.
     """
     import pyspark.sql.functions as F
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format: {fmt!r}")
+    if fmt == "json" and compression is None:
+        compression = "gzip"
     if "shard" in df.columns:
         raise ValueError(
             "input already carries a 'shard' column — rename it; the "
@@ -203,25 +262,35 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
                 f"sharded {prior.get('n_shards')} ways would break "
                 "the stable-membership contract (different pmod "
                 "modulus) and orphan existing shard directories")
+        if prior.get("format", "parquet") != fmt:
+            raise ValueError(
+                f"appending {fmt} shards to a corpus written as "
+                f"{prior.get('format', 'parquet')} would mix file "
+                "formats inside the shard directories")
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         .cast("int"))
-    (sharded.repartition(n_shards, "shard")
-     .write.mode(mode).partitionBy("shard").parquet(path))
-    # counts from the written files' footers: one metadata-only scan,
-    # grouped on the partition column (no data pages read).  The
-    # explicit schema keeps the read alive for a fully-filtered
-    # (0-row) corpus, where inference finds no parquet file to probe
+    writer = sharded.repartition(n_shards, "shard") \
+        .write.mode(mode).partitionBy("shard")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.format(fmt).save(path)
+    # counts from the written files: for parquet one metadata-only
+    # footer scan grouped on the partition column (no data pages
+    # read); for jsonl a real line scan (documented in the docstring).
+    # The explicit schema keeps the read alive for a fully-filtered
+    # (0-row) corpus, where inference finds no file to probe
     spark = df.sparkSession
     counts = {
         int(r["shard"]): int(r["n"])
-        for r in spark.read.schema(sharded.schema).parquet(path)
+        for r in spark.read.schema(sharded.schema).format(fmt).load(path)
         .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     manifest = {
         "n_shards": int(n_shards),
         "id_col": id_col,
         "assignment": "pmod(xxhash64(id), n_shards)",
+        "format": fmt,
         "rows_per_shard": {str(k): counts.get(k, 0)
                            for k in range(n_shards)},
         "total_rows": int(sum(counts.values())),
