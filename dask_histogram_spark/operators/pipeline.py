@@ -743,49 +743,54 @@ def _sorted_member_count(h: "np.ndarray", b: "np.ndarray") -> int:
     return int((b[idx] == h).sum())
 
 
-def _word_gram_hash_batch(texts, n: int) -> "list[np.ndarray | None]":
-    """Distinct word-n-gram hashes for a BATCH of documents (None in →
-    None out), mirroring the Column twin's tokenization exactly:
-    ``split(trim(lower(text)), '\\s+')`` — Spark's trim strips SPACES
-    only and Java's ``\\s`` is ASCII-only, so this uses ``strip(" ")``
-    + an ``re.ASCII`` pattern (plain ``.strip()``/Unicode ``\\s``
-    would tokenize a trailing newline or a NBSP differently from the
-    Column path and the DuckDB oracle).  An empty string yields one
-    empty token, a short doc one short (width < n) gram.
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd, full-width mixing
 
-    Batch-vectorized on purpose: ONE ``pd.util.hash_array`` call
-    (fixed default key — stable across processes, unlike ``hash()``;
-    ``categorize=True`` hashes each distinct token once, so cost
-    tracks vocabulary, not token count) hashes every token in the
-    batch, then gram hashes are a degree-(n-1) polynomial rolling
-    combine of consecutive token hashes in numpy (wrapping uint64;
-    tokens contain no whitespace, so token-sequence identity == gram-
-    string identity up to ~2^-64 combine collisions).  A per-gram
-    Python loop (string join + one blake2b per gram) measured 3x
-    slower on the sf0.1 documents table and was replaced by this —
-    membership counts are hash-function-agnostic, so the swap is
-    invisible to the oracle."""
-    mult = np.uint64(0x9E3779B97F4A7C15)  # odd, full-width mixing
+
+def _tokenize_texts(texts) -> "list[list[str] | None]":
+    """The pinned corpus tokenization (None in → None out), mirroring
+    the Column twin exactly: ``split(trim(lower(text)), '\\s+')`` —
+    Spark's trim strips SPACES only and Java's ``\\s`` is ASCII-only,
+    so this uses ``strip(" ")`` + an ``re.ASCII`` pattern (plain
+    ``.strip()``/Unicode ``\\s`` would tokenize a trailing newline or
+    a NBSP differently from the Column path and the DuckDB oracle).
+    An empty string yields one empty token."""
+    return [None if t is None else _WS_ASCII.split(t.lower().strip(" "))
+            for t in texts]
+
+
+def _positional_gram_hashes(tok_lists, n: int) -> "list[np.ndarray | None]":
+    """POSITIONAL word-n-gram hashes per document (no uniquing): the
+    single copy of the batch-vectorized convention shared by
+    contamination (distinct membership) and span dedup (positional
+    windows).  ONE ``pd.util.hash_array`` call (fixed default key —
+    stable across processes, unlike ``hash()``; ``categorize=True``
+    hashes each distinct token once, so cost tracks vocabulary, not
+    token count) hashes every token in the batch, then gram hashes
+    are a degree-(n-1) polynomial rolling combine of consecutive
+    token hashes in ONE flat numpy pass over the concatenated batch —
+    windows that straddle a document boundary are computed but never
+    read (each doc slices only its fully-interior windows).  Wrapping
+    uint64; tokens contain no whitespace, so token-sequence identity
+    == gram-string identity up to ~2^-64 combine collisions.  A doc
+    shorter than n yields a single degenerate gram of all its tokens
+    (same combine form, so it can never collide with a full-width
+    gram except by hash accident)."""
     spans: list[tuple[int, int] | None] = []
     flat: list[str] = []
-    for t in texts:
-        if t is None:
+    for toks in tok_lists:
+        if toks is None:
             spans.append(None)
             continue
-        toks = _WS_ASCII.split(t.lower().strip(" "))
         spans.append((len(flat), len(toks)))
         flat.extend(toks)
     th = (pd.util.hash_array(np.asarray(flat, dtype=object),
                              categorize=True)
           if flat else np.zeros(0, dtype=np.uint64))
     total = len(th)
-    # one bulk rolling combine over the flattened token hashes; windows
-    # that straddle a document boundary are computed but never read
-    # (each doc slices only its fully-interior windows below)
     if total >= n:
         acc = th[: total - n + 1].copy()
         for j in range(1, n):
-            acc = acc * mult + th[j: total - n + 1 + j]
+            acc = acc * _GRAM_MULT + th[j: total - n + 1 + j]
     else:
         acc = np.zeros(0, dtype=np.uint64)
     out: list[np.ndarray | None] = []
@@ -795,16 +800,24 @@ def _word_gram_hash_batch(texts, n: int) -> "list[np.ndarray | None]":
             continue
         off, ln = sp
         if ln >= n:
-            g = acc[off: off + ln - n + 1]
+            out.append(acc[off: off + ln - n + 1])
         else:
-            # short doc: a single gram of all ln (< n) tokens, same
-            # combine form (degenerate loop), so it can never collide
-            # with a full-width gram except by hash accident
             g = th[off: off + 1].copy()
             for j in range(1, ln):
-                g = g * mult + th[off + j: off + j + 1]
-        out.append(np.unique(g))
+                g = g * _GRAM_MULT + th[off + j: off + j + 1]
+            out.append(g)
     return out
+
+
+def _word_gram_hash_batch(texts, n: int) -> "list[np.ndarray | None]":
+    """Distinct word-n-gram hashes for a BATCH of documents (None in →
+    None out): :func:`_tokenize_texts` + :func:`_positional_gram_hashes`
+    + per-doc uniquing.  A per-gram Python loop (string join + one
+    blake2b per gram) measured 3x slower on the sf0.1 documents table
+    and was replaced by the batch kernel — membership counts are
+    hash-function-agnostic, so the swap is invisible to the oracle."""
+    return [None if g is None else np.unique(g)
+            for g in _positional_gram_hashes(_tokenize_texts(texts), n)]
 
 
 def contamination_check(train: DataFrame, benchmark: DataFrame,

@@ -48,7 +48,9 @@ Scale shape (the 100 TB plan):
   window *positions* (two ints per window) shuffle back to their
   documents and the text meets them in one sort-merge join — the only
   stage where document text crosses the wire.
-* ``plan='auto'`` counts the dup set (one bounded aggregate) and picks.
+* ``plan='auto'`` collects the dup set under a LIMIT cap+1 and picks:
+  under the cap the collected rows ARE the broadcast payload (no
+  second pass); over it, fall back to the join plan.
 
 Engine/oracle parity: duplication is decided on token *sequences*.
 The Arrow kernel compares rolling 64-bit combines of per-token hashes
@@ -66,18 +68,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .pipeline import _WS_ASCII
+from .pipeline import _positional_gram_hashes, _tokenize_texts
 
 __all__ = [
     "span_windows",
     "dup_span_stats",
     "remove_duplicate_spans",
 ]
-
-# same full-width odd multiplier as pipeline._word_gram_hash_batch: the
-# rolling combine is a degree-(n-1) polynomial in uint64, so window
-# identity == token-sequence identity up to ~2^-64 accidents
-_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 # plan='auto' broadcasts the dup-window set below this many grams
 # (3 numpy arrays x 8-16 B/gram -> low hundreds of MB at the cap)
@@ -88,63 +85,15 @@ def _toks_col(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-def _tokenize(t: str | None) -> list[str] | None:
-    if t is None:
-        return None
-    return _WS_ASCII.split(t.lower().strip(" "))
-
-
-def _window_hashes(toks: list[str], n: int,
-                   tok_hash: np.ndarray) -> np.ndarray:
-    """Rolling-combine hashes for every window of one document.
-
-    ``tok_hash`` is the document's slice of the batch-level
-    ``pd.util.hash_array`` output.  m >= n tokens -> m-n+1 full-width
-    windows; fewer -> one degenerate window over all m tokens (the
-    same combine form, so it can only collide with a full-width gram
-    by hash accident — and the string twin cannot collide at all: a
-    join of n tokens contains n-1 spaces).
-    """
-    m = len(toks)
-    if m >= n:
-        acc = tok_hash[: m - n + 1].copy()
-        for j in range(1, n):
-            acc = acc * _MULT + tok_hash[j: m - n + 1 + j]
-        return acc
-    acc = tok_hash[:1].copy()
-    for j in range(1, m):
-        acc = acc * _MULT + tok_hash[j: j + 1]
-    return acc
-
-
-def _batch_window_hashes(texts: list,
-                         n: int) -> tuple[list, list, np.ndarray]:
-    """Tokenize + hash a batch in two bulk calls.
-
-    Returns (token_lists, per_doc_window_hash_arrays) with None for
-    NULL texts; ONE ``pd.util.hash_array`` call hashes every token in
-    the batch (categorize=True -> cost tracks vocabulary)."""
-    tok_lists = [_tokenize(t) for t in texts]
-    flat: list[str] = []
-    offs: list[tuple[int, int] | None] = []
-    for toks in tok_lists:
-        if toks is None:
-            offs.append(None)
-            continue
-        offs.append((len(flat), len(toks)))
-        flat.extend(toks)
-    th = (pd.util.hash_array(np.asarray(flat, dtype=object),
-                             categorize=True)
-          if flat else np.zeros(0, dtype=np.uint64))
-    hashes: list[np.ndarray | None] = []
-    for off in offs:
-        if off is None:
-            hashes.append(None)
-            continue
-        o, m = off
-        toks_m = tok_lists[len(hashes)]
-        hashes.append(_window_hashes(toks_m, n, th[o: o + m]))
-    return tok_lists, hashes, th
+def _batch_window_hashes(texts: list, n: int) -> tuple[list, list]:
+    """Tokenize + positional window hashes for a batch (None text ->
+    None in both outputs) via the single shared batch kernel
+    (pipeline._positional_gram_hashes: one ``pd.util.hash_array``
+    call + one flat rolling combine over the concatenated batch —
+    shared with contamination, so the pinned tokenization and the
+    degenerate short-doc form have exactly one implementation)."""
+    tok_lists = _tokenize_texts(texts)
+    return tok_lists, _positional_gram_hashes(tok_lists, n)
 
 
 def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
@@ -194,7 +143,7 @@ def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
     def gen(batches):
         for b in batches:
             ids = b[id_col].to_numpy()
-            _, hashes, _ = _batch_window_hashes(b[text_col].tolist(), n)
+            _, hashes = _batch_window_hashes(b[text_col].tolist(), n)
             out_i, out_p, out_h = [], [], []
             for i, hs in enumerate(hashes):
                 if hs is None or len(hs) == 0:
@@ -251,7 +200,11 @@ def dup_span_stats(df: DataFrame, n: int = 6, min_df: int = 2,
             F.count("*").alias("n_windows"),
             F.count("df").alias("n_dup_windows"),
             F.sum(not_first.cast("long")).alias("n_removable_windows"),
-            F.round(F.count("df") / F.count("*"), 6).alias("dup_fraction"),
+            # unrounded on purpose: int/int IEEE division is bit-exact
+            # across Spark/DuckDB/python, while ROUND could flip a
+            # 7th-decimal tie differently per engine (BigDecimal
+            # half-up vs float rounding) and break the hash gate
+            (F.count("df") / F.count("*")).alias("dup_fraction"),
         )
     )
 
@@ -300,38 +253,60 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     granularity).  ``policy='all'`` strips every occurrence —
     boilerplate removal.
 
-    ``plan='broadcast'`` collects the dup-window set and re-scans the
-    corpus once (zero exchanges; the scale path whenever the set is
-    bounded, i.e. boilerplate-style ``min_df``); ``plan='join'``
-    shuffles removable window positions back to their documents and
-    sort-merge joins the text once (the strict ``min_df=2`` path);
-    ``plan='auto'`` counts the set and picks (<= max_broadcast_grams
-    -> broadcast).  ``method`` selects the join plan's rebuild:
-    ``'arrow'`` (auto; linear-per-doc kernel) or ``'column'`` (pure
-    JVM HOF twin — exact but O(words x dup_starts) per doc).
+    ``plan='broadcast'`` collects the dup-window set (at most
+    ``max_broadcast_grams`` + 1 rows ever reach the driver — an
+    over-cap set raises BEFORE materializing) and re-scans the corpus
+    once (zero exchanges; the scale path whenever the set is bounded,
+    i.e. boilerplate-style ``min_df``); ``plan='join'`` shuffles
+    removable window positions back to their documents and sort-merge
+    joins the text once (the strict ``min_df=2`` path); ``plan='auto'``
+    tries the capped collect ONCE and reuses it when it fits (no
+    second aggregate pass), falling back to join when it does not.
+    ``method`` selects the join plan's rebuild: ``'arrow'`` (auto;
+    linear-per-doc kernel) or ``'column'`` (pure JVM HOF twin — exact
+    but O(words x dup_starts) per doc; join-plan only, so asking for
+    it under ``plan='broadcast'`` raises and under ``'auto'`` forces
+    the join plan).
     """
     if policy not in ("keep_first", "all"):
         raise ValueError(f"unknown policy: {policy!r}")
     if method == "auto":
         method = "arrow"
+    if method not in ("arrow", "column"):
+        raise ValueError(f"unknown rebuild method: {method!r}")
+    if method == "column":
+        if plan == "broadcast":
+            raise ValueError(
+                "method='column' rebuilds via the join plan; the "
+                "broadcast rebuild is an arrow kernel — use "
+                "plan='join' (or method='arrow')")
+        plan = "join"
     spark = df.sparkSession
 
-    if plan == "auto":
-        d_cnt = _dup_grams(
-            span_windows(df, n, text_col, id_col), id_col, min_df).count()
-        plan = "broadcast" if d_cnt <= max_broadcast_grams else "join"
-
-    if plan == "broadcast":
+    arrays = None
+    if plan in ("auto", "broadcast"):
+        # capped collect: LIMIT cap+1 bounds what can ever reach the
+        # driver, and the collected rows ARE the broadcast payload —
+        # auto never pays a second aggregate pass to count first
         d = _dup_grams(
             span_windows(df, n, text_col, id_col, "arrow"),
             id_col, min_df)
-        tbl = d.select("h", "first.i", "first.p").toArrow()
+        tbl = (d.select("h", "first.i", "first.p")
+               .limit(max_broadcast_grams + 1).toArrow())
+        if tbl.num_rows > max_broadcast_grams:
+            if plan == "broadcast":
+                raise ValueError(
+                    f"dup-window set exceeds max_broadcast_grams="
+                    f"{max_broadcast_grams}; use plan='join' (or "
+                    "raise the cap)")
+            plan = "join"
+        else:
+            arrays = tbl
+            plan = "broadcast"
+
+    if plan == "broadcast":
+        tbl = arrays
         hs = tbl.column("h").to_numpy(zero_copy_only=False)
-        if len(hs) > max_broadcast_grams:
-            raise ValueError(
-                f"dup-window set ({len(hs)} grams) exceeds "
-                f"max_broadcast_grams={max_broadcast_grams}; use "
-                "plan='join' (or raise the cap)")
         order = np.argsort(hs, kind="stable")
         hs = hs[order]
         fi = tbl.column("i").to_numpy(zero_copy_only=False)[order]
@@ -347,7 +322,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
         def scan(batches):
             hs_g, fi_g, fp_g = bc.value
             for b in batches:
-                toks_list, hashes, _ = _batch_window_hashes(
+                toks_list, hashes = _batch_window_hashes(
                     b[text_col].tolist(), n)
                 ids = b[id_col].to_numpy()
                 starts_list = []
@@ -399,26 +374,25 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
         ds = F.coalesce(F.col("__dup_starts"),
                         F.array().cast("array<int>"))
         idx = F.sequence(F.lit(0), m - 1)
-        covered = F.filter(
-            idx,
-            lambda p: F.exists(ds, lambda s: (p >= s)
-                               & (p <= s + wdt - 1)))
         kept = F.filter(
             idx,
             lambda p: ~F.exists(ds, lambda s: (p >= s)
                                 & (p <= s + wdt - 1)))
         nn = F.col(text_col).isNotNull()  # NULL text -> NULL outputs
+        # n_removed = m - |kept|: the O(words x dup_starts) coverage
+        # predicate runs ONCE (materialized in __kept), not once per
+        # output column
         return (
             joined
-            .withColumn("clean_text", F.when(nn, F.array_join(
-                F.transform(kept,
-                            lambda p: F.element_at(toks, p + 1)), " ")))
+            .withColumn("__kept", F.when(nn, kept))
+            .withColumn("clean_text", F.array_join(
+                F.transform(F.col("__kept"),
+                            lambda p: F.element_at(toks, p + 1)), " "))
             .withColumn("n_removed_words",
-                        F.when(nn, F.size(covered)).cast("int"))
-            .drop("__dup_starts")
+                        F.when(nn, m - F.size(F.col("__kept")))
+                        .cast("int"))
+            .drop("__dup_starts", "__kept")
         )
-    if method != "arrow":
-        raise ValueError(f"unknown rebuild method: {method!r}")
 
     out_schema = T.StructType(
         [f for f in joined.schema if f.name != "__dup_starts"]
@@ -427,7 +401,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
 
     def rebuild(batches):
         for b in batches:
-            toks_list = [_tokenize(t) for t in b[text_col].tolist()]
+            toks_list = _tokenize_texts(b[text_col].tolist())
             starts_list = list(b["__dup_starts"])
             texts_out: list = []
             removed_out: list = []

@@ -594,8 +594,8 @@ spl AS (
               AS BIGINT) AS n_dup_windows,
          CAST(SUM(CASE WHEN df >= {min_df} AND rk > 1 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_removable_windows,
-         ROUND(SUM(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END)::DOUBLE
-               / COUNT(*), 6) AS dup_fraction
+         SUM(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END)::DOUBLE
+               / COUNT(*) AS dup_fraction
   FROM marked GROUP BY doc_id
 ), words0 AS (
   SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM spl

@@ -96,7 +96,13 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
 
     if schema is None:
         inferred = spark.read.json(path).schema  # extra pass, doc'd
-        fields = [f for f in inferred.fields if f.name != corrupt_col]
+        # inference names ITS corrupt field by the session default,
+        # which differs from a custom corrupt_col — drop both or the
+        # output grows a spurious always-null default-named column
+        session_cc = spark.conf.get(
+            "spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+        fields = [f for f in inferred.fields
+                  if f.name not in (corrupt_col, session_cc)]
         struct = T.StructType(fields)
     else:
         struct = T.StructType.fromDDL(schema)

@@ -91,6 +91,9 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
           flush=True)
 
     # --- workload 2: pair-dup (join plan at a corpus-sized dup set) ---
+    # base = doc_id % (n//2) maps n - n//2 docs onto the first half;
+    # with odd n one original gains two copies — expected counts below
+    # use (n - half) so any point size is exact
     df2 = synth(spark, n_docs, plant_boiler=False, pair_dup=True)
     t0 = time.perf_counter()
     r2 = remove_duplicate_spans(df2, n=N, min_df=2, policy="keep_first",
@@ -101,15 +104,18 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
          .alias("emptied")).first()
     t_pair = time.perf_counter() - t0
     half = n_docs // 2
-    assert int(agg["rm"]) == WORDS * half, agg
-    assert int(agg["emptied"]) == half, agg
+    copies = n_docs - half
+    assert int(agg["rm"]) == WORDS * copies, agg
+    assert int(agg["emptied"]) == copies, agg
     print(f"pair-dup: join {t_pair:.2f} s — emptied exactly the "
-          f"second half ({half} docs, {WORDS * half} words), "
+          f"copies ({copies} docs, {WORDS * copies} words), "
           f"dup set ~{half * (WORDS - N + 1)} grams", flush=True)
 
 
 def main() -> None:
     points = [int(a) for a in sys.argv[1:]] or [1_000_000]
+    if any(p < 2 for p in points):
+        raise SystemExit("points must be >= 2 (pair-dup halves the corpus)")
     spark = get_spark("blowup-spans", cpus=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")

@@ -274,3 +274,18 @@ def test_jsonl_corrupt_only_query_works(spark, tmp_path):
                            schema="doc_id long, text string")
     assert df.where(F.col("_corrupt_record").isNotNull()).count() == 1
     assert df.count() == 2  # the blank line is not a document
+
+
+def test_jsonl_custom_corrupt_col_inferred_schema(spark, tmp_path):
+    """Inferred schema + custom corrupt_col must not leak the session
+    default '_corrupt_record' as a spurious always-null column."""
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.sources import read_jsonl_corpus
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nbroken\n')
+    df = read_jsonl_corpus(spark, str(p), corrupt_col="bad")
+    assert "bad" in df.columns
+    assert "_corrupt_record" not in df.columns
+    assert df.where(F.col("bad").isNotNull()).count() == 1

@@ -46,7 +46,7 @@ def _ref(docs: dict, n: int, min_df: int):
         nd = sum(1 for _, g in ws if df[g] >= min_df)
         nr = sum(1 for p, g in ws
                  if df[g] >= min_df and first[g] != (i, p))
-        stats[i] = (nw, nd, nr, round(nd / nw, 6))
+        stats[i] = (nw, nd, nr, nd / nw)
         for policy in ("keep_first", "all"):
             w = min(n, len(ts))
             cov = [False] * len(ts)
@@ -234,3 +234,18 @@ def test_stats_shuffles_hashes_and_ids_never_text(spark, corpus):
     # first exchange
     first_exchange = plan.find("Exchange")
     assert "HashAggregate" in plan[first_exchange:]
+
+
+def test_column_method_is_join_only(spark, corpus):
+    df = _sdf(spark, corpus)
+    with pytest.raises(ValueError, match="join plan"):
+        remove_duplicate_spans(df, n=4, method="column",
+                               plan="broadcast")
+    # auto + column resolves to the join plan and matches arrow
+    a = {r["doc_id"]: r["clean_text"] for r in remove_duplicate_spans(
+        df, n=4, method="column", plan="auto").collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in remove_duplicate_spans(
+        df, n=4, method="arrow", plan="join").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="rebuild method"):
+        remove_duplicate_spans(df, n=4, method="colunm")
