@@ -211,7 +211,8 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
                           id_col: str = "doc_id",
                           mode: str = "error",
                           fmt: str = "parquet",
-                          compression: str | None = None) -> dict:
+                          compression: str | None = None,
+                          shuffle_seed: int | None = None) -> dict:
     """The corpus SINK: write ``df`` as ``n_shards`` balanced parquet
     shards plus a JSON manifest — the handoff format a training run's
     data loader consumes (stable shard membership lets a loader
@@ -237,6 +238,16 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     JSONL has no footer metadata, so the manifest counts re-read the
     written lines — a real (documented) scan the parquet format does
     not pay; parquet remains the loader-facing default.
+
+    ``shuffle_seed`` additionally randomizes the WITHIN-shard row
+    order (training loaders want documents decorrelated from crawl /
+    pipeline order): rows sort by the shared two-round seeded id hash
+    (``pipeline._gold_hash`` — deterministic, rerun-stable,
+    seed-independent of the sampling seeds by construction) INSIDE the
+    existing shard repartition, so the global shuffle costs one
+    sortWithinPartitions on data that was already moving — no extra
+    exchange.  Different seeds give independent orders; membership is
+    unaffected.
     """
     import pyspark.sql.functions as F
 
@@ -276,8 +287,20 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         .cast("int"))
-    writer = sharded.repartition(n_shards, "shard") \
-        .write.mode(mode).partitionBy("shard")
+    moved = sharded.repartition(n_shards, "shard")
+    if shuffle_seed is not None:
+        from ..operators.pipeline import _gold_hash
+
+        # sort key leads with the partition column: partitionBy writes
+        # REQUIRE ordering by their columns and plan their own Sort
+        # when unsatisfied — which would eliminate a bare __ord sort
+        # (Sort-over-Sort) and silently undo the shuffle.  Leading
+        # with 'shard' satisfies the writer's requirement so THIS sort
+        # is the only one, and __ord breaks the (single-valued) ties.
+        moved = (moved.withColumn("__ord", _gold_hash(id_col,
+                                                      shuffle_seed))
+                 .sortWithinPartitions("shard", "__ord").drop("__ord"))
+    writer = moved.write.mode(mode).partitionBy("shard")
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.format(fmt).save(path)

@@ -289,3 +289,29 @@ def test_jsonl_custom_corrupt_col_inferred_schema(spark, tmp_path):
     assert "bad" in df.columns
     assert "_corrupt_record" not in df.columns
     assert df.where(F.col("bad").isNotNull()).count() == 1
+
+
+def test_shard_shuffle_seed_orders_within_shard(spark, tmp_path):
+    """shuffle_seed randomizes within-shard ORDER without touching
+    membership; different seeds give different orders, same seed is
+    deterministic; no extra exchange beyond the shard repartition."""
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.sources import write_training_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text")).coalesce(1)
+
+    def shard0_order(path, seed):
+        write_training_shards(df, path, n_shards=2, shuffle_seed=seed)
+        part = spark.read.parquet(path + "/shard=0")
+        return [r["doc_id"] for r in part.collect()]
+
+    a = shard0_order(str(tmp_path / "a"), seed=7)
+    b = shard0_order(str(tmp_path / "b"), seed=7)
+    c = shard0_order(str(tmp_path / "c"), seed=11)
+    assert a == b                      # deterministic
+    assert a != c                      # seed changes the order
+    assert sorted(a) == sorted(c)      # membership unchanged
+    assert a != sorted(a)              # actually decorrelated from id
