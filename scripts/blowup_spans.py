@@ -21,6 +21,9 @@ removed words + summed crc32 of the cleaned text), so the table is a
 plan-cost comparison, not wall-clock luck.
 
 Usage: python scripts/blowup_spans.py [n_docs ...]   (default 1M)
+SPAN_SKIP_PAIR=1 runs the boilerplate workload only (the pair-dup
+leg's dup set is ~5.5 grams/doc — at 100M docs that is a 550M-gram
+join-plan stress with no new information over the 10M point).
 """
 
 from __future__ import annotations
@@ -89,6 +92,9 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
           f"keep_first broadcast {t_bc:.2f} s / join {t_jn:.2f} s "
           f"(equal: {rm_bc} words, ck match) | all {t_all:.2f} s",
           flush=True)
+
+    if os.environ.get("SPAN_SKIP_PAIR"):
+        return
 
     # --- workload 2: pair-dup (join plan at a corpus-sized dup set) ---
     # base = doc_id % (n//2) maps n - n//2 docs onto the first half;
