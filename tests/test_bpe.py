@@ -260,15 +260,17 @@ def test_train_bpe_validates_args(spark):
 
 
 def test_full_corpus_prep_chain_composes(spark, tmp_path):
-    """The composition story end-to-end on real testdata: per-source
-    quota cap -> dedup/quality prepare -> BPE train -> BPE encode ->
-    pack into fixed-token-budget sequences.  Every stage is the public
-    operator surface; asserts are structural (schemas compose, budgets
-    hold) — per-operator values are gated elsewhere."""
+    """The composition story end-to-end on real testdata: span-level
+    boilerplate strip -> per-source quota cap -> dedup/quality prepare
+    -> BPE train -> BPE encode -> pack into fixed-token-budget
+    sequences.  Every stage is the public operator surface; asserts
+    are structural (schemas compose, budgets hold) — per-operator
+    values are gated elsewhere."""
     from dask_histogram_spark.operators import (
         apply_bpe,
         pack_sequences,
         quota_sample,
+        remove_duplicate_spans,
         train_bpe,
     )
     from dask_histogram_spark.operators.pipeline import (
@@ -276,7 +278,12 @@ def test_full_corpus_prep_chain_composes(spark, tmp_path):
     )
     from dask_histogram_spark.session import load_tables
 
-    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    raw = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    # span stage: strip corpus-duplicated windows, keep first copies;
+    # the cleaned text feeds every later stage
+    docs = (remove_duplicate_spans(raw, n=6, min_df=2)
+            .select("doc_id", "source",
+                    F.col("clean_text").alias("text")))
     capped = quota_sample(docs, 8, group_col="source", seed=13)
     # prepare returns the kept ids + token accounting; texts ride back
     # in on the id (the gate row does the same)
