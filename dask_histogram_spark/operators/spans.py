@@ -74,6 +74,9 @@ __all__ = [
     "span_windows",
     "dup_span_stats",
     "remove_duplicate_spans",
+    "write_span_gram_table",
+    "load_span_gram_table",
+    "remove_duplicate_spans_incremental",
 ]
 
 # plan='auto' broadcasts the dup-window set below this many grams
@@ -235,6 +238,65 @@ def _rebuild_batch(toks_list: list, starts_list: list, n: int,
         removed_out.append(int(cov.sum()))
 
 
+def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
+                            text_col: str, id_col: str) -> DataFrame:
+    """One zero-exchange rebuild scan against a collected dup-window
+    set ``tbl`` (arrow table of (h, i, p): hash + FIRST occurrence).
+    Shared by batch removal (first = corpus min (id, pos)) and the
+    incremental probe (first = seen occurrence when the gram is
+    already in the corpus, else the batch min) — under keep_first an
+    occurrence is removable unless it IS the recorded first, which
+    for seen-won grams matches no batch (id, pos) because run ids are
+    disjoint by contract."""
+    spark = df.sparkSession
+    hs = tbl.column("h").to_numpy(zero_copy_only=False)
+    order = np.argsort(hs, kind="stable")
+    hs = hs[order]
+    fi = tbl.column("i").to_numpy(zero_copy_only=False)[order]
+    fp = tbl.column("p").to_numpy(zero_copy_only=False)[order]
+    keep_first = policy == "keep_first"
+    bc = spark.sparkContext.broadcast((hs, fi, fp))
+
+    out_schema = T.StructType(
+        list(df.schema)
+        + [T.StructField("clean_text", T.StringType()),
+           T.StructField("n_removed_words", T.IntegerType())])
+
+    def scan(batches):
+        hs_g, fi_g, fp_g = bc.value
+        for b in batches:
+            toks_list, hashes = _batch_window_hashes(
+                b[text_col].tolist(), n)
+            ids = b[id_col].to_numpy()
+            starts_list = []
+            for i, wh in enumerate(hashes):
+                if wh is None:
+                    starts_list.append(None)
+                    continue
+                sh = wh.view(np.int64)
+                idx = np.searchsorted(hs_g, sh)
+                idx[idx == len(hs_g)] = 0
+                hit = (hs_g[idx] == sh) if len(hs_g) else \
+                    np.zeros(len(sh), dtype=bool)
+                if keep_first and hit.any():
+                    j = idx[hit]
+                    pos_hit = np.nonzero(hit)[0]
+                    own = (fi_g[j] == ids[i]) & (fp_g[j] == pos_hit)
+                    hit[pos_hit[own]] = False
+                starts_list.append(np.nonzero(hit)[0])
+            texts_out: list = []
+            removed_out: list = []
+            _rebuild_batch(toks_list, starts_list, n,
+                           texts_out, removed_out)
+            out = b.copy()
+            out["clean_text"] = texts_out
+            out["n_removed_words"] = pd.array(
+                removed_out, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(scan, out_schema)
+
+
 def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
                            policy: str = "keep_first",
                            text_col: str = "text", id_col: str = "doc_id",
@@ -305,53 +367,8 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
             plan = "broadcast"
 
     if plan == "broadcast":
-        tbl = arrays
-        hs = tbl.column("h").to_numpy(zero_copy_only=False)
-        order = np.argsort(hs, kind="stable")
-        hs = hs[order]
-        fi = tbl.column("i").to_numpy(zero_copy_only=False)[order]
-        fp = tbl.column("p").to_numpy(zero_copy_only=False)[order]
-        keep_first = policy == "keep_first"
-        bc = spark.sparkContext.broadcast((hs, fi, fp))
-
-        out_schema = T.StructType(
-            list(df.schema)
-            + [T.StructField("clean_text", T.StringType()),
-               T.StructField("n_removed_words", T.IntegerType())])
-
-        def scan(batches):
-            hs_g, fi_g, fp_g = bc.value
-            for b in batches:
-                toks_list, hashes = _batch_window_hashes(
-                    b[text_col].tolist(), n)
-                ids = b[id_col].to_numpy()
-                starts_list = []
-                for i, wh in enumerate(hashes):
-                    if wh is None:
-                        starts_list.append(None)
-                        continue
-                    sh = wh.view(np.int64)
-                    idx = np.searchsorted(hs_g, sh)
-                    idx[idx == len(hs_g)] = 0
-                    hit = (hs_g[idx] == sh) if len(hs_g) else \
-                        np.zeros(len(sh), dtype=bool)
-                    if keep_first and hit.any():
-                        j = idx[hit]
-                        pos_hit = np.nonzero(hit)[0]
-                        own = (fi_g[j] == ids[i]) & (fp_g[j] == pos_hit)
-                        hit[pos_hit[own]] = False
-                    starts_list.append(np.nonzero(hit)[0])
-                texts_out: list = []
-                removed_out: list = []
-                _rebuild_batch(toks_list, starts_list, n,
-                               texts_out, removed_out)
-                out = b.copy()
-                out["clean_text"] = texts_out
-                out["n_removed_words"] = pd.array(
-                    removed_out, dtype="Int32")
-                yield out
-
-        return df.mapInPandas(scan, out_schema)
+        return _broadcast_removal_scan(df, arrays, policy, n,
+                                       text_col, id_col)
 
     if plan != "join":
         raise ValueError(f"unknown plan: {plan!r}")
@@ -413,3 +430,141 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
             yield out
 
     return joined.mapInPandas(rebuild, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# cross-run incremental span dedup
+# ---------------------------------------------------------------------------
+
+# bumped whenever the window-hash construction changes: gram counts
+# from different formulas never align, so a drifted reader would
+# silently strip nothing (or the wrong spans)
+_SPAN_FORMULA = "posgram-v1"
+
+
+def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_buckets: int = 64,
+                          path: str | None = None) -> None:
+    """Persist a corpus's window-gram COUNT table as the cross-run
+    "seen" state for :func:`remove_duplicate_spans_incremental`: one
+    row per distinct window hash — (h, df, first_i, first_p) — written
+    BUCKETED on h (the dedup_incremental_lsh posture: pre-pay the
+    seen-side shuffle once at write time; every nightly batch then
+    equi-joins its OWN gram aggregate against the stored table with no
+    exchange on the corpus side).
+
+    Unlike the banded signature tables this stores ALL grams, not just
+    duplicated ones: a gram seen ONCE in the corpus plus once in a
+    batch is a cross-run duplicate at min_df=2, so the probe needs
+    every count.  The table is therefore proportional to the corpus's
+    distinct-window count — the same asymptotics as the signature
+    tables (corpus x bands rows there, distinct windows here).
+
+    The window width ``n`` and hash formula are persisted as
+    ``<table>__params`` with the crash-safe drop-before/create-after
+    ordering (a rebuild killed mid-write leaves no sidecar, so readers
+    fail loudly instead of probing with drifted parameters)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}__params")
+    grams = (_dup_grams(span_windows(df, n, text_col, id_col, "arrow"),
+                        id_col, min_df=1)
+             .select("h", "df",
+                     F.col("first.i").alias("first_i"),
+                     F.col("first.p").alias("first_p")))
+    from ..sources import write_bucketed
+
+    write_bucketed(grams, table, ["h"], n_buckets, path=path)
+    pw = spark.createDataFrame(
+        [(_SPAN_FORMULA, int(n))], "formula string, n int",
+    ).write.mode("overwrite")
+    if path is not None:
+        pw = pw.option("path", f"{path}__params")
+    pw.saveAsTable(f"{table}__params")
+
+
+def load_span_gram_table(spark, table: str):
+    """Open a :func:`write_span_gram_table` table by NAME with the
+    loud safety checks (empty sidecar from an interrupted write,
+    drifted hash formula).  Returns (grams DataFrame, n)."""
+    rows = spark.table(f"{table}__params").collect()
+    if not rows:
+        raise ValueError(
+            f"span gram table {table!r} has an EMPTY __params sidecar "
+            "(an interrupted write left the table in an unusable "
+            "state) — rebuild it with write_span_gram_table.")
+    p = rows[0]
+    stored = getattr(p, "formula", None)
+    if stored != _SPAN_FORMULA:
+        raise ValueError(
+            f"span gram table {table!r} was written with hash formula "
+            f"{stored!r}; this reader computes {_SPAN_FORMULA!r} — "
+            "counts from different formulas never align (every batch "
+            "span would silently look fresh).  Rebuild the table with "
+            "write_span_gram_table.")
+    return spark.table(table), int(p.n)
+
+
+def remove_duplicate_spans_incremental(
+        new_df: DataFrame, seen, /, min_df: int = 2,
+        policy: str = "keep_first", text_col: str = "text",
+        id_col: str = "doc_id",
+        max_broadcast_grams: int = _MAX_BROADCAST_GRAMS) -> DataFrame:
+    """Cross-run span dedup: strip from a nightly batch every window
+    duplicated against the PERSISTED corpus gram table plus the batch
+    itself — without rescanning the corpus.
+
+    Semantics == batch :func:`remove_duplicate_spans` over
+    (seen corpus UNION batch) restricted to the batch's rows (asserted
+    per-document in tests): combined df = corpus count + batch count;
+    under ``keep_first`` the corpus always wins (its occurrence IS the
+    global first — run ids are disjoint by the cross-run contract, the
+    same assumption dedup_incremental makes), and grams the corpus has
+    never seen keep their batch-min occurrence.
+
+    ``seen`` is a :func:`write_span_gram_table` NAME (window width and
+    hash formula come from the ``__params`` sidecar — a drifted reader
+    fails loudly, never silently).
+
+    Scale shape: the batch's gram aggregate (BATCH-sized) joins the
+    bucketed table with no exchange on the corpus side; the resulting
+    dup set is batch-bounded by construction, so it broadcasts back
+    into ONE rebuild scan of the batch (``max_broadcast_grams`` guards
+    the driver; a batch whose distinct duplicated grams exceed it
+    should be split — the cap raises loudly).  Total cost tracks the
+    BATCH size, never the corpus.
+    """
+    if policy not in ("keep_first", "all"):
+        raise ValueError(f"unknown policy: {policy!r}")
+    spark = new_df.sparkSession
+    if not isinstance(seen, str):
+        raise TypeError(
+            "seen must be a write_span_gram_table table NAME — the "
+            "window width and hash formula live in its __params "
+            "sidecar, and probing with drifted parameters would "
+            "silently strip nothing")
+    seen_grams, n = load_span_gram_table(spark, seen)
+
+    b = _dup_grams(span_windows(new_df, n, text_col, id_col, "arrow"),
+                   id_col, min_df=1)
+    # combined df = corpus count + batch count; first occurrence in
+    # union order is the corpus's when it has the gram (seen ids
+    # precede batch ids by contract), else the batch's
+    d = (b.withColumnRenamed("df", "bdf")
+         .join(seen_grams, "h", "left")
+         .where((F.coalesce(F.col("df"), F.lit(0)) + F.col("bdf"))
+                >= min_df)
+         .select(
+             "h",
+             F.when(F.col("df").isNotNull(), F.col("first_i"))
+             .otherwise(F.col("first.i")).alias("i"),
+             F.when(F.col("df").isNotNull(), F.col("first_p"))
+             .otherwise(F.col("first.p")).alias("p")))
+    tbl = d.limit(max_broadcast_grams + 1).toArrow()
+    if tbl.num_rows > max_broadcast_grams:
+        raise ValueError(
+            f"the batch's duplicated-gram set exceeds "
+            f"max_broadcast_grams={max_broadcast_grams}; split the "
+            "batch (or raise the cap)")
+    return _broadcast_removal_scan(new_df, tbl, policy, n,
+                                   text_col, id_col)

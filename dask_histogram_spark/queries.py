@@ -684,11 +684,12 @@ JOIN clean c ON c.doc_id = k.doc_id""",
 
 
 _INC_SIG_CACHE: dict = {}
+_INC_SPAN_CACHE: dict = {}
 _INC_SIG_SEQ = itertools.count()
 
 
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-run dedup gate, BOTH granularities under one kind tag:
+    """Cross-run dedup gate, THREE granularities under one kind tag:
 
     * ``kind='exact'`` — run N's crawl (exact re-crawls of every seen
       doc + a revised edition of each) anti-joined against run N-1's
@@ -702,13 +703,24 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       gate (0 = genuinely fresh).  The candidate join reads the seen
       side co-located with no exchange (plan-asserted in
       tests/test_plans.py::test_incremental_lsh_seen_side_...).
+    * ``kind='span'`` — the SUB-document companion: the seen corpus's
+      window-gram count table is persisted ONCE per session
+      (write_span_gram_table: bucketed on h, n in the __params
+      sidecar), and every new doc reports n = how many of its words
+      cross-run keep_first span dedup strips (re-crawls strip
+      everything; revised editions strip their unchanged interior;
+      the batch's own internal duplication counts too).  The oracle
+      reruns the full window/rank/removal chain over seen UNION batch
+      — the incremental probe must equal batch semantics exactly.
     """
     import tempfile
 
     from .operators import (
         dedup_incremental,
         dedup_incremental_lsh,
+        remove_duplicate_spans_incremental,
         write_signature_table,
+        write_span_gram_table,
     )
 
     seen = get_tables(spark, sf_dir)["documents"].select("doc_id", "text")
@@ -745,12 +757,33 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # name-based call: parameters come from the stored __params sidecar
     lsh = dedup_incremental_lsh(new, _INC_SIG_CACHE[key][0],
                                 min_sig_matches=24)
+    if key not in _INC_SPAN_CACHE:
+        import shutil
+
+        stbl = f"dhs_seen_grams_{next(_INC_SIG_SEQ)}"
+        stmp = tempfile.mkdtemp(prefix="dhs_grams_")
+        write_span_gram_table(seen, stbl, n=_SPAN_N,
+                              path=os.path.join(stmp, "t"))
+
+        def _cleanup_span(stbl=stbl, stmp=stmp):
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                s.sql(f"DROP TABLE IF EXISTS {stbl}")
+                s.sql(f"DROP TABLE IF EXISTS {stbl}__params")
+            shutil.rmtree(stmp, ignore_errors=True)
+
+        _cache_put(_INC_SPAN_CACHE, key, stbl, _cleanup_span)
+    spn = remove_duplicate_spans_incremental(
+        new, _INC_SPAN_CACHE[key][0], min_df=_SPAN_MIN_DF)
     return exact.select(
         F.lit("exact").alias("kind"), "doc_id",
         F.col("n_copies").alias("n"),
     ).unionByName(lsh.select(
         F.lit("lsh").alias("kind"), "doc_id",
         F.col("n_matched_seen").alias("n"),
+    )).unionByName(spn.select(
+        F.lit("span").alias("kind"), "doc_id",
+        F.col("n_removed_words").cast("long").alias("n"),
     ))
 
 
@@ -1591,7 +1624,10 @@ def _dedup_incremental_oracle() -> str:
     minhash pipeline on BOTH corpora (same seeded coefficient literals
     as the Spark operator), seen band buckets capped at 64 like the
     written signature table, candidate equi-join, 24/32 agreement gate,
-    per-new-doc match counts with 0 for fresh docs."""
+    per-new-doc match counts with 0 for fresh docs.  Span kind: the
+    full window/rank/removal chain (_span_ctes) over seen UNION batch,
+    batch rows' removed-word counts — the incremental probe of the
+    persisted gram table must equal batch semantics exactly."""
     seen_band = _minhash_band_sql(bands=8, r=4)
     new_band = _minhash_band_sql(bands=8, r=4, src="s2")
     return f"""
@@ -1601,6 +1637,10 @@ WITH nw AS (
   SELECT doc_id + 200000 AS doc_id, text || ' (rev2)' AS text
   FROM documents
 ),
+combined AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM nw
+), {_span_ctes('combined')},
 h AS (SELECT doc_id, {_MH_HS} AS hs FROM documents),
 s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h),
 bnd_seen AS ({seen_band}),
@@ -1635,6 +1675,9 @@ GROUP BY text
 UNION ALL
 SELECT 'lsh' AS kind, nw.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM nw LEFT JOIN cnt c ON c.new_id = nw.doc_id
+UNION ALL
+SELECT 'span' AS kind, cl.doc_id, cl.n_removed_words AS n
+FROM clean cl WHERE cl.doc_id >= 100000
 """
 
 

@@ -63,6 +63,16 @@ def synth(spark: SparkSession, n_docs: int, plant_boiler: bool,
 
 def run_point(spark: SparkSession, n_docs: int) -> None:
     print(f"=== n_docs={n_docs} ===", flush=True)
+    # spill-aware shuffle sizing (the 100 TB posture, and why the
+    # first 100M attempt heap-OOMed at the default 32 partitions):
+    # the gram-count aggregate holds ~17 distinct window hashes per
+    # doc in its final hash map, and local[32] runs 32 such maps
+    # CONCURRENTLY against one shared execution-memory pool — size
+    # partitions so each task's share stays ~8M groups.  AQE
+    # coalesces the excess at small points, so this only ever adds
+    # parallelism.
+    shuffle_parts = max(32, (n_docs * (WORDS + 1)) // 8_000_000)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
 
     # --- workload 1: boilerplate (broadcast plan) ---
     df = synth(spark, n_docs, plant_boiler=True, pair_dup=False)

@@ -249,3 +249,118 @@ def test_column_method_is_join_only(spark, corpus):
     assert a == b
     with pytest.raises(ValueError, match="rebuild method"):
         remove_duplicate_spans(df, n=4, method="colunm")
+
+
+# ---------------------------------------------------------------------------
+# cross-run incremental span dedup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def span_table(spark, corpus, tmp_path):
+    from dask_histogram_spark.operators import write_span_gram_table
+
+    seen = _sdf(spark, corpus)
+    write_span_gram_table(seen, "t_span_grams", n=4,
+                          path=str(tmp_path / "grams"))
+    yield "t_span_grams", seen
+    spark.sql("DROP TABLE IF EXISTS t_span_grams")
+    spark.sql("DROP TABLE IF EXISTS t_span_grams__params")
+
+
+@pytest.mark.parametrize("policy", ["keep_first", "all"])
+def test_incremental_equals_batch_over_union(spark, corpus, span_table,
+                                             policy):
+    """The pinned contract: incremental == batch removal over
+    (seen UNION batch), restricted to batch rows — per-document, text
+    included."""
+    from dask_histogram_spark.operators import (
+        remove_duplicate_spans_incremental,
+    )
+
+    table, seen = span_table
+    batch = spark.createDataFrame(
+        [(1000, corpus[0]),                       # exact re-ingest
+         (1001, corpus[2] + " plus fresh tail words here"),  # near-dup
+         (1002, "entirely fresh text qq ww ee rr tt yy uu"),
+         (1003, "entirely fresh text qq ww ee rr tt yy uu"),  # batch dup
+         (1004, "short doc")],                    # seen short-doc dup
+        "doc_id long, text string")
+    inc = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+           for r in remove_duplicate_spans_incremental(
+               batch, table, policy=policy).collect()}
+    ref = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+           for r in remove_duplicate_spans(
+               seen.unionByName(batch), n=4, min_df=2, policy=policy,
+               plan="join").collect()
+           if r["doc_id"] >= 1000}
+    assert inc == ref
+    if policy == "keep_first":
+        assert inc[1000][0] == ""            # re-ingest fully stripped
+        assert inc[1002][0] != ""            # batch-first copy survives
+        assert inc[1003][0] == ""            # its batch twin does not
+        assert inc[1004][0] == ""            # corpus wins across runs
+
+
+def test_incremental_probe_has_no_seen_side_exchange(spark, corpus,
+                                                     span_table):
+    """The at-scale shape: the batch's gram aggregate joins the
+    bucketed corpus table with NO exchange on the seen side — only
+    batch-derived rows shuffle."""
+    from dask_histogram_spark.operators import load_span_gram_table
+
+    table, _ = span_table
+    grams, n = load_span_gram_table(spark, table)
+    assert n == 4
+    batch = spark.createDataFrame([(1000, corpus[0])],
+                                  "doc_id long, text string")
+    from dask_histogram_spark.operators.spans import (
+        _dup_grams, span_windows)
+
+    b = _dup_grams(span_windows(batch, n), "doc_id", min_df=1)
+    j = b.withColumnRenamed("df", "bdf").join(grams, "h", "left")
+    # at toy scale AQE broadcasts the (tiny) stored table — fine
+    # locally, but the assert is about the 100 TB shape, so pin the
+    # non-broadcast strategy the way the LSH twin's test does
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "Bucketed: true" in plan, plan[:800]
+    lines = [l for l in plan.splitlines()
+             if "Exchange hashpartitioning" in l]
+    # hash exchanges carry only BATCH-derived rows: the batch's own
+    # gram aggregate plus its re-key onto the table's h-bucketing
+    # (both batch-sized); the corpus side never shuffles
+    assert 1 <= len(lines) <= 2, lines
+    for l in lines:
+        assert "hashpartitioning(h#" in l, l
+        assert "first_i" not in l and "first_p" not in l, l
+
+
+def test_span_table_reader_guards(spark, corpus, tmp_path):
+    from dask_histogram_spark.operators import (
+        load_span_gram_table,
+        remove_duplicate_spans_incremental,
+        write_span_gram_table,
+    )
+
+    seen = _sdf(spark, corpus)
+    write_span_gram_table(seen, "t_span_guard", n=4,
+                          path=str(tmp_path / "g"))
+    try:
+        # drifted-formula sidecar fails loudly
+        spark.sql("DROP TABLE IF EXISTS t_span_guard__params")
+        spark.createDataFrame([("posgram-v0", 4)], "formula string, n int") \
+            .write.mode("overwrite") \
+            .option("path", str(tmp_path / "g") + "__params_v0") \
+            .saveAsTable("t_span_guard__params")
+        with pytest.raises(ValueError, match="formula"):
+            load_span_gram_table(spark, "t_span_guard")
+        # a DataFrame for seen is rejected (params live in the sidecar)
+        with pytest.raises(TypeError, match="table NAME"):
+            remove_duplicate_spans_incremental(seen, seen)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_span_guard")
+        spark.sql("DROP TABLE IF EXISTS t_span_guard__params")
