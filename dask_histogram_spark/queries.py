@@ -713,8 +713,6 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       reruns the full window/rank/removal chain over seen UNION batch
       — the incremental probe must equal batch semantics exactly.
     """
-    import tempfile
-
     from .operators import (
         dedup_incremental,
         dedup_incremental_lsh,
@@ -734,47 +732,19 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = dedup_incremental(new, seen)
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _INC_SIG_CACHE:
-        import shutil
-
-        # monotone sequence, NOT len(cache): after an eviction the
-        # length would reuse a live entry's table name and silently
-        # overwrite another sf_dir's signature table
-        tbl = f"dhs_seen_sigs_{next(_INC_SIG_SEQ)}"
-        tmp = tempfile.mkdtemp(prefix="dhs_sigs_")
-        write_signature_table(
+    sig_tbl = _session_table(
+        _INC_SIG_CACHE, key, "dhs_seen_sigs",
+        lambda tbl, path: write_signature_table(
             seen, tbl, num_perm=32, bands=8, hash_fn="fnv1a32",
-            max_bucket=64, n_buckets=16, path=os.path.join(tmp, "t"))
-
-        def _cleanup(tbl=tbl, tmp=tmp):
-            s = SparkSession.getActiveSession()
-            if s is not None:
-                s.sql(f"DROP TABLE IF EXISTS {tbl}")
-                s.sql(f"DROP TABLE IF EXISTS {tbl}__params")
-            shutil.rmtree(tmp, ignore_errors=True)
-
-        _cache_put(_INC_SIG_CACHE, key, tbl, _cleanup)
+            max_bucket=64, n_buckets=16, path=path))
     # name-based call: parameters come from the stored __params sidecar
-    lsh = dedup_incremental_lsh(new, _INC_SIG_CACHE[key][0],
-                                min_sig_matches=24)
-    if key not in _INC_SPAN_CACHE:
-        import shutil
-
-        stbl = f"dhs_seen_grams_{next(_INC_SIG_SEQ)}"
-        stmp = tempfile.mkdtemp(prefix="dhs_grams_")
-        write_span_gram_table(seen, stbl, n=_SPAN_N,
-                              path=os.path.join(stmp, "t"))
-
-        def _cleanup_span(stbl=stbl, stmp=stmp):
-            s = SparkSession.getActiveSession()
-            if s is not None:
-                s.sql(f"DROP TABLE IF EXISTS {stbl}")
-                s.sql(f"DROP TABLE IF EXISTS {stbl}__params")
-            shutil.rmtree(stmp, ignore_errors=True)
-
-        _cache_put(_INC_SPAN_CACHE, key, stbl, _cleanup_span)
+    lsh = dedup_incremental_lsh(new, sig_tbl, min_sig_matches=24)
+    span_tbl = _session_table(
+        _INC_SPAN_CACHE, key, "dhs_seen_grams",
+        lambda tbl, path: write_span_gram_table(
+            seen, tbl, n=_SPAN_N, path=path))
     spn = remove_duplicate_spans_incremental(
-        new, _INC_SPAN_CACHE[key][0], min_df=_SPAN_MIN_DF)
+        new, span_tbl, min_df=_SPAN_MIN_DF)
     return exact.select(
         F.lit("exact").alias("kind"), "doc_id",
         F.col("n_copies").alias("n"),
@@ -1361,7 +1331,6 @@ _register(
 
 
 _EMB_SIG_CACHE: dict = {}
-_EMB_SIG_SEQ = itertools.count()
 
 
 def _q_embedding_dedup_pipeline(spark: SparkSession,
@@ -1387,9 +1356,6 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
       seen side co-located with no exchange (plan-asserted in
       tests/test_plans.py).
     """
-    import shutil
-    import tempfile
-
     from .operators import (
         dedup_clusters,
         embedding_dedup_incremental,
@@ -1405,22 +1371,11 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
         F.col("cluster_id").alias("n"),
     )
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EMB_SIG_CACHE:
-        # monotone sequence, NOT len(cache) — see _INC_SIG_SEQ's note
-        tbl = f"dhs_emb_sigs_{next(_EMB_SIG_SEQ)}"
-        tmp = tempfile.mkdtemp(prefix="dhs_emb_sigs_")
-        write_embedding_signature_table(
+    emb_tbl = _session_table(
+        _EMB_SIG_CACHE, key, "dhs_emb_sigs",
+        lambda tbl, path: write_embedding_signature_table(
             emb, tbl, planes=8, seed=23, repetitions=1,
-            max_bucket=64, n_buckets=16, path=os.path.join(tmp, "t"))
-
-        def _cleanup(tbl=tbl, tmp=tmp):
-            s = SparkSession.getActiveSession()
-            if s is not None:
-                s.sql(f"DROP TABLE IF EXISTS {tbl}")
-                s.sql(f"DROP TABLE IF EXISTS {tbl}__params")
-            shutil.rmtree(tmp, ignore_errors=True)
-
-        _cache_put(_EMB_SIG_CACHE, key, tbl, _cleanup)
+            max_bucket=64, n_buckets=16, path=path))
     new = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     ).unionByName(emb.select(
@@ -1428,14 +1383,14 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
         F.transform("embedding", lambda x: -x).alias("embedding"),
     ))
     # name-based call: planes/seed/repetitions/dim come from __params
-    inc = embedding_dedup_incremental(new, _EMB_SIG_CACHE[key][0],
+    inc = embedding_dedup_incremental(new, emb_tbl,
                                       threshold=0.3)
     # kind='probe': the same nightly batch MULTI-PROBED (probes=1 —
     # each new vector also joins under its lowest-margin bit-flip
     # signature) against the same persisted table; gates the flip
     # ranking/string arithmetic cross-engine (the oracle reproduces
     # the coalesce-to-infinity margin sort and the substr flip)
-    prb = embedding_dedup_incremental(new, _EMB_SIG_CACHE[key][0],
+    prb = embedding_dedup_incremental(new, emb_tbl,
                                       threshold=0.3, probes=1)
     return clusters.unionByName(inc.select(
         F.lit("incremental").alias("kind"), "vec_id",
@@ -2024,6 +1979,35 @@ SELECT q.vec_id, q.scale, q.idx, q.qval, n.l2_norm, n.dim
 FROM q JOIN ({_EMB_NORMS_SQL}) n ON q.vec_id = n.vec_id
 """,
 )
+
+
+def _session_table(cache: dict, key, prefix: str, write_fn) -> str:
+    """Build-once-per-(session, sf_dir) persisted table for the
+    incremental gate rows (signature/gram tables): a monotone
+    sequence-numbered name (NOT len(cache) — after an eviction the
+    length would reuse a live entry's name and silently overwrite
+    another sf_dir's table), a mkdtemp data dir, ``write_fn(table,
+    path)`` to create it, and a cleanup closure (catalog drops +
+    rmtree) registered with :func:`_cache_put`.  Returns the table
+    name.  Shared by the text-LSH, embedding and span incremental
+    legs — one copy of the lifecycle instead of three."""
+    if key not in cache:
+        import shutil
+        import tempfile
+
+        tbl = f"{prefix}_{next(_INC_SIG_SEQ)}"
+        tmp = tempfile.mkdtemp(prefix=f"{prefix}_")
+        write_fn(tbl, os.path.join(tmp, "t"))
+
+        def _cleanup(tbl=tbl, tmp=tmp):
+            s = SparkSession.getActiveSession()
+            if s is not None:
+                s.sql(f"DROP TABLE IF EXISTS {tbl}")
+                s.sql(f"DROP TABLE IF EXISTS {tbl}__params")
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        _cache_put(cache, key, tbl, _cleanup)
+    return cache[key][0]
 
 
 def _cache_put(cache: dict, key, value, cleanup=None, cap: int = 8) -> None:

@@ -241,13 +241,14 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
 
     ``shuffle_seed`` additionally randomizes the WITHIN-shard row
     order (training loaders want documents decorrelated from crawl /
-    pipeline order): rows sort by the shared two-round seeded id hash
-    (``pipeline._gold_hash`` — deterministic, rerun-stable,
-    seed-independent of the sampling seeds by construction) INSIDE the
+    pipeline order): rows sort by ``xxhash64(id, seed)`` — any id
+    type, the same function as the shard assignment — INSIDE the
     existing shard repartition, so the global shuffle costs one
-    sortWithinPartitions on data that was already moving — no extra
-    exchange.  Different seeds give independent orders; membership is
-    unaffected.
+    sortWithinPartitions on data that was already moving, no extra
+    exchange.  The id itself tie-breaks the (already ~impossible
+    64-bit) hash collisions, so the written order is bit-deterministic
+    per seed on any rerun; different seeds give independent orders;
+    membership is unaffected.
     """
     import pyspark.sql.functions as F
 
@@ -289,17 +290,19 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
         .cast("int"))
     moved = sharded.repartition(n_shards, "shard")
     if shuffle_seed is not None:
-        from ..operators.pipeline import _gold_hash
-
         # sort key leads with the partition column: partitionBy writes
         # REQUIRE ordering by their columns and plan their own Sort
         # when unsatisfied — which would eliminate a bare __ord sort
         # (Sort-over-Sort) and silently undo the shuffle.  Leading
         # with 'shard' satisfies the writer's requirement so THIS sort
-        # is the only one, and __ord breaks the (single-valued) ties.
-        moved = (moved.withColumn("__ord", _gold_hash(id_col,
-                                                      shuffle_seed))
-                 .sortWithinPartitions("shard", "__ord").drop("__ord"))
+        # is the only one.  xxhash64 (not the samplers' long-only
+        # _gold_hash) accepts any id type, and the trailing id column
+        # tie-breaks hash collisions so reruns are byte-identical.
+        moved = (moved.withColumn(
+            "__ord", F.xxhash64(F.col(id_col),
+                                F.lit(int(shuffle_seed))))
+            .sortWithinPartitions("shard", "__ord", id_col)
+            .drop("__ord"))
     writer = moved.write.mode(mode).partitionBy("shard")
     if compression is not None:
         writer = writer.option("compression", compression)

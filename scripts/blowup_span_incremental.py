@@ -101,6 +101,11 @@ def run_point(spark: SparkSession, n_seen: int) -> None:
           f"fresh {n_fresh} untouched", flush=True)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}__params")
+    # external tables: DROP removes catalog entries only — reclaim
+    # the parquet data too or each ladder point leaks its gram table
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:

@@ -315,3 +315,15 @@ def test_shard_shuffle_seed_orders_within_shard(spark, tmp_path):
     assert a != c                      # seed changes the order
     assert sorted(a) == sorted(c)      # membership unchanged
     assert a != sorted(a)              # actually decorrelated from id
+
+    # string ids shuffle too (the order hash is type-agnostic
+    # xxhash64, not the samplers' long-only _gold_hash)
+    sdf = df.select(F.concat(F.lit("u"), F.col("doc_id"))
+                    .alias("doc_id"), "text")
+    from dask_histogram_spark.sources import write_training_shards
+
+    write_training_shards(sdf, str(tmp_path / "s"), n_shards=2,
+                          shuffle_seed=7)
+    got = [r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "s") + "/shard=0").collect()]
+    assert got and got != sorted(got)
