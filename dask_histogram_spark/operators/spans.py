@@ -474,6 +474,12 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
                      F.col("first.p").alias("first_p")))
     from ..sources import write_bucketed
 
+    # deliberately NOT sortBy("h"): a same-session A/B at 10M docs
+    # (BASELINE round-8) measured sorted buckets 3x slower to build
+    # (87.6 vs 30.4 s) with a SLOWER probe (10.6/5.1 vs 6.3/3.4 s) —
+    # each write task emits its own file per bucket, so buckets hold
+    # many sorted files, Spark cannot trust the ordering, and the
+    # probe join re-sorts anyway; the write-time sort is a pure loss
     write_bucketed(grams, table, ["h"], n_buckets, path=path)
     pw = spark.createDataFrame(
         [(_SPAN_FORMULA, int(n))], "formula string, n int",
