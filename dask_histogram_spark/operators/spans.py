@@ -520,13 +520,17 @@ def remove_duplicate_spans_incremental(
     duplicated against the PERSISTED corpus gram table plus the batch
     itself — without rescanning the corpus.
 
-    Semantics == batch :func:`remove_duplicate_spans` over
-    (seen corpus UNION batch) restricted to the batch's rows (asserted
-    per-document in tests): combined df = corpus count + batch count;
-    under ``keep_first`` the corpus always wins (its occurrence IS the
-    global first — run ids are disjoint by the cross-run contract, the
-    same assumption dedup_incremental makes), and grams the corpus has
-    never seen keep their batch-min occurrence.
+    Semantics: combined df = corpus count + batch count; under
+    ``keep_first`` the CORPUS always wins — temporal precedence, the
+    corpus was there first, regardless of how its ids compare to the
+    batch's — and grams the corpus has never seen keep their
+    batch-min occurrence.  This equals batch
+    :func:`remove_duplicate_spans` over (seen UNION batch) restricted
+    to the batch's rows (asserted per-document in tests) EXACTLY WHEN
+    every seen id orders below every batch id; with interleaved id
+    spaces the union's min-(id, pos) rule could hand "first" to a
+    batch doc, which a nightly pipeline never wants (run ids must
+    still be disjoint — the dedup_incremental contract).
 
     ``seen`` is a :func:`write_span_gram_table` NAME (window width and
     hash formula come from the ``__params`` sidecar — a drifted reader

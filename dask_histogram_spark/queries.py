@@ -722,11 +722,16 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     seen = get_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    # batch ids sit ABOVE every seen id at ANY sf (sf1's synthetic
+    # copies reach 9e7, so a +100000 offset would interleave with the
+    # seen id space and break the span leg's batch-over-union oracle
+    # equivalence, which needs seen ids to precede batch ids — caught
+    # by the round-8 sf1 self-run)
     new = seen.select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
     ).unionByName(
         seen.select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
+            (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"),
         )
     )
@@ -1587,9 +1592,9 @@ def _dedup_incremental_oracle() -> str:
     new_band = _minhash_band_sql(bands=8, r=4, src="s2")
     return f"""
 WITH nw AS (
-  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' (rev2)' AS text
+  SELECT doc_id + 2000000000 AS doc_id, text || ' (rev2)' AS text
   FROM documents
 ),
 combined AS (
@@ -1632,7 +1637,7 @@ SELECT 'lsh' AS kind, nw.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM nw LEFT JOIN cnt c ON c.new_id = nw.doc_id
 UNION ALL
 SELECT 'span' AS kind, cl.doc_id, cl.n_removed_words AS n
-FROM clean cl WHERE cl.doc_id >= 100000
+FROM clean cl JOIN nw USING (doc_id)
 """
 
 

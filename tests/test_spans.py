@@ -364,3 +364,20 @@ def test_span_table_reader_guards(spark, corpus, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_span_guard")
         spark.sql("DROP TABLE IF EXISTS t_span_guard__params")
+
+
+def test_incremental_corpus_wins_even_with_smaller_batch_ids(
+        spark, corpus, span_table):
+    """Temporal precedence, not id order: a batch doc whose id sorts
+    BELOW every seen id still loses its corpus-duplicated spans (the
+    union-min-id rule would wrongly keep it)."""
+    from dask_histogram_spark.operators import (
+        remove_duplicate_spans_incremental,
+    )
+
+    table, _ = span_table
+    batch = spark.createDataFrame(
+        [(-5, corpus[0])], "doc_id long, text string")
+    row = remove_duplicate_spans_incremental(batch, table).collect()[0]
+    assert row["clean_text"] == ""
+    assert row["n_removed_words"] == len(corpus[0].split())
