@@ -557,9 +557,10 @@ def remove_duplicate_spans_incremental(
 
     b = _dup_grams(span_windows(new_df, n, text_col, id_col, "arrow"),
                    id_col, min_df=1)
-    # combined df = corpus count + batch count; first occurrence in
-    # union order is the corpus's when it has the gram (seen ids
-    # precede batch ids by contract), else the batch's
+    # combined df = corpus count + batch count; the recorded "first"
+    # is the corpus's occurrence whenever it has the gram (temporal
+    # precedence — see the docstring; no batch (id, pos) can equal a
+    # seen one because run ids are disjoint), else the batch's min
     d = (b.withColumnRenamed("df", "bdf")
          .join(seen_grams, "h", "left")
          .where((F.coalesce(F.col("df"), F.lit(0)) + F.col("bdf"))
