@@ -58,6 +58,24 @@ The Arrow kernel compares rolling 64-bit combines of per-token hashes
 joined gram string, and the DuckDB oracle the gram string itself —
 counts, first-occurrence ranks and removal sets are hash-function-
 agnostic, so all three agree row-for-row.
+
+64-bit collision bound (matters because removal is DESTRUCTIVE —
+round-8 ADVICE): two distinct singleton grams colliding under the
+64-bit hash look like one gram with df=2 and silently delete a
+unique passage each.  Expected false-dup pairs ~= W^2 / 2^65 for W
+total windows: negligible below W ~ 1e9 (<0.03 expected), ~14 at
+W = 1e10, and ~27,000 at the 100 TB scale of W ~ 1e12 (still only
+~3e-6 % of windows, but nonzero).  Mitigations, cheapest first:
+(1) ``min_df >= 3`` needs a THREE-way collision (~W^3 / 2^128 —
+zero at any earthly W) and is the natural setting for boilerplate
+removal anyway; (2) shard the corpus and run removal per shard of
+<= ~1e9 windows (cross-shard boilerplate still dedups inside each
+shard); (3) at strict ``min_df=2`` over 1e11+ windows, accept the
+documented ~1e-6 % false-removal floor or verify the dup set's
+grams textually before removal (one extra join of dup positions
+against the text — the join plan already co-locates them).  The
+STATS path (:func:`dup_span_stats`) shares the bound but only
+miscounts; no text is harmed.
 """
 
 from __future__ import annotations
@@ -77,11 +95,46 @@ __all__ = [
     "write_span_gram_table",
     "load_span_gram_table",
     "remove_duplicate_spans_incremental",
+    "estimate_windows",
 ]
 
 # plan='auto' broadcasts the dup-window set below this many grams
 # (3 numpy arrays x 8-16 B/gram -> low hundreds of MB at the cap)
 _MAX_BROADCAST_GRAMS = 2_000_000
+
+# gram-aggregate sizing target: the reduce-side hash map holds
+# ~windows/partitions groups per task (grams are mostly distinct in a
+# dedup corpus), and concurrent tasks share one execution-memory pool
+# — ~8M groups/task is the measured safe point (round-8 100M-doc
+# capstone: default 32 partitions put ~53M groups in every one of 32
+# concurrent maps and OOM'd a 96g heap; ~8M/task ran clean)
+_TARGET_GROUPS_PER_TASK = 8_000_000
+_EST_SAMPLE_FRACTION = 0.001
+
+
+def estimate_windows(df: DataFrame, n: int = 6,
+                     text_col: str = "text",
+                     sample_fraction: float = _EST_SAMPLE_FRACTION) -> int:
+    """Sampled estimate of the corpus's total window count (the gram
+    aggregate's group cardinality upper bound): mean windows/doc over
+    a ``sample_fraction`` sample x the corpus row count.  Two cheap
+    jobs — the sample scans ``sample_fraction`` of the text, the
+    count is a metadata-weight scan.  Feed the result to the span
+    operators' ``est_windows`` so giant corpora size their own gram
+    shuffle (see :func:`_dup_grams`)."""
+    total = df.count()
+    if total == 0:
+        return 0
+    toks = _toks_col(text_col)
+    s = (df.where(F.col(text_col).isNotNull())
+         .sample(fraction=min(1.0, max(sample_fraction, 1000 / total)))
+         .agg(F.sum(F.greatest(F.size(toks) - n + 1, F.lit(1)))
+              .alias("w"),
+              F.count(F.lit(1)).alias("d"))
+         .first())
+    if not s["d"]:
+        return total  # degenerate sample: assume >= 1 window/doc
+    return int(total * (s["w"] / s["d"]))
 
 
 def _toks_col(text_col: str) -> Column:
@@ -164,9 +217,33 @@ def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
-def _dup_grams(windows: DataFrame, id_col: str, min_df: int) -> DataFrame:
+def _dup_grams(windows: DataFrame, id_col: str, min_df: int,
+               est_windows: int | None = None) -> DataFrame:
     """(h, df, first) for every window hash seen >= min_df times;
-    ``first`` is the globally smallest (id, pos) occurrence."""
+    ``first`` is the globally smallest (id, pos) occurrence.
+
+    ``est_windows`` (total window count, exact or estimated) sizes the
+    aggregate's OWN shuffle: when the estimate implies more than
+    ``spark.sql.shuffle.partitions`` tasks of ~8M groups each, the
+    window stream repartitions on ``h`` at the computed width and the
+    aggregate reuses that partitioning (no second exchange — Spark
+    recognizes the hash distribution as satisfied).  Default (None)
+    keeps the session's shuffle sizing: at small inputs AQE coalesces
+    anyway and nothing changes.  This is the round-8 capstone lesson
+    moved out of ``scripts/blowup_spans.py`` into the operator — a
+    100 TB caller of :func:`dup_span_stats` /
+    :func:`remove_duplicate_spans` must not need a babysitting script
+    to survive the gram aggregate.  (The explicit repartition trades
+    away map-side partial aggregation, which buys ~nothing here:
+    grams are mostly distinct, so partials barely compress — the
+    binding constraint is the reduce-side hash map, which this sizes
+    exactly.)"""
+    if est_windows:
+        spark = windows.sparkSession
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        need = -(-int(est_windows) // _TARGET_GROUPS_PER_TASK)
+        if need > cur:
+            windows = windows.repartition(need, "h")
     return (
         windows.groupBy("h")
         .agg(F.count("*").alias("df"),
@@ -176,9 +253,22 @@ def _dup_grams(windows: DataFrame, id_col: str, min_df: int) -> DataFrame:
     )
 
 
+def _resolve_est(df: DataFrame, n: int, text_col: str,
+                 est_windows) -> int | None:
+    """Normalize the public ``est_windows`` knob: None (default
+    sizing), an int rows-estimate, or ``'sample'`` to measure one via
+    :func:`estimate_windows`."""
+    if est_windows is None:
+        return None
+    if est_windows == "sample":
+        return estimate_windows(df, n, text_col)
+    return int(est_windows)
+
+
 def dup_span_stats(df: DataFrame, n: int = 6, min_df: int = 2,
                    text_col: str = "text", id_col: str = "doc_id",
-                   method: str = "auto") -> DataFrame:
+                   method: str = "auto",
+                   est_windows=None) -> DataFrame:
     """Per-document duplicated-window profile: (id, n_windows,
     n_dup_windows, n_removable_windows, dup_fraction).
 
@@ -188,9 +278,14 @@ def dup_span_stats(df: DataFrame, n: int = 6, min_df: int = 2,
     ``policy='keep_first'`` removal deletes).  Plan: one 8-byte-hash
     count shuffle + a join of window rows against the (usually tiny —
     AQE broadcasts it when so) dup set; document text never shuffles.
+
+    ``est_windows`` (int total-window estimate, or ``'sample'`` to
+    measure one) sizes the gram aggregate's shuffle for giant corpora
+    — see :func:`_dup_grams`; default None keeps session sizing.
     """
+    est = _resolve_est(df, n, text_col, est_windows)
     w = span_windows(df, n, text_col, id_col, method)
-    d = _dup_grams(w, id_col, min_df)
+    d = _dup_grams(w, id_col, min_df, est)
     j = w.join(d, "h", "left")
     not_first = (
         F.col("df").isNotNull()
@@ -302,7 +397,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
                            text_col: str = "text", id_col: str = "doc_id",
                            plan: str = "auto", method: str = "auto",
                            max_broadcast_grams: int = _MAX_BROADCAST_GRAMS,
-                           ) -> DataFrame:
+                           est_windows=None) -> DataFrame:
     """Rebuild every document without its duplicated spans.
 
     Output: the input columns plus ``clean_text`` (normalized text
@@ -313,7 +408,10 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     globally first (min (id, pos)) occurrence — corpus content is
     deduplicated, not deleted (Lee et al. semantics at window
     granularity).  ``policy='all'`` strips every occurrence —
-    boilerplate removal.
+    boilerplate removal.  Removal is destructive and hash-keyed: see
+    the module docstring's 64-bit collision bound (negligible below
+    ~1e9 windows; prefer ``min_df >= 3`` or per-shard runs beyond
+    ~1e10 at strict min_df=2).
 
     ``plan='broadcast'`` collects the dup-window set (at most
     ``max_broadcast_grams`` + 1 rows ever reach the driver — an
@@ -328,7 +426,9 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     linear-per-doc kernel) or ``'column'`` (pure JVM HOF twin — exact
     but O(words x dup_starts) per doc; join-plan only, so asking for
     it under ``plan='broadcast'`` raises and under ``'auto'`` forces
-    the join plan).
+    the join plan).  ``est_windows`` (int or ``'sample'``) sizes the
+    gram aggregate's shuffle for giant corpora — see
+    :func:`_dup_grams`.
     """
     if policy not in ("keep_first", "all"):
         raise ValueError(f"unknown policy: {policy!r}")
@@ -344,6 +444,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
                 "plan='join' (or method='arrow')")
         plan = "join"
     spark = df.sparkSession
+    est = _resolve_est(df, n, text_col, est_windows)
 
     arrays = None
     if plan in ("auto", "broadcast"):
@@ -352,7 +453,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
         # auto never pays a second aggregate pass to count first
         d = _dup_grams(
             span_windows(df, n, text_col, id_col, "arrow"),
-            id_col, min_df)
+            id_col, min_df, est)
         tbl = (d.select("h", "first.i", "first.p")
                .limit(max_broadcast_grams + 1).toArrow())
         if tbl.num_rows > max_broadcast_grams:
@@ -374,7 +475,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
         raise ValueError(f"unknown plan: {plan!r}")
 
     w = span_windows(df, n, text_col, id_col)
-    d = _dup_grams(w, id_col, min_df)
+    d = _dup_grams(w, id_col, min_df, est)
     rem = w.join(d, "h")
     if policy == "keep_first":
         rem = rem.filter(
@@ -445,7 +546,8 @@ _SPAN_FORMULA = "posgram-v1"
 def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
                           text_col: str = "text", id_col: str = "doc_id",
                           n_buckets: int = 64,
-                          path: str | None = None) -> None:
+                          path: str | None = None,
+                          est_windows=None) -> None:
     """Persist a corpus's window-gram COUNT table as the cross-run
     "seen" state for :func:`remove_duplicate_spans_incremental`: one
     row per distinct window hash — (h, df, first_i, first_p) — written
@@ -461,14 +563,21 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
     distinct-window count — the same asymptotics as the signature
     tables (corpus x bands rows there, distinct windows here).
 
-    The window width ``n`` and hash formula are persisted as
-    ``<table>__params`` with the crash-safe drop-before/create-after
-    ordering (a rebuild killed mid-write leaves no sidecar, so readers
-    fail loudly instead of probing with drifted parameters)."""
+    The window width ``n``, hash formula, and (for numeric ids) the
+    corpus's id RANGE are persisted as ``<table>__params`` with the
+    crash-safe drop-before/create-after ordering (a rebuild killed
+    mid-write leaves no sidecar, so readers fail loudly instead of
+    probing with drifted parameters).  The id range lets the
+    incremental probe VALIDATE the run-id-disjointness contract
+    instead of trusting it (round-8 ADVICE): a batch id inside the
+    stored range could collide with a recorded first occurrence and
+    silently keep a span that should be stripped."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}__params")
     grams = (_dup_grams(span_windows(df, n, text_col, id_col, "arrow"),
-                        id_col, min_df=1)
+                        id_col, min_df=1,
+                        est_windows=_resolve_est(df, n, text_col,
+                                                 est_windows))
              .select("h", "df",
                      F.col("first.i").alias("first_i"),
                      F.col("first.p").alias("first_p")))
@@ -481,18 +590,29 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
     # many sorted files, Spark cannot trust the ordering, and the
     # probe join re-sorts anyway; the write-time sort is a pure loss
     write_bucketed(grams, table, ["h"], n_buckets, path=path)
+    # id bounds from the WRITTEN gram table (hash + 3 ints per
+    # distinct gram — far cheaper than rescanning text); every
+    # non-null-text doc has >= 1 window, so min/max(first_i) bound
+    # every id that can ever appear as a recorded first occurrence
+    min_id = max_id = None
+    if isinstance(df.schema[id_col].dataType,
+                  (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        b = spark.table(table).agg(
+            F.min("first_i"), F.max("first_i")).first()
+        if b[0] is not None:
+            min_id, max_id = int(b[0]), int(b[1])
     pw = spark.createDataFrame(
-        [(_SPAN_FORMULA, int(n))], "formula string, n int",
+        [(_SPAN_FORMULA, int(n), min_id, max_id)],
+        "formula string, n int, min_id bigint, max_id bigint",
     ).write.mode("overwrite")
     if path is not None:
         pw = pw.option("path", f"{path}__params")
     pw.saveAsTable(f"{table}__params")
 
 
-def load_span_gram_table(spark, table: str):
-    """Open a :func:`write_span_gram_table` table by NAME with the
-    loud safety checks (empty sidecar from an interrupted write,
-    drifted hash formula).  Returns (grams DataFrame, n)."""
+def _load_span_params(spark, table: str):
+    """Validated ``__params`` row for a span gram table (loud on the
+    empty-sidecar and drifted-formula states)."""
     rows = spark.table(f"{table}__params").collect()
     if not rows:
         raise ValueError(
@@ -508,6 +628,14 @@ def load_span_gram_table(spark, table: str):
             "counts from different formulas never align (every batch "
             "span would silently look fresh).  Rebuild the table with "
             "write_span_gram_table.")
+    return p
+
+
+def load_span_gram_table(spark, table: str):
+    """Open a :func:`write_span_gram_table` table by NAME with the
+    loud safety checks (empty sidecar from an interrupted write,
+    drifted hash formula).  Returns (grams DataFrame, n)."""
+    p = _load_span_params(spark, table)
     return spark.table(table), int(p.n)
 
 
@@ -553,7 +681,30 @@ def remove_duplicate_spans_incremental(
             "window width and hash formula live in its __params "
             "sidecar, and probing with drifted parameters would "
             "silently strip nothing")
-    seen_grams, n = load_span_gram_table(spark, seen)
+    p = _load_span_params(spark, seen)
+    seen_grams, n = spark.table(seen), int(p.n)
+    # validate, don't trust, the run-id-disjointness contract (round-8
+    # ADVICE): under keep_first a batch (id, pos) equal to a stored
+    # first occurrence would silently KEEP a span that should be
+    # stripped.  When the write recorded a numeric id range, a
+    # batch-sized min/max agg detects range overlap loudly; policy
+    # 'all' strips every occurrence, so firsts (and id collisions)
+    # cannot change its output and the check is skipped.
+    smin = getattr(p, "min_id", None)
+    if policy == "keep_first" and smin is not None:
+        smax = int(p.max_id)
+        bb = new_df.agg(F.min(id_col).alias("lo"),
+                        F.max(id_col).alias("hi")).first()
+        if bb["lo"] is not None and not (int(bb["lo"]) > smax
+                                         or int(bb["hi"]) < int(smin)):
+            raise ValueError(
+                f"batch {id_col} range [{bb['lo']}, {bb['hi']}] "
+                f"overlaps the seen corpus's stored id range "
+                f"[{smin}, {smax}] — run ids must be disjoint "
+                "(temporal precedence records the corpus occurrence "
+                "as 'first'; a batch id equal to a seen id would "
+                "silently keep a span that should be stripped).  "
+                "Re-key the batch above the corpus id space.")
 
     b = _dup_grams(span_windows(new_df, n, text_col, id_col, "arrow"),
                    id_col, min_df=1)

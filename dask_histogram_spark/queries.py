@@ -725,14 +725,16 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch ids must sit ABOVE every seen id: the span leg's
     # batch-over-union oracle needs seen ids to precede batch ids
     # (sf1's synthetic copies reach 9e7 and broke the old +100000
-    # offsets — caught by the round-8 sf1 self-run).  Assert rather
-    # than assume, so a future bigger sf fails LOUDLY here instead of
-    # hash-mismatching the driver row.
+    # offsets — caught by the round-8 sf1 self-run).  Raise (not
+    # assert — `python -O` strips asserts, round-8 ADVICE) so a
+    # future bigger sf fails LOUDLY here instead of hash-mismatching
+    # the driver row.
     max_seen = seen.agg(F.max("doc_id")).first()[0]
-    assert max_seen is not None and max_seen < 1_000_000_000, (
-        f"dedup_incremental gate: seen doc_ids reach {max_seen}, "
-        "interleaving with the +1e9/+2e9 batch offsets — raise the "
-        "offsets (and the oracle's) above the seen id space")
+    if max_seen is None or max_seen >= 1_000_000_000:
+        raise ValueError(
+            f"dedup_incremental gate: seen doc_ids reach {max_seen}, "
+            "interleaving with the +1e9/+2e9 batch offsets — raise the "
+            "offsets (and the oracle's) above the seen id space")
     new = seen.select(
         (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
     ).unionByName(

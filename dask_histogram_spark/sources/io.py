@@ -89,7 +89,9 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
     .count()``).  Parsing line-text through ``from_json`` yields the
     corrupt column as an ordinary field with no such restriction, at
     identical scan cost (JSONL is a line format either way).  Blank
-    lines are not documents and are dropped.
+    lines (empty or all-whitespace, tabs included — ``rlike '\\S'``,
+    not space-only Spark ``trim``; round-8 ADVICE) are not documents
+    and are dropped.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -108,8 +110,7 @@ def read_jsonl_corpus(spark: SparkSession, path: str,
         struct = T.StructType.fromDDL(schema)
     full = T.StructType(list(struct) + [
         T.StructField(corrupt_col, T.StringType())])
-    raw = spark.read.text(path).where(
-        F.length(F.trim(F.col("value"))) > 0)
+    raw = spark.read.text(path).where(F.col("value").rlike(r"\S"))
     parsed = raw.select(F.from_json(
         F.col("value"), full,
         {"mode": "PERMISSIVE",

@@ -269,11 +269,14 @@ def test_jsonl_corrupt_only_query_works(spark, tmp_path):
     from dask_histogram_spark.sources import read_jsonl_corpus
 
     p = tmp_path / "c.jsonl"
-    p.write_text('{"doc_id": 1, "text": "ok"}\nbroken\n\n')
+    # blank-line forms: empty, tab-only, space-only — all must drop
+    # (rlike '\\S', not space-only trim; round-8 ADVICE found '\t'
+    # lines surfacing as spurious corrupt records)
+    p.write_text('{"doc_id": 1, "text": "ok"}\nbroken\n\n\t\n   \n')
     df = read_jsonl_corpus(spark, str(p),
                            schema="doc_id long, text string")
     assert df.where(F.col("_corrupt_record").isNotNull()).count() == 1
-    assert df.count() == 2  # the blank line is not a document
+    assert df.count() == 2  # blank/whitespace-only lines: not documents
 
 
 def test_jsonl_custom_corrupt_col_inferred_schema(spark, tmp_path):

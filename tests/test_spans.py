@@ -381,3 +381,88 @@ def test_incremental_corpus_wins_even_with_smaller_batch_ids(
     row = remove_duplicate_spans_incremental(batch, table).collect()[0]
     assert row["clean_text"] == ""
     assert row["n_removed_words"] == len(corpus[0].split())
+
+
+def test_incremental_probe_rejects_overlapping_ids(spark, corpus,
+                                                   span_table):
+    """Round-8 ADVICE: the run-id-disjointness contract is VALIDATED,
+    not trusted — a batch id inside the stored corpus id range could
+    equal a recorded first occurrence and silently keep a span that
+    should be stripped.  keep_first raises; policy='all' (where firsts
+    cannot change the output) skips the check."""
+    from dask_histogram_spark.operators import (
+        remove_duplicate_spans_incremental,
+    )
+
+    table, _ = span_table
+    batch = spark.createDataFrame(
+        [(5, corpus[0]), (1000, corpus[2])], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlaps"):
+        remove_duplicate_spans_incremental(batch, table)
+    # 'all' strips every occurrence regardless of firsts — id overlap
+    # is harmless there and must not raise
+    rows = remove_duplicate_spans_incremental(
+        batch, table, policy="all").collect()
+    assert {r["doc_id"] for r in rows} == {5, 1000}
+
+
+def test_estimate_windows_exact_at_full_sample(spark, corpus):
+    """estimate_windows at fraction >= 1 (tiny corpora are clamped to
+    a full scan) equals the true window count from span_windows."""
+    from dask_histogram_spark.operators import estimate_windows
+
+    df = _sdf(spark, corpus)
+    truth = span_windows(df, 4).count()
+    assert estimate_windows(df, n=4) == truth
+
+
+def test_est_windows_sizes_gram_shuffle(spark, corpus):
+    """The round-8 capstone lesson, in the operator: an est_windows
+    implying more than the session's shuffle partitions of ~8M groups
+    repartitions the window stream on h at the computed width, and the
+    gram aggregate REUSES that partitioning (exactly one exchange).
+    Results are identical to the default path."""
+    from dask_histogram_spark.operators.spans import (
+        _TARGET_GROUPS_PER_TASK,
+        _dup_grams,
+    )
+
+    df = _sdf(spark, corpus)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = cur + 17
+    w = span_windows(df, 4)
+    sized = _dup_grams(w, "doc_id", 2,
+                       est_windows=want * _TARGET_GROUPS_PER_TASK)
+    plan = sized._jdf.queryExecution().sparkPlan().toString()
+    assert f"hashpartitioning(h#" in plan, plan[:800]
+    assert f", {want})" in plan, plan[:800]
+    assert plan.count("Exchange") == 1, plan[:1200]
+    # small estimate -> default sizing, no user repartition node
+    small = _dup_grams(w, "doc_id", 2, est_windows=100)
+    assert "REPARTITION" not in \
+        small._jdf.queryExecution().sparkPlan().toString()
+    # identical results either way
+    ref = {r["h"]: (r["df"], r["first"])
+           for r in small.collect()}
+    got = {r["h"]: (r["df"], r["first"])
+           for r in sized.collect()}
+    assert got == ref
+
+
+def test_public_ops_accept_est_windows(spark, corpus):
+    """est_windows threads through the public APIs (int and 'sample')
+    without changing any result."""
+    df = _sdf(spark, corpus)
+    base = {r["doc_id"]: r["n_dup_windows"]
+            for r in dup_span_stats(df, n=4).collect()}
+    for est in (10**9, "sample"):
+        got = {r["doc_id"]: r["n_dup_windows"]
+               for r in dup_span_stats(df, n=4,
+                                       est_windows=est).collect()}
+        assert got == base
+    a = {r["doc_id"]: r["clean_text"]
+         for r in remove_duplicate_spans(df, n=4).collect()}
+    b = {r["doc_id"]: r["clean_text"]
+         for r in remove_duplicate_spans(
+             df, n=4, est_windows=10**9, plan="join").collect()}
+    assert a == b
