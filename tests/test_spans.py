@@ -466,3 +466,145 @@ def test_public_ops_accept_est_windows(spark, corpus):
          for r in remove_duplicate_spans(
              df, n=4, est_windows=10**9, plan="join").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# line granularity (RefinedWeb/Dolma-style line dedup)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def line_corpus():
+    footer = "All Rights  Reserved \t contact admin"
+    return {
+        0: "Alpha beta\nGamma delta\n" + footer,
+        1: "unrelated content here\n" + footer + "\nmore unique stuff",
+        2: "gamma  DELTA\nsolo line",          # dups doc 0's 2nd line
+        3: "\n \t\n   ",                        # all-blank: no lines
+        4: "single line only",
+        5: None,
+    }
+
+
+def _line_ref(docs: dict, min_df: int = 2):
+    """Independent model of the pinned line semantics: normalized
+    non-blank lines, df counts, keep_first/all removal."""
+    toks = {}
+    for i, t in sorted(docs.items()):
+        if t is None:
+            continue
+        toks[i] = [" ".join(p for p in _WS.split(ln.lower()) if p)
+                   for ln in t.split("\n")]
+        toks[i] = [s for s in toks[i] if s]
+    df, first = {}, {}
+    for i in sorted(toks):
+        for p, g in enumerate(toks[i]):
+            df[g] = df.get(g, 0) + 1
+            first.setdefault(g, (i, p))
+    clean = {}
+    for i, ts in toks.items():
+        for policy in ("keep_first", "all"):
+            kept = [g for p, g in enumerate(ts)
+                    if df[g] < min_df
+                    or (policy == "keep_first" and first[g] == (i, p))]
+            clean[(i, policy)] = ("\n".join(kept), len(ts) - len(kept))
+    return toks, df, clean
+
+
+@pytest.mark.parametrize("method", ["arrow", "column"])
+def test_line_windows_match_reference(spark, line_corpus, method):
+    toks, _, _ = _line_ref(line_corpus)
+    got = {}
+    for r in span_windows(_sdf(spark, line_corpus), n=1,
+                          method=method, granularity="line").collect():
+        got.setdefault(r["doc_id"], []).append(r["pos"])
+    # docs with no non-blank lines (3) and NULL text (5) have no rows
+    assert set(got) == {i for i, ts in toks.items() if ts}
+    for i, ps in got.items():
+        assert sorted(ps) == list(range(len(toks[i])))
+
+
+@pytest.mark.parametrize("plan", ["broadcast", "join"])
+@pytest.mark.parametrize("policy", ["keep_first", "all"])
+def test_line_removal_matches_reference(spark, line_corpus, plan, policy):
+    _, _, clean = _line_ref(line_corpus)
+    rows = remove_duplicate_spans(
+        _sdf(spark, line_corpus), n=1, policy=policy, plan=plan,
+        granularity="line").collect()
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+           for r in rows}
+    assert got[5] == (None, None)          # NULL text -> NULL outputs
+    assert got[3] == ("", 0)               # all-blank: nothing to keep
+    for i in (0, 1, 2, 4):
+        assert got[i] == clean[(i, policy)], (i, policy)
+
+
+def test_line_column_rebuild_matches_arrow(spark, line_corpus):
+    a = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+         for r in remove_duplicate_spans(
+             _sdf(spark, line_corpus), n=1, granularity="line",
+             method="column", plan="join").collect()}
+    b = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+         for r in remove_duplicate_spans(
+             _sdf(spark, line_corpus), n=1, granularity="line",
+             method="arrow", plan="join").collect()}
+    assert a == b
+
+
+def test_line_gram_joiner_is_unambiguous(spark):
+    """Multi-line grams must not collide across different line splits:
+    ["a b", "c"] vs ["a", "b c"] join to the same string under ' '
+    but not under '\\n' — neither method may report a duplicate."""
+    df = spark.createDataFrame(
+        [(0, "a b\nc"), (1, "a\nb c")], "doc_id long, text string")
+    for method in ("arrow", "column"):
+        s = dup_span_stats(df, n=2, min_df=2, method=method,
+                           granularity="line").collect()
+        assert all(r["n_dup_windows"] == 0 for r in s), (method, s)
+
+
+def test_line_stats_profile(spark, line_corpus):
+    _, df_counts, _ = _line_ref(line_corpus)
+    rows = dup_span_stats(_sdf(spark, line_corpus), n=1,
+                          granularity="line").collect()
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"]) for r in rows}
+    # footer line duplicated between docs 0/1; gamma-delta between 0/2
+    assert got[0] == (3, 2)
+    assert got[1] == (3, 1)
+    assert got[2] == (2, 1)
+    assert got[4] == (1, 0)
+    assert 3 not in got and 5 not in got
+
+
+def test_line_incremental_roundtrip(spark, line_corpus, tmp_path):
+    """granularity rides the __params sidecar: a line-granularity
+    table probes at line granularity without the caller restating it."""
+    from dask_histogram_spark.operators import (
+        remove_duplicate_spans_incremental,
+        write_span_gram_table,
+    )
+
+    seen = _sdf(spark, {k: v for k, v in line_corpus.items()
+                        if v is not None})
+    write_span_gram_table(seen, "t_line_grams", n=1,
+                          granularity="line",
+                          path=str(tmp_path / "lg"))
+    try:
+        batch = spark.createDataFrame(
+            [(1000, "Fresh new line\nall rights  reserved\tcontact admin")],
+            "doc_id long, text string")
+        row = remove_duplicate_spans_incremental(
+            batch, "t_line_grams").collect()[0]
+        # the footer line is seen -> stripped; the fresh line survives
+        assert row["clean_text"] == "fresh new line"
+        assert row["n_removed_words"] == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_line_grams")
+        spark.sql("DROP TABLE IF EXISTS t_line_grams__params")
+
+
+def test_granularity_validated(spark, line_corpus):
+    df = _sdf(spark, line_corpus)
+    with pytest.raises(ValueError, match="granularity"):
+        span_windows(df, n=1, granularity="paragraph")
+    with pytest.raises(ValueError, match="granularity"):
+        remove_duplicate_spans(df, n=1, granularity="char")
