@@ -561,6 +561,49 @@ _SPAN_BOILER = ("all rights reserved contact the site admin team "
 _SPAN_N = 6
 _SPAN_MIN_DF = 2
 
+# LINE-granularity leg (round-9): a shared footer LINE planted on
+# every 3rd document; keep_first line dedup (n=1) strips it from all
+# but the first.  The literal is already normalized (lowercase,
+# single spaces) so cleaned-text md5s compare bit-equal.
+_LINE_FOOTER = "shared footer boilerplate line"
+
+
+def _line_ctes(src: str, min_df: int = _SPAN_MIN_DF) -> str:
+    """DuckDB twin of granularity='line', n=1 keep_first removal over
+    ``src`` (doc_id, text): tokens are normalized non-blank lines,
+    each 1-line window covers exactly its own line, removal drops
+    df>=min_df lines past their (doc_id, pos)-first occurrence —
+    operators/spans.py semantics on line STRINGS (hash-agnostic)."""
+    return f"""
+lspl AS (
+  SELECT doc_id, list_filter(
+    list_transform(string_split(text, chr(10)),
+      l -> array_to_string(
+             list_filter(string_split_regex(lower(l), '\\s+'),
+                         p -> p != ''), ' ')),
+    s -> s != '') AS ltoks
+  FROM {src}
+), lw AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ltoks[i] AS gram
+  FROM (SELECT doc_id, ltoks,
+               unnest(range(1, len(ltoks) + 1)) AS i
+        FROM lspl WHERE len(ltoks) > 0)
+), lmk AS (
+  SELECT doc_id, pos, gram,
+         COUNT(*) OVER (PARTITION BY gram) AS df,
+         ROW_NUMBER() OVER (PARTITION BY gram
+                            ORDER BY doc_id, pos) AS rk
+  FROM lw
+), lclean AS (
+  SELECT doc_id,
+         COALESCE(string_agg(
+             CASE WHEN NOT (df >= {min_df} AND rk > 1) THEN gram END,
+             chr(10) ORDER BY pos), '') AS clean_text,
+         CAST(SUM(CASE WHEN df >= {min_df} AND rk > 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+  FROM lmk GROUP BY doc_id
+)"""
+
 
 def _span_ctes(src: str, n: int = _SPAN_N,
                min_df: int = _SPAN_MIN_DF) -> str:
@@ -625,7 +668,10 @@ def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-window profile and keep_first removal result
     (dup_span_stats / remove_duplicate_spans over the
     boilerplate-planted corpus — n_windows, n_dup_windows,
-    n_removable_windows, dup_fraction, n_removed_words, clean_md5)."""
+    n_removable_windows, dup_fraction, n_removed_words, clean_md5),
+    plus the round-9 LINE-granularity leg (remove_duplicate_spans
+    granularity='line' n=1 over a footer-line-planted corpus —
+    line_n_removed, line_clean_md5)."""
     from .operators import (
         dedup_exact,
         dup_span_stats,
@@ -653,7 +699,20 @@ def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed_words").cast("long").alias("n_removed_words"),
         F.md5("clean_text").alias("clean_md5"),
     )
-    return base.join(ss.join(rc, "doc_id"), "doc_id")
+    lplanted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\n" + _LINE_FOOTER)))
+        .otherwise(F.col("text")))
+    lr = remove_duplicate_spans(
+        lplanted, n=1, min_df=_SPAN_MIN_DF, policy="keep_first",
+        granularity="line",
+    ).select(
+        "doc_id",
+        F.col("n_removed_words").cast("long").alias("line_n_removed"),
+        F.md5("clean_text").alias("line_clean_md5"),
+    )
+    return base.join(ss.join(rc, "doc_id").join(lr, "doc_id"), "doc_id")
 
 
 _register(
@@ -666,10 +725,18 @@ _register(
          CASE WHEN doc_id % 5 = 0 THEN text || ' {_SPAN_BOILER}'
               ELSE text END AS text
   FROM documents
-), {_span_ctes('planted')}
+), lplanted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10) || '{_LINE_FOOTER}'
+              ELSE text END AS text
+  FROM documents
+), {_span_ctes('planted')}, {_line_ctes('lplanted')}
 SELECT k.doc_id, k.n_copies, s.n_distinct, s.n_dup_groups, s.n_removable,
        st.n_windows, st.n_dup_windows, st.n_removable_windows,
-       st.dup_fraction, c.n_removed_words, md5(c.clean_text) AS clean_md5
+       st.dup_fraction, c.n_removed_words, md5(c.clean_text) AS clean_md5,
+       lc.n_removed AS line_n_removed,
+       md5(lc.clean_text) AS line_clean_md5
 FROM (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM {_DUP_SQL}
       GROUP BY text) k
 CROSS JOIN
@@ -679,7 +746,8 @@ CROSS JOIN
              CAST(SUM(n - 1) AS BIGINT) AS n_removable FROM
       (SELECT COUNT(*) AS n FROM {_DUP_SQL} GROUP BY text)) s
 JOIN span_stats st ON st.doc_id = k.doc_id
-JOIN clean c ON c.doc_id = k.doc_id""",
+JOIN clean c ON c.doc_id = k.doc_id
+JOIN lclean lc ON lc.doc_id = k.doc_id""",
 )
 
 
