@@ -271,6 +271,56 @@ def test_multimodal_plumbing(spark, tables):
     assert all(0 <= r.rms <= 1 for r in frames)
 
 
+def test_multimodal_decoder_seam_contract(spark, tables):
+    """Round-8 VERDICT #6: a user-supplied decoder callable slots into
+    the decode operators UNCHANGED — same output schema, same batch
+    plumbing, decoder ships in the closure; only pixel/sample values
+    change.  This pins the swap-in contract a real-deployment decoder
+    relies on."""
+    from dask_histogram_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_image_features,
+        sample_audio_frames,
+    )
+
+    # closures, not module-level functions: cloudpickle ships them by
+    # VALUE, exactly how a user-supplied wrapper reaches executors
+    def _const_image_decoder(payload, width, height):
+        import numpy as np
+
+        v = payload[0] % 200
+        return np.full((height, width, 3), v, dtype=np.uint8)
+
+    def _const_wave_decoder(payload):
+        import numpy as np
+
+        return np.full(16000, 0.5, dtype=np.float32)
+
+    m = attach_fake_media(tables["documents"].limit(10))
+    stub = decode_image_features(m)
+    custom = decode_image_features(m, decoder=_const_image_decoder)
+    # identical schema, identical row set, identical meta passthrough
+    assert custom.schema == stub.schema
+    rows = {r.doc_id: r for r in custom.collect()}
+    meta = {r.doc_id: r.media_meta for r in m.collect()}
+    payloads = {r.doc_id: bytes(r.media) for r in m.collect()}
+    assert set(rows) == set(meta)
+    for did, r in rows.items():
+        assert (r.width, r.height) == (meta[did]["width"],
+                                       meta[did]["height"])
+        v = float(payloads[did][0] % 200)
+        # constant image -> every channel mean and feature == v exactly
+        assert r.mean_r == r.mean_g == r.mean_b == v
+        assert len(r.feat) == 12 and all(f == v for f in r.feat)
+
+    aud = sample_audio_frames(m.limit(3), decoder=_const_wave_decoder)
+    arows = aud.collect()
+    # constant 0.5 wave -> rms exactly 0.5; 4 frames per 16k clip at
+    # the default frame_len=400 / hop=4000
+    assert all(r.rms == 0.5 for r in arows)
+    assert len(arows) == 3 * 4
+
+
 def test_windowed_histogram_batch(spark, tables):
     from dask_histogram_spark.spec import HistogramSpec, Regular
     from dask_histogram_spark.streaming import windowed_histogram
