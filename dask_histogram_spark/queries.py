@@ -1293,11 +1293,100 @@ WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 
+_SINK_CACHE: dict = {}
+_SINK_SHARDS = 8
+_SINK_SEED = 7
+
+
+def _sink_roundtrip_path(spark: SparkSession, sf_dir: str,
+                         prepared: DataFrame) -> str:
+    """Write the prepared corpus as training shards ONCE per (session,
+    sf_dir) and return the shard directory — the corpus SINK's driver
+    gate (round-8 VERDICT #3).  The write itself validates loudly:
+
+    * manifest totals equal the input row count and the per-shard
+      counts cover exactly shards 0..n-1;
+    * the written within-shard order is SORTED by the seeded shuffle
+      key xxhash64(doc_id, seed) — which makes rerun determinism hold
+      by construction (the order is a pure function of the ids), the
+      contract test_sources pins file-level.  Order is read back via
+      per-file position (each shard is one task -> one parquet file at
+      gate scale, so monotonically_increasing_id IS file order);
+      violations are counted distributed-side, never collected.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SINK_CACHE:
+        import shutil
+        import tempfile
+
+        from .sources import write_training_shards
+
+        tmp = tempfile.mkdtemp(prefix="dhs_sink_gate_")
+        path = os.path.join(tmp, "shards")
+        manifest = write_training_shards(
+            prepared, path, n_shards=_SINK_SHARDS,
+            shuffle_seed=_SINK_SEED)
+        n_in = prepared.count()
+        if manifest["total_rows"] != n_in:
+            raise ValueError(
+                f"sink gate: manifest total_rows={manifest['total_rows']}"
+                f" != input rows {n_in}")
+        if set(manifest["rows_per_shard"]) != {
+                str(i) for i in range(_SINK_SHARDS)}:
+            raise ValueError(
+                f"sink gate: manifest shard keys "
+                f"{sorted(manifest['rows_per_shard'])} do not cover "
+                f"0..{_SINK_SHARDS - 1}")
+        from pyspark.sql import Window
+
+        back = spark.read.parquet(path).withColumn(
+            "__pos", F.monotonically_increasing_id())
+        ow = Window.partitionBy("shard").orderBy("__pos")
+        k = F.xxhash64(F.col("doc_id"), F.lit(_SINK_SEED))
+        bad = (back.withColumn("__prev", F.lag(k).over(ow))
+               .where(F.col("__prev").isNotNull() & (k < F.col("__prev")))
+               .count())
+        if bad:
+            raise ValueError(
+                f"sink gate: {bad} rows out of seeded-shuffle order "
+                "within their shard — the within-shard sort was "
+                "eliminated (Sort-over-Sort regression?)")
+        _cache_put(_SINK_CACHE, key, path,
+                   lambda tmp=tmp: shutil.rmtree(tmp,
+                                                 ignore_errors=True))
+    return _SINK_CACHE[key][0]
+
+
 def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prepare_training_corpus + the round-9 SINK ROUND-TRIP leg: the
+    prepared frame is written via write_training_shards (pmod/xxhash64
+    membership, seeded within-shard shuffle) and read back; every
+    output row carries ``sink_ok`` = 1 iff the doc came back exactly
+    once, in the pmod(xxhash64(id), n)-assigned shard, with every
+    column byte-equal.  The oracle pins sink_ok to the literal 1 —
+    any loss, duplication, misplacement or corruption in the sink
+    hash-mismatches the row (manifest/order invariants raise loudly
+    inside :func:`_sink_roundtrip_path`)."""
     from .operators.pipeline import prepare_training_corpus
 
     dup = _dup_corpus(spark, sf_dir)
-    return prepare_training_corpus(dup)
+    prepared = prepare_training_corpus(dup)
+    path = _sink_roundtrip_path(spark, sf_dir, prepared)
+    back = spark.read.parquet(path)
+    val_cols = [c for c in prepared.columns if c != "doc_id"]
+    eq = (F.col("shard") == F.pmod(F.xxhash64(F.col("doc_id")),
+                                   F.lit(_SINK_SHARDS)).cast("int"))
+    for c in val_cols:
+        eq = eq & (F.col(f"b_{c}") == F.col(c))
+    b = back.select(
+        "doc_id", "shard",
+        *[F.col(c).alias(f"b_{c}") for c in val_cols])
+    ok = (prepared.join(b, "doc_id", "left")
+          .groupBy("doc_id", *val_cols)
+          .agg(((F.count(F.lit(1)) == 1)
+                & F.min(F.coalesce(eq, F.lit(False))))
+               .cast("int").alias("sink_ok")))
+    return ok.select("doc_id", *val_cols, "sink_ok")
 
 
 def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,8 +1397,10 @@ def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.pipeline import prepare_training_corpus_sql as _pipe_sql  # noqa: E402
 
+# sink_ok is the sink round-trip verdict (1 for every row unless the
+# sink lost/duplicated/misplaced/corrupted it — see _q_pipeline)
 _register("pipeline_prepare_corpus", _q_pipeline,
-          _pipe_sql(table=_DUP_SQL))
+          f"SELECT p.*, 1 AS sink_ok FROM ({_pipe_sql(table=_DUP_SQL)}) p")
 _register(
     "pipeline_corpus_stats",
     _q_pipeline_stats,
