@@ -1746,28 +1746,22 @@ _MINHASH_CAND_SQL = (
 _register("dedup_pipeline", _q_dedup_pipeline, _dedup_pipeline_oracle())
 
 
-def _dedup_incremental_oracle() -> str:
-    """Exact kind: plain NOT IN anti-join.  LSH kind: the full fnv1a32
-    minhash pipeline on BOTH corpora (same seeded coefficient literals
-    as the Spark operator), seen band buckets capped at 64 like the
-    written signature table, candidate equi-join, 24/32 agreement gate,
-    per-new-doc match counts with 0 for fresh docs.  Span kind: the
-    full window/rank/removal chain (_span_ctes) over seen UNION batch,
-    batch rows' removed-word counts — the incremental probe of the
-    persisted gram table must equal batch semantics exactly."""
+def _inc_lsh_ctes() -> str:
+    """CTE chain shared by the dedup_incremental oracle and the
+    streaming probe-replay leg: the +1e9/+2e9 batch construction
+    (``nw``), the full fnv1a32 minhash pipeline on BOTH corpora (same
+    seeded coefficient literals as the Spark operator), seen band
+    buckets capped at 64 like the written signature table, candidate
+    equi-join, 24/32 agreement gate (``gated``), per-new-doc counts
+    (``cnt``)."""
     seen_band = _minhash_band_sql(bands=8, r=4)
     new_band = _minhash_band_sql(bands=8, r=4, src="s2")
-    return f"""
-WITH nw AS (
+    return f"""nw AS (
   SELECT doc_id + 1000000000 AS doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 2000000000 AS doc_id, text || ' (rev2)' AS text
   FROM documents
 ),
-combined AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id, text FROM nw
-), {_span_ctes('combined')},
 h AS (SELECT doc_id, {_MH_HS} AS hs FROM documents),
 s AS (SELECT doc_id, {_MH_SIG} AS sig FROM h),
 bnd_seen AS ({seen_band}),
@@ -1794,7 +1788,22 @@ gated AS (
   JOIN s sb ON sb.doc_id = c.seen_id
   WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 24
 ),
-cnt AS (SELECT new_id, COUNT(*) AS n FROM gated GROUP BY new_id)
+cnt AS (SELECT new_id, COUNT(*) AS n FROM gated GROUP BY new_id)"""
+
+
+def _dedup_incremental_oracle() -> str:
+    """Exact kind: plain NOT IN anti-join.  LSH kind: the shared
+    :func:`_inc_lsh_ctes` chain, per-new-doc match counts with 0 for
+    fresh docs.  Span kind: the full window/rank/removal chain
+    (_span_ctes) over seen UNION batch, batch rows' removed-word
+    counts — the incremental probe of the persisted gram table must
+    equal batch semantics exactly."""
+    return f"""
+WITH {_inc_lsh_ctes()},
+combined AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM nw
+), {_span_ctes('combined')}
 SELECT 'exact' AS kind, MIN(doc_id) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM nw WHERE text NOT IN (SELECT text FROM documents)
@@ -2058,16 +2067,70 @@ def _q_streaming_simhash_replay(spark: SparkSession,
     return _coverage_row(spark, stream_pairs, batch_pairs)
 
 
+def _q_streaming_probe_replay(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Driver gate for the RESTARTED-STREAM persisted-table probe
+    (round-8 VERDICT #4; streaming/dedup.py seen_table bridge): the
+    dedup_incremental batch (+1e9 re-crawls, +2e9 revisions) is
+    replayed as an availableNow file stream through
+    ``streaming_minhash_candidates(seen_table=...)`` — a stream whose
+    in-memory bucket anchors are GONE but whose persisted corpus
+    probe must still pair every re-arrival with its stored
+    near-duplicates.  For every streamed doc, the distinct SEEN ids
+    it pairs with must equal ``dedup_incremental_lsh``'s
+    n_matched_seen under the same 24/32 gate (the pytest harness'
+    invariant, test_streaming.py::test_streaming_probe_matches_...,
+    now driver-visible).  Returns (n_primary = total gated
+    (new, seen) pairs — oracle-recomputable from the shared
+    _inc_lsh_ctes chain; n_check = stream-vs-batch mismatched docs,
+    deterministically 0)."""
+    from .operators import dedup_incremental_lsh, write_signature_table
+
+    seen = get_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    new = seen.select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    ).unionByName(seen.select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"),
+    ))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sig_tbl = _session_table(
+        _INC_SIG_CACHE, key, "dhs_seen_sigs",
+        lambda tbl, path: write_signature_table(
+            seen, tbl, num_perm=32, bands=8, hash_fn="fnv1a32",
+            max_bucket=64, n_buckets=16, path=path))
+
+    from .streaming import streaming_minhash_candidates
+
+    pairs = _stream_replay(
+        spark, new,
+        lambda s: streaming_minhash_candidates(
+            s, seen_table=sig_tbl, min_sig_matches=24))
+    got: dict = {}
+    for a, b in pairs:
+        if a < 1_000_000_000:  # seen-corpus anchor => probe hit
+            got.setdefault(b, set()).add(a)
+    batch = {r["doc_id"]: r["n_matched_seen"]
+             for r in dedup_incremental_lsh(
+                 new, sig_tbl, min_sig_matches=24).collect()}
+    n_primary = sum(batch.values())
+    n_check = sum(1 for d, n in batch.items()
+                  if len(got.get(d, ())) != n)
+    return spark.createDataFrame(
+        [(n_primary, n_check)], "n_primary bigint, n_check bigint")
+
+
 def _q_streaming_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL THREE streaming dedup detectors gated in ONE driver row
+    """ALL the streaming dedup detectors gated in ONE driver row
     (registry consolidated to the driver's 50-row budget, COVERAGE.md
     round-5 table): each availableNow file-stream replay runs in full
     and contributes one (kind, n_primary, n_check) sub-row —
     ``minhash``/``simhash`` carry (n_batch_pairs, n_uncovered=0) from
     the component-recall invariant, ``exact`` carries (n_winners,
-    n_distinct_hashes) from the first-arrival-wins contract.  The
-    invariants themselves are unchanged from the round-4 standalone
-    rows (see the per-replay docstrings above)."""
+    n_distinct_hashes) from the first-arrival-wins contract, and
+    ``probe`` (round-9) carries the restarted-stream persisted-table
+    probe's stream==batch equality (see
+    :func:`_q_streaming_probe_replay`)."""
     mh = _q_streaming_minhash_replay(spark, sf_dir).select(
         F.lit("minhash").alias("kind"),
         F.col("n_batch_pairs").alias("n_primary"),
@@ -2083,7 +2146,10 @@ def _q_streaming_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_batch_pairs").alias("n_primary"),
         F.col("n_uncovered").alias("n_check"),
     )
-    return mh.unionByName(ex).unionByName(sh)
+    pr = _q_streaming_probe_replay(spark, sf_dir).select(
+        F.lit("probe").alias("kind"), "n_primary", "n_check",
+    )
+    return mh.unionByName(ex).unionByName(sh).unionByName(pr)
 
 
 _register(
@@ -2096,7 +2162,10 @@ _register(
     f"CAST(COUNT(DISTINCT text) AS BIGINT) AS n_check FROM {_DUP_SQL} "
     "UNION ALL SELECT 'simhash' AS kind, "
     "CAST(COUNT(*) AS BIGINT) AS n_primary, "
-    f"CAST(0 AS BIGINT) AS n_check FROM ({ORACLES['simhash_candidates']})",
+    f"CAST(0 AS BIGINT) AS n_check FROM ({ORACLES['simhash_candidates']}) "
+    f"UNION ALL SELECT 'probe' AS kind, CAST(COUNT(*) AS BIGINT) "
+    f"AS n_primary, CAST(0 AS BIGINT) AS n_check "
+    f"FROM (WITH {_inc_lsh_ctes()} SELECT * FROM gated)",
 )
 
 
