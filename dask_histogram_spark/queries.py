@@ -2827,22 +2827,84 @@ FROM documents d LEFT JOIN cnt c ON c.train_id = d.doc_id
 # text_quality row above.)
 
 
+# BPE-encode leg (round-9, closes the round-8 VERDICT missing item):
+# a FIXED literal merge list, WELL-FORMED (every pair's components are
+# single chars or results of earlier merges) so priority encoding ==
+# sequential rank-order replay — the equivalence apply_bpe's docstring
+# claims, pinned corpus-wide by
+# tests/test_bpe.py::test_priority_encode_equals_rank_replay.  The
+# oracle replays the merges as UNROLLED nested replace() calls over a
+# newline-delimited symbol string: each symbol is wrapped \n<sym>\n
+# (words contain no whitespace, so '\n' can never occur inside a
+# symbol and patterns cannot straddle symbol boundaries), and SQL
+# replace() substitutes left-to-right non-overlapping — exactly
+# bpe._merge_seq.
+_BPE_MERGES = [("t", "a"), ("ta", "b"), ("e", "r"), ("r", "t"),
+               ("s", "t"), ("o", "w"), ("a", "n"), ("i", "n"),
+               ("in", "e"), ("q", "u")]
+
+
+def _bpe_encode_ctes(src: str) -> str:
+    """DuckDB twin of ``apply_bpe(df, _BPE_MERGES)`` over ``src``
+    (doc_id, text): per-doc BPE token count + md5 of the
+    space-joined encoded token stream.  Distinct words encode once
+    (the kernel's per-batch cache, as a DISTINCT), then join back by
+    position."""
+    nl = "chr(10)"
+    expr = f"{nl} || array_to_string(string_split(w, ''), {nl}||{nl}) || {nl}"
+    for a, b in _BPE_MERGES:
+        pat = f"{nl}||'{a}'||{nl}||{nl}||'{b}'||{nl}"
+        rep = f"{nl}||'{a}{b}'||{nl}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+bw AS (
+  SELECT doc_id, ws[i] AS w, CAST(i AS INT) AS pos
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS ws
+              FROM {src}))
+  WHERE ws[i] != ''
+), dw AS (SELECT DISTINCT w FROM bw),
+enc AS (
+  SELECT w, string_split(trim({expr}, {nl}), {nl}||{nl}) AS toks
+  FROM dw
+),
+bpe AS (
+  SELECT b.doc_id,
+         CAST(SUM(len(e.toks)) AS INT) AS n_bpe,
+         md5(string_agg(array_to_string(e.toks, ' '),
+                        ' ' ORDER BY b.pos)) AS bpe_md5
+  FROM bw b JOIN enc e ON e.w = b.w
+  GROUP BY b.doc_id
+)"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget quota packing of the prepared corpus, grouped by the
     hash split so the window never globally orders.  Quotas are
     measured in REAL pre-tokenizer counts (``n_bpe_tokens``, the
     cross-engine-pinned BPE_SPLIT_PATTERN match count) — a chars/4 or
     whitespace proxy under-packs code/punctuation-heavy documents,
-    where actual token budgets run ~2x the whitespace count."""
-    from .operators import hash_split
+    where actual token budgets run ~2x the whitespace count.
+
+    Round-9 BPE-ENCODE leg: every packed row also carries
+    ``apply_bpe``'s deterministic encoding under the fixed
+    ``_BPE_MERGES`` list — per-doc token count + md5 of the encoded
+    stream — hash-gated against the oracle's nested-replace replay of
+    the same merges (see :func:`_bpe_encode_ctes`)."""
+    from .operators import apply_bpe, hash_split
     from .operators.pipeline import pack_sequences, prepare_training_corpus
 
-    prepared = prepare_training_corpus(_dup_corpus(spark, sf_dir))
+    dup = _dup_corpus(spark, sf_dir)
+    prepared = prepare_training_corpus(dup)
     with_split = hash_split(prepared, _SPLIT_RATIOS)
     packed = pack_sequences(with_split, max_tokens=512, group_col="split",
                             tokens_col="n_bpe_tokens")
+    enc = apply_bpe(dup, _BPE_MERGES).select(
+        "doc_id", "n_bpe",
+        F.md5(F.array_join("bpe_tokens", " ")).alias("bpe_md5"))
     return packed.select("doc_id", "split", "n_tokens", "n_bpe_tokens",
-                         "seq_id")
+                         "seq_id").join(enc, "doc_id")
 
 
 from .operators.pipeline import pack_sequences_sql as _pack_sql  # noqa: E402
@@ -2850,10 +2912,13 @@ from .operators.pipeline import pack_sequences_sql as _pack_sql  # noqa: E402
 _register(
     "pipeline_pack_sequences",
     _q_pack_sequences,
+    f"WITH {_bpe_encode_ctes(_DUP_SQL)} "
+    f"SELECT pk.*, bpe.n_bpe, bpe.bpe_md5 FROM ("
     f"SELECT doc_id, split, n_tokens, n_bpe_tokens, "
     f"{_pack_sql(512, group_col='split', tokens_col='n_bpe_tokens')} "
     f"FROM (SELECT *, {_split_sql(_SPLIT_RATIOS)} "
-    f"FROM ({_pipe_sql(table=_DUP_SQL)}))",
+    f"FROM ({_pipe_sql(table=_DUP_SQL)}))) pk "
+    f"JOIN bpe USING (doc_id)",
 )
 
 

@@ -325,3 +325,44 @@ def test_apply_bpe_lowercase_matches_lowercased_training(spark):
     merges = train_bpe(d, 5, lowercase=True, min_pair_count=2)
     enc = apply_bpe(d, merges, lowercase=True).collect()[0]
     assert enc.bpe_tokens == ["the"] * 4
+
+
+def test_priority_encode_equals_rank_replay(spark):
+    """Pins the equivalence the pipeline_pack_sequences BPE leg's
+    oracle relies on: for a WELL-FORMED merge list (every pair's
+    components are single chars or earlier merge results — the only
+    kind training can produce), apply_bpe's priority encoding equals
+    sequential rank-order replay (apply merge 0 everywhere
+    left-to-right non-overlapping, then merge 1, ...).  Checked over
+    every distinct word of the real documents corpus under the gate's
+    fixed _BPE_MERGES."""
+    from dask_histogram_spark.operators.bpe import _merge_seq
+    from dask_histogram_spark.queries import _BPE_MERGES
+
+    from dask_histogram_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001",
+                       names=("documents",))["documents"]
+    words = sorted({w for r in docs.select("text").collect()
+                    for w in r["text"].split()})
+    assert len(words) >= 20  # corpus-wide, not a toy
+
+    def replay(word):
+        syms = list(word)
+        for a, b in _BPE_MERGES:
+            syms = _merge_seq(syms, a, b, a + b)
+        return syms
+
+    one_doc = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string")
+    enc = apply_bpe(one_doc, _BPE_MERGES).collect()[0]["bpe_tokens"]
+    expected = [t for w in words for t in replay(w)]
+    assert enc == expected
+    # the list is actually well-formed (the precondition, asserted)
+    known = set()
+    for a, b in _BPE_MERGES:
+        for part in (a, b):
+            assert len(part) == 1 or part in known, (a, b)
+        known.add(a + b)
+    # ... and the merges genuinely fire on this corpus
+    assert any(len(t) > 1 for t in enc)
