@@ -63,21 +63,17 @@ def synth(spark: SparkSession, n_docs: int, plant_boiler: bool,
 
 def run_point(spark: SparkSession, n_docs: int) -> None:
     print(f"=== n_docs={n_docs} ===", flush=True)
-    # spill-aware shuffle sizing (the 100 TB posture, and why the
-    # first 100M attempt heap-OOMed at the default 32 partitions):
-    # the gram-count aggregate holds ~17 distinct window hashes per
-    # doc in its final hash map, and local[32] runs 32 such maps
-    # CONCURRENTLY against one shared execution-memory pool — size
-    # partitions so each task's share stays ~8M groups.  AQE
-    # coalesces the excess at small points, so this only ever adds
-    # parallelism.
-    shuffle_parts = max(32, (n_docs * (WORDS + 1)) // 8_000_000)
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    # NO script-side shuffle sizing (round-9): the ~8M-groups/task
+    # spill-aware sizing that rescued the first 100M attempt now
+    # lives INSIDE the operators (_dup_grams est_windows) — this
+    # script passes the rows estimate like any 100 TB caller would
+    # and the session's shuffle partitions stay at their default.
+    est = n_docs * (WORDS + 1)
 
     # --- workload 1: boilerplate (broadcast plan) ---
     df = synth(spark, n_docs, plant_boiler=True, pair_dup=False)
     t0 = time.perf_counter()
-    s = dup_span_stats(df, n=N, min_df=2)
+    s = dup_span_stats(df, n=N, min_df=2, est_windows=est)
     n_dup_docs = s.filter("n_dup_windows > 0").count()
     t_stats = time.perf_counter() - t0
     planted = (n_docs + 4) // 5
@@ -86,7 +82,7 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
     def removal(plan: str, policy: str = "keep_first"):
         t0 = time.perf_counter()
         r = remove_duplicate_spans(df, n=N, min_df=2, policy=policy,
-                                   plan=plan)
+                                   plan=plan, est_windows=est)
         agg = r.agg(
             F.sum("n_removed_words").alias("rm"),
             F.sum(F.crc32(F.col("clean_text"))).alias("ck")).first()
@@ -113,7 +109,7 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
     df2 = synth(spark, n_docs, plant_boiler=False, pair_dup=True)
     t0 = time.perf_counter()
     r2 = remove_duplicate_spans(df2, n=N, min_df=2, policy="keep_first",
-                                plan="join")
+                                plan="join", est_windows=est)
     agg = r2.agg(
         F.sum("n_removed_words").alias("rm"),
         F.sum(F.when(F.col("clean_text") == "", 1).otherwise(0))
