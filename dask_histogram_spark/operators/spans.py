@@ -80,6 +80,8 @@ miscounts; no text is harmed.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -141,46 +143,72 @@ def _toks_col(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-# line granularity (RefinedWeb / Dolma-style line dedup, the form most
-# users reach for first — round-8 VERDICT #5): a token is a LINE,
-# normalized as its lowercased whitespace-split words re-joined by
-# single spaces; lines with no words (empty / all-whitespace) are
-# dropped.  The normalization sidesteps every trim/split edge case
-# ("\t"-only lines, trailing separators) identically in all three
-# engines, and cleaned text re-joins surviving lines with '\n'.
-# Positional hashing keeps multi-line grams unambiguous in the arrow
-# kernel (each line hashes as one token before the rolling combine);
-# the Column twin joins gram LINES with '\n', which no line can
-# contain.
+# line / paragraph granularity (RefinedWeb / Dolma-style dedup, the
+# forms most users reach for first — round-8 VERDICT #5): a token is
+# a LINE (split on '\n') or a PARAGRAPH (split on blank-line runs,
+# '\n{2,}'), normalized as its lowercased whitespace-split words
+# re-joined by single spaces; units with no words (empty /
+# all-whitespace) are dropped.  The normalization sidesteps every
+# trim/split edge case ("\t"-only lines, trailing separators)
+# identically in all three engines, and cleaned text re-joins
+# surviving units with '\n' (lines) / '\n\n' (paragraphs — whose
+# normalized form contains no newline at all, so the joiner can never
+# be ambiguous).  Positional hashing keeps multi-unit grams
+# unambiguous in the arrow kernel (each unit hashes as one token
+# before the rolling combine); the Column twin joins gram units with
+# the same newline joiners, which no normalized unit can contain.
 
-def _lines_col(text_col: str) -> Column:
-    line = lambda l: F.array_join(  # noqa: E731
+def _unit_col(text_col: str, sep: str) -> Column:
+    unit = lambda l: F.array_join(  # noqa: E731
         F.filter(F.split(F.lower(l), r"\s+"),
                  lambda p: p != F.lit("")), " ")
     return F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), line),
+        F.transform(F.split(F.col(text_col), sep), unit),
         lambda s: s != F.lit(""))
 
 
-def _tokenize_lines(texts) -> list:
-    """Python twin of :func:`_lines_col` (None in -> None out)."""
+def _lines_col(text_col: str) -> Column:
+    return _unit_col(text_col, "\n")
+
+
+def _paras_col(text_col: str) -> Column:
+    return _unit_col(text_col, r"\n{2,}")
+
+
+_PARA_SPLIT = re.compile(r"\n{2,}")
+
+
+def _tokenize_units(texts, splitter) -> list:
+    """Python twin of :func:`_unit_col` (None in -> None out)."""
     out: list = []
     for t in texts:
         if t is None:
             out.append(None)
             continue
-        lines = []
-        for ln in t.split("\n"):
-            s = " ".join(p for p in _WS_ASCII.split(ln.lower()) if p)
+        units = []
+        for u in splitter(t):
+            s = " ".join(p for p in _WS_ASCII.split(u.lower()) if p)
             if s:
-                lines.append(s)
-        out.append(lines)
+                units.append(s)
+        out.append(units)
     return out
 
 
-_GRANULARITIES = ("word", "line")
+def _tokenize_lines(texts) -> list:
+    return _tokenize_units(texts, lambda t: t.split("\n"))
+
+
+def _tokenize_paras(texts) -> list:
+    return _tokenize_units(texts, _PARA_SPLIT.split)
+
+
+_GRANULARITIES = ("word", "line", "paragraph")
 # cleaned text re-joins surviving tokens with the granularity's joiner
-_JOINERS = {"word": " ", "line": "\n"}
+_JOINERS = {"word": " ", "line": "\n", "paragraph": "\n\n"}
+_TOKENIZERS = {"word": _tokenize_texts, "line": _tokenize_lines,
+               "paragraph": _tokenize_paras}
+_COL_TOKS = {"word": _toks_col, "line": _lines_col,
+             "paragraph": _paras_col}
 
 
 def _check_granularity(granularity: str) -> None:
@@ -191,8 +219,7 @@ def _check_granularity(granularity: str) -> None:
 
 
 def _tokenize(texts: list, granularity: str) -> list:
-    return (_tokenize_texts(texts) if granularity == "word"
-            else _tokenize_lines(texts))
+    return _TOKENIZERS[granularity](texts)
 
 
 def _batch_window_hashes(texts: list, n: int,
@@ -227,18 +254,18 @@ def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
     HOFs + xxhash64) the kernel is differentially tested against.
 
     ``granularity='word'`` (default) tokenizes on whitespace;
-    ``'line'`` tokenizes into normalized non-blank LINES (see the
-    ``_lines_col`` note) — with ``n=1`` that is RefinedWeb/Dolma-style
-    exact line dedup.  A line-granularity doc with no non-blank lines
-    has NO windows (unlike word granularity, where an empty string is
-    one empty token).
+    ``'line'`` / ``'paragraph'`` tokenize into normalized non-blank
+    LINES / blank-line-separated PARAGRAPHS (see the ``_unit_col``
+    note) — line granularity with ``n=1`` is RefinedWeb/Dolma-style
+    exact line dedup.  A line/paragraph-granularity doc with no
+    non-blank content has NO windows (unlike word granularity, where
+    an empty string is one empty token).
     """
     _check_granularity(granularity)
     if method == "auto":
         method = "arrow"
     if method == "column":
-        toks = (_toks_col(text_col) if granularity == "word"
-                else _lines_col(text_col))
+        toks = _COL_TOKS[granularity](text_col)
         nw = F.greatest(F.size(toks) - n + 1, F.lit(1))
         # NULL text contributes no windows (the arrow kernel skips it;
         # without the filter, sequence(0, greatest(null,1)-1) would
@@ -249,11 +276,12 @@ def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
             toks.alias("__toks"),
             F.explode(F.sequence(F.lit(0), nw - 1)).alias("pos"),
         )
-        # all-blank line-granularity docs have size-0 token arrays but
-        # nw=1 — drop them to match the arrow kernel's no-window form.
-        # Gram joiner: ' ' for word tokens (never contain spaces),
-        # '\n' for line tokens (contain spaces, never newlines) — the
-        # word joiner would make ["a b","c"] collide with ["a","b c"]
+        # all-blank line/paragraph-granularity docs have size-0 token
+        # arrays but nw=1 — drop them to match the arrow kernel's
+        # no-window form.  Gram joiner: ' ' for word tokens (never
+        # contain spaces), '\n' / '\n\n' for line/paragraph tokens
+        # (contain spaces, never newlines) — the word joiner would
+        # make ["a b","c"] collide with ["a","b c"]
         e = e.where(F.size("__toks") > 0)
         gram = F.array_join(F.slice(F.col("__toks"), F.col("pos") + 1, n),
                             _JOINERS[granularity])
@@ -514,10 +542,11 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     gram aggregate's shuffle for giant corpora — see
     :func:`_dup_grams`.
 
-    ``granularity='line'`` removes duplicated LINE windows instead
-    (with ``n=1``: RefinedWeb/Dolma-style exact duplicate-line
-    removal); ``clean_text`` re-joins surviving normalized lines with
-    newlines and ``n_removed_words`` counts removed LINES there.
+    ``granularity='line'`` / ``'paragraph'`` removes duplicated LINE /
+    PARAGRAPH windows instead (line + ``n=1``: RefinedWeb/Dolma-style
+    exact duplicate-line removal); ``clean_text`` re-joins surviving
+    normalized units with ``'\\n'`` / ``'\\n\\n'`` and
+    ``n_removed_words`` counts removed units there.
     """
     if policy not in ("keep_first", "all"):
         raise ValueError(f"unknown policy: {policy!r}")
@@ -576,8 +605,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     joined = df.join(starts, id_col, "left")
 
     if method == "column":
-        toks = (_toks_col(text_col) if granularity == "word"
-                else _lines_col(text_col))
+        toks = _COL_TOKS[granularity](text_col)
         m = F.size(toks)
         wdt = F.least(F.lit(n), m)
         ds = F.coalesce(F.col("__dup_starts"),
@@ -588,10 +616,10 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
             lambda p: ~F.exists(ds, lambda s: (p >= s)
                                 & (p <= s + wdt - 1)))
         nn = F.col(text_col).isNotNull()  # NULL text -> NULL outputs
-        # sequence(0, -1) DESCENDS: a 0-token doc (all-blank lines
-        # under granularity='line') must keep an EMPTY index array,
-        # not [0, -1]
-        if granularity == "line":
+        # sequence(0, -1) DESCENDS: a 0-token doc (all-blank text
+        # under line/paragraph granularity) must keep an EMPTY index
+        # array, not [0, -1]
+        if granularity != "word":
             kept = F.when(m > 0, kept).otherwise(
                 F.array().cast("array<int>"))
         # n_removed = m - |kept|: the O(tokens x dup_starts) coverage

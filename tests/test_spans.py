@@ -605,6 +605,106 @@ def test_line_incremental_roundtrip(spark, line_corpus, tmp_path):
 def test_granularity_validated(spark, line_corpus):
     df = _sdf(spark, line_corpus)
     with pytest.raises(ValueError, match="granularity"):
-        span_windows(df, n=1, granularity="paragraph")
+        span_windows(df, n=1, granularity="sentence")
     with pytest.raises(ValueError, match="granularity"):
         remove_duplicate_spans(df, n=1, granularity="char")
+
+
+@pytest.fixture(scope="module")
+def para_corpus():
+    shared = "Terms of   service\napply to ALL users"   # 2-line paragraph
+    return {
+        0: "Intro paragraph one\n\n" + shared + "\n\n\nUnique tail here",
+        1: shared + "\n\nanother unique paragraph",
+        2: "nothing shared in this one\n\nat all",
+        3: "\n\n \n\n",                                  # all-blank
+        4: None,
+    }
+
+
+def _para_ref(docs: dict, min_df: int = 2):
+    toks = {}
+    for i, t in sorted(docs.items()):
+        if t is None:
+            continue
+        units = []
+        for u in re.split(r"\n{2,}", t):
+            s = " ".join(p for p in _WS.split(u.lower()) if p)
+            if s:
+                units.append(s)
+        toks[i] = units
+    df, first = {}, {}
+    for i in sorted(toks):
+        for p, g in enumerate(toks[i]):
+            df[g] = df.get(g, 0) + 1
+            first.setdefault(g, (i, p))
+    clean = {}
+    for i, ts in toks.items():
+        kept = [g for p, g in enumerate(ts)
+                if df[g] < min_df or first[g] == (i, p)]
+        clean[i] = ("\n\n".join(kept), len(ts) - len(kept))
+    return toks, clean
+
+
+@pytest.mark.parametrize("plan", ["broadcast", "join"])
+def test_paragraph_removal_matches_reference(spark, para_corpus, plan):
+    """Paragraph granularity: split on blank-line runs, normalize each
+    paragraph to one whitespace-collapsed line ('\\n' inside a
+    paragraph becomes a space, so the '\\n\\n' joiner is never
+    ambiguous), keep_first removal."""
+    toks, clean = _para_ref(para_corpus)
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+           for r in remove_duplicate_spans(
+               _sdf(spark, para_corpus), n=1, granularity="paragraph",
+               plan=plan).collect()}
+    assert got[4] == (None, None)
+    assert got[3] == ("", 0)
+    for i in (0, 1, 2):
+        assert got[i] == clean[i], i
+    # the shared 2-line paragraph normalized away its inner newline
+    assert "terms of service apply to all users" in got[0][0]
+    assert got[1][1] == 1                       # doc 1 lost it
+
+
+def test_paragraph_column_twin_matches_arrow(spark, para_corpus):
+    for n in (1, 2):
+        a = {(r["doc_id"], r["pos"]): None for r in span_windows(
+            _sdf(spark, para_corpus), n=n, method="arrow",
+            granularity="paragraph").collect()}
+        c = {(r["doc_id"], r["pos"]): None for r in span_windows(
+            _sdf(spark, para_corpus), n=n, method="column",
+            granularity="paragraph").collect()}
+        assert set(a) == set(c)
+    x = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+         for r in remove_duplicate_spans(
+             _sdf(spark, para_corpus), n=1, granularity="paragraph",
+             method="column", plan="join").collect()}
+    y = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+         for r in remove_duplicate_spans(
+             _sdf(spark, para_corpus), n=1, granularity="paragraph",
+             method="arrow", plan="join").collect()}
+    assert x == y
+
+
+def test_paragraph_incremental_roundtrip(spark, para_corpus, tmp_path):
+    from dask_histogram_spark.operators import (
+        remove_duplicate_spans_incremental,
+        write_span_gram_table,
+    )
+
+    seen = _sdf(spark, {k: v for k, v in para_corpus.items()
+                        if v is not None})
+    write_span_gram_table(seen, "t_para_grams", n=1,
+                          granularity="paragraph",
+                          path=str(tmp_path / "pg"))
+    try:
+        batch = spark.createDataFrame(
+            [(1000, "fresh opening\n\nterms of  service\napply to all users")],
+            "doc_id long, text string")
+        row = remove_duplicate_spans_incremental(
+            batch, "t_para_grams").collect()[0]
+        assert row["clean_text"] == "fresh opening"
+        assert row["n_removed_words"] == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_para_grams")
+        spark.sql("DROP TABLE IF EXISTS t_para_grams__params")
