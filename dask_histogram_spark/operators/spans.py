@@ -443,7 +443,8 @@ def _rebuild_batch(toks_list: list, starts_list: list, n: int,
 
 def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
                             text_col: str, id_col: str,
-                            granularity: str = "word") -> DataFrame:
+                            granularity: str = "word",
+                            with_stats: bool = False) -> DataFrame:
     """One zero-exchange rebuild scan against a collected dup-window
     set ``tbl`` (arrow table of (h, i, p): hash + FIRST occurrence).
     Shared by batch removal (first = corpus min (id, pos)) and the
@@ -451,7 +452,16 @@ def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
     already in the corpus, else the batch min) — under keep_first an
     occurrence is removable unless it IS the recorded first, which
     for seen-won grams matches no batch (id, pos) because run ids are
-    disjoint by contract."""
+    disjoint by contract.
+
+    ``with_stats`` additionally emits the :func:`dup_span_stats`
+    profile columns (n_windows, n_dup_windows, n_removable_windows,
+    dup_fraction) computed from the SAME window hashes the removal
+    already probes — a free by-product of this scan (the fused
+    profile-and-clean form: no second window pass, no gram-agg join,
+    no doc-level aggregate).  Stats semantics are policy-independent
+    (n_removable always excludes own-first occurrences, whatever the
+    removal policy deletes)."""
     spark = df.sparkSession
     hs = tbl.column("h").to_numpy(zero_copy_only=False)
     order = np.argsort(hs, kind="stable")
@@ -461,8 +471,14 @@ def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
     keep_first = policy == "keep_first"
     bc = spark.sparkContext.broadcast((hs, fi, fp))
 
+    stat_fields = [
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("n_dup_windows", T.LongType()),
+        T.StructField("n_removable_windows", T.LongType()),
+        T.StructField("dup_fraction", T.DoubleType()),
+    ] if with_stats else []
     out_schema = T.StructType(
-        list(df.schema)
+        list(df.schema) + stat_fields
         + [T.StructField("clean_text", T.StringType()),
            T.StructField("n_removed_words", T.IntegerType())])
 
@@ -475,26 +491,46 @@ def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
                 b[text_col].tolist(), n, granularity)
             ids = b[id_col].to_numpy()
             starts_list = []
+            stats_rows: list = []
             for i, wh in enumerate(hashes):
                 if wh is None:
                     starts_list.append(None)
+                    stats_rows.append((None, None, None, None))
                     continue
                 sh = wh.view(np.int64)
                 idx = np.searchsorted(hs_g, sh)
                 idx[idx == len(hs_g)] = 0
                 hit = (hs_g[idx] == sh) if len(hs_g) else \
                     np.zeros(len(sh), dtype=bool)
-                if keep_first and hit.any():
+                n_own = 0
+                if (keep_first or with_stats) and hit.any():
                     j = idx[hit]
                     pos_hit = np.nonzero(hit)[0]
                     own = (fi_g[j] == ids[i]) & (fp_g[j] == pos_hit)
-                    hit[pos_hit[own]] = False
+                    n_own = int(own.sum())
+                    if keep_first:
+                        hit[pos_hit[own]] = False
+                if with_stats:
+                    nw = len(sh)
+                    nd = int(hit.sum()) + (n_own if keep_first else 0)
+                    # int/int IEEE division — bit-exact cross-engine
+                    stats_rows.append(
+                        (nw, nd, nd - n_own,
+                         nd / nw if nw else None))
                 starts_list.append(np.nonzero(hit)[0])
             texts_out: list = []
             removed_out: list = []
             _rebuild_batch(toks_list, starts_list, n,
                            texts_out, removed_out, joiner)
             out = b.copy()
+            if with_stats:
+                for k, name in enumerate(
+                        ("n_windows", "n_dup_windows",
+                         "n_removable_windows")):
+                    out[name] = pd.array(
+                        [r[k] for r in stats_rows], dtype="Int64")
+                out["dup_fraction"] = pd.array(
+                    [r[3] for r in stats_rows], dtype="Float64")
             out["clean_text"] = texts_out
             out["n_removed_words"] = pd.array(
                 removed_out, dtype="Int32")
@@ -509,7 +545,8 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
                            plan: str = "auto", method: str = "auto",
                            max_broadcast_grams: int = _MAX_BROADCAST_GRAMS,
                            est_windows=None,
-                           granularity: str = "word") -> DataFrame:
+                           granularity: str = "word",
+                           with_stats: bool = False) -> DataFrame:
     """Rebuild every document without its duplicated spans.
 
     Output: the input columns plus ``clean_text`` (normalized text
@@ -547,6 +584,18 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     exact duplicate-line removal); ``clean_text`` re-joins surviving
     normalized units with ``'\\n'`` / ``'\\n\\n'`` and
     ``n_removed_words`` counts removed units there.
+
+    ``with_stats=True`` additionally emits the :func:`dup_span_stats`
+    profile columns (n_windows, n_dup_windows, n_removable_windows,
+    dup_fraction; NULL for NULL texts) — the fused profile-and-clean
+    form a pipeline wanting both should prefer: under the broadcast
+    plan the stats are a FREE by-product of the rebuild scan's window
+    probes (no second window pass, no gram-agg join, no doc
+    aggregate); under the join plan they cost one extra window
+    aggregate (still cheaper than a separate stats call, which would
+    re-tokenize the corpus).  One divergence from dup_span_stats:
+    that operator omits rows for docs with no windows, this emits
+    them with n_windows=0 (stats are columns on the full output).
     """
     if policy not in ("keep_first", "all"):
         raise ValueError(f"unknown policy: {policy!r}")
@@ -588,7 +637,8 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
 
     if plan == "broadcast":
         return _broadcast_removal_scan(df, arrays, policy, n,
-                                       text_col, id_col, granularity)
+                                       text_col, id_col, granularity,
+                                       with_stats)
 
     if plan != "join":
         raise ValueError(f"unknown plan: {plan!r}")
@@ -603,6 +653,29 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     starts = (rem.groupBy(id_col)
               .agg(F.collect_list("pos").alias("__dup_starts")))
     joined = df.join(starts, id_col, "left")
+    if with_stats:
+        # join-plan stats: the dup_span_stats aggregates over the
+        # same lazy window/dup-set frames, joined onto the output
+        # (docs with no windows — NULL or all-blank text — get
+        # n_windows=0 rather than dropping from the output; NULL
+        # text keeps NULL stats to match the broadcast scan)
+        j = w.join(d, "h", "left")
+        not_first = (
+            F.col("df").isNotNull()
+            & ~((F.col("first.i") == F.col(id_col))
+                & (F.col("first.p") == F.col("pos"))))
+        st = (j.groupBy(id_col).agg(
+            F.count("*").alias("n_windows"),
+            F.count("df").alias("n_dup_windows"),
+            F.sum(not_first.cast("long")).alias("n_removable_windows"),
+            (F.count("df") / F.count("*")).alias("dup_fraction")))
+        nn = F.col(text_col).isNotNull()
+        joined = df.join(st, id_col, "left").join(starts, id_col, "left")
+        for c in ("n_windows", "n_dup_windows", "n_removable_windows"):
+            joined = joined.withColumn(
+                c, F.when(nn, F.coalesce(F.col(c), F.lit(0))))
+        joined = joined.withColumn(
+            "dup_fraction", F.when(nn, F.col("dup_fraction")))
 
     if method == "column":
         toks = _COL_TOKS[granularity](text_col)

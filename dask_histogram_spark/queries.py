@@ -666,15 +666,15 @@ def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE row set: the per-doc survivors carry the (broadcast, 1-row)
     corpus dup profile as constant columns, plus each base document's
     duplicated-window profile and keep_first removal result
-    (dup_span_stats / remove_duplicate_spans over the
-    boilerplate-planted corpus — n_windows, n_dup_windows,
-    n_removable_windows, dup_fraction, n_removed_words, clean_md5),
+    (remove_duplicate_spans(with_stats=True) — the fused
+    profile-and-clean pass — over the boilerplate-planted corpus:
+    n_windows, n_dup_windows, n_removable_windows, dup_fraction,
+    n_removed_words, clean_md5),
     plus the round-9 LINE-granularity leg (remove_duplicate_spans
     granularity='line' n=1 over a footer-line-planted corpus —
     line_n_removed, line_clean_md5)."""
     from .operators import (
         dedup_exact,
-        dup_span_stats,
         exact_dup_stats,
         remove_duplicate_spans,
     )
@@ -690,12 +690,16 @@ def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 5 == 0,
                F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)))
         .otherwise(F.col("text")))
-    ss = dup_span_stats(planted, n=_SPAN_N, min_df=_SPAN_MIN_DF)
+    # fused profile-and-clean (round-9): with_stats=True makes the
+    # dup_span_stats columns a free by-product of the removal scan's
+    # window probes — one window pass + one gram aggregate instead of
+    # the round-8 two-operator form's two of each
     rc = remove_duplicate_spans(
         planted, n=_SPAN_N, min_df=_SPAN_MIN_DF, policy="keep_first",
-        plan="auto",
+        plan="auto", with_stats=True,
     ).select(
-        "doc_id",
+        "doc_id", "n_windows", "n_dup_windows", "n_removable_windows",
+        "dup_fraction",
         F.col("n_removed_words").cast("long").alias("n_removed_words"),
         F.md5("clean_text").alias("clean_md5"),
     )
@@ -712,7 +716,7 @@ def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed_words").cast("long").alias("line_n_removed"),
         F.md5("clean_text").alias("line_clean_md5"),
     )
-    return base.join(ss.join(rc, "doc_id").join(lr, "doc_id"), "doc_id")
+    return base.join(rc.join(lr, "doc_id"), "doc_id")
 
 
 _register(

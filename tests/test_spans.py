@@ -708,3 +708,47 @@ def test_paragraph_incremental_roundtrip(spark, para_corpus, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_para_grams")
         spark.sql("DROP TABLE IF EXISTS t_para_grams__params")
+
+
+@pytest.mark.parametrize("plan", ["broadcast", "join"])
+@pytest.mark.parametrize("policy", ["keep_first", "all"])
+def test_with_stats_matches_dup_span_stats(spark, corpus, plan, policy):
+    """The fused profile-and-clean form: with_stats=True emits exactly
+    dup_span_stats' columns (policy-independent — n_removable always
+    excludes own-firsts) alongside the unchanged removal output."""
+    df = _sdf(spark, corpus)
+    ref_stats = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                               r["n_removable_windows"],
+                               r["dup_fraction"])
+                 for r in dup_span_stats(df, n=4).collect()}
+    ref_rm = {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+              for r in remove_duplicate_spans(
+                  df, n=4, policy=policy, plan=plan).collect()}
+    fused = remove_duplicate_spans(df, n=4, policy=policy, plan=plan,
+                                   with_stats=True).collect()
+    for r in fused:
+        i = r["doc_id"]
+        if corpus[i] is None:
+            assert r["n_windows"] is None and r["dup_fraction"] is None
+            continue
+        assert (r["n_windows"], r["n_dup_windows"],
+                r["n_removable_windows"],
+                r["dup_fraction"]) == ref_stats[i], (i, plan, policy)
+        assert (r["clean_text"], r["n_removed_words"]) == ref_rm[i]
+
+
+def test_with_stats_line_granularity_zero_window_docs(spark, line_corpus):
+    """Divergence pinned: dup_span_stats omits zero-window docs;
+    with_stats keeps them with n_windows=0 (NULL dup_fraction), and
+    NULL text keeps NULL stats."""
+    for plan in ("broadcast", "join"):
+        rows = {r["doc_id"]: r for r in remove_duplicate_spans(
+            _sdf(spark, line_corpus), n=1, granularity="line",
+            plan=plan, with_stats=True).collect()}
+        assert rows[3]["n_windows"] == 0            # all-blank text
+        assert rows[3]["dup_fraction"] is None
+        assert rows[5]["n_windows"] is None          # NULL text
+        ref = {r["doc_id"]: r["n_dup_windows"] for r in dup_span_stats(
+            _sdf(spark, line_corpus), n=1, granularity="line").collect()}
+        for i, n in ref.items():
+            assert rows[i]["n_dup_windows"] == n, (plan, i)
