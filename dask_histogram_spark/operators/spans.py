@@ -12,12 +12,17 @@ Better", arXiv:2107.06499 — exact substring dedup; RefinedWeb / Dolma
 run the same idea at line/paragraph granularity).  This module is the
 window-granularity version of that operator, expressed Spark-first:
 
-* ``span_windows``      — (id, pos, hash) for every n-word window.
+* ``span_windows``      — (id, pos, hash) for every n-token window.
 * ``dup_span_stats``    — per-document duplicated-window profile.
 * ``remove_duplicate_spans`` — rebuild each document without the
   duplicated spans (``policy='keep_first'`` keeps the globally first
   occurrence of each window, Lee-et-al. style; ``policy='all'`` strips
-  every occurrence — boilerplate removal).
+  every occurrence — boilerplate removal; ``with_stats=True`` fuses
+  the profile columns into the removal pass).
+
+All three take ``granularity='word'`` (default) / ``'line'`` /
+``'paragraph'`` — line with ``n=1`` is RefinedWeb/Dolma-style exact
+duplicate-line removal.
 
 Semantics (pinned, both engines): tokens are
 ``split(trim(lower(text)), '\\s+')`` — the corpus-wide tokenization
@@ -116,18 +121,21 @@ _EST_SAMPLE_FRACTION = 0.001
 
 def estimate_windows(df: DataFrame, n: int = 6,
                      text_col: str = "text",
-                     sample_fraction: float = _EST_SAMPLE_FRACTION) -> int:
+                     sample_fraction: float = _EST_SAMPLE_FRACTION,
+                     granularity: str = "word") -> int:
     """Sampled estimate of the corpus's total window count (the gram
     aggregate's group cardinality upper bound): mean windows/doc over
     a ``sample_fraction`` sample x the corpus row count.  Two cheap
     jobs — the sample scans ``sample_fraction`` of the text, the
     count is a metadata-weight scan.  Feed the result to the span
     operators' ``est_windows`` so giant corpora size their own gram
-    shuffle (see :func:`_dup_grams`)."""
+    shuffle (see :func:`_dup_grams`); counts windows in the
+    requested ``granularity`` (word/line/paragraph)."""
+    _check_granularity(granularity)
     total = df.count()
     if total == 0:
         return 0
-    toks = _toks_col(text_col)
+    toks = _COL_TOKS[granularity](text_col)
     s = (df.where(F.col(text_col).isNotNull())
          .sample(fraction=min(1.0, max(sample_fraction, 1000 / total)))
          .agg(F.sum(F.greatest(F.size(toks) - n + 1, F.lit(1)))
@@ -356,14 +364,15 @@ def _dup_grams(windows: DataFrame, id_col: str, min_df: int,
 
 
 def _resolve_est(df: DataFrame, n: int, text_col: str,
-                 est_windows) -> int | None:
+                 est_windows, granularity: str = "word") -> int | None:
     """Normalize the public ``est_windows`` knob: None (default
     sizing), an int rows-estimate, or ``'sample'`` to measure one via
-    :func:`estimate_windows`."""
+    :func:`estimate_windows` (granularity-aware)."""
     if est_windows is None:
         return None
     if est_windows == "sample":
-        return estimate_windows(df, n, text_col)
+        return estimate_windows(df, n, text_col,
+                                granularity=granularity)
     return int(est_windows)
 
 
@@ -388,7 +397,7 @@ def dup_span_stats(df: DataFrame, n: int = 6, min_df: int = 2,
     ``granularity='line'`` profiles duplicated LINE windows instead
     of word windows (docs with no non-blank lines contribute no row).
     """
-    est = _resolve_est(df, n, text_col, est_windows)
+    est = _resolve_est(df, n, text_col, est_windows, granularity)
     w = span_windows(df, n, text_col, id_col, method, granularity)
     d = _dup_grams(w, id_col, min_df, est)
     j = w.join(d, "h", "left")
@@ -612,7 +621,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
                 "plan='join' (or method='arrow')")
         plan = "join"
     spark = df.sparkSession
-    est = _resolve_est(df, n, text_col, est_windows)
+    est = _resolve_est(df, n, text_col, est_windows, granularity)
 
     arrays = None
     if plan in ("auto", "broadcast"):
@@ -781,7 +790,8 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
                                      granularity),
                         id_col, min_df=1,
                         est_windows=_resolve_est(df, n, text_col,
-                                                 est_windows))
+                                                 est_windows,
+                                                 granularity))
              .select("h", "df",
                      F.col("first.i").alias("first_i"),
                      F.col("first.p").alias("first_p")))
