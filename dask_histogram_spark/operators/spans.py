@@ -130,16 +130,31 @@ def estimate_windows(df: DataFrame, n: int = 6,
     count is a metadata-weight scan.  Feed the result to the span
     operators' ``est_windows`` so giant corpora size their own gram
     shuffle (see :func:`_dup_grams`); counts windows in the
-    requested ``granularity`` (word/line/paragraph)."""
+    requested ``granularity`` (word/line/paragraph).
+
+    Estimator hygiene (round-9 review): the mean is multiplied by the
+    NON-NULL row count (NULL texts produce no windows — scaling by
+    the full count over-sizes the shuffle on sparse corpora);
+    zero-token line/paragraph docs count 0 windows, not a floored 1;
+    and the sample is SEEDED so the derived partition count — and
+    hence the physical plan — is rerun-stable."""
     _check_granularity(granularity)
-    total = df.count()
+    counts = df.agg(F.count(F.lit(1)).alias("all"),
+                    F.count(text_col).alias("nn")).first()
+    total = int(counts["nn"])  # docs that can produce windows
     if total == 0:
         return 0
     toks = _COL_TOKS[granularity](text_col)
+    # a doc with >= 1 token has max(m - n + 1, 1) windows (degenerate
+    # short-doc form); a 0-token doc (all-blank under line/paragraph
+    # granularity) has none
+    per_doc = F.when(F.size(toks) > 0,
+                     F.greatest(F.size(toks) - n + 1, F.lit(1))
+                     ).otherwise(F.lit(0))
     s = (df.where(F.col(text_col).isNotNull())
-         .sample(fraction=min(1.0, max(sample_fraction, 1000 / total)))
-         .agg(F.sum(F.greatest(F.size(toks) - n + 1, F.lit(1)))
-              .alias("w"),
+         .sample(fraction=min(1.0, max(sample_fraction, 1000 / total)),
+                 seed=17)
+         .agg(F.sum(per_doc).alias("w"),
               F.count(F.lit(1)).alias("d"))
          .first())
     if not s["d"]:
@@ -179,11 +194,20 @@ def _lines_col(text_col: str) -> Column:
     return _unit_col(text_col, "\n")
 
 
+# CRLF-aware: a Windows/crawled blank line is '\r\n\r\n', which holds
+# no two CONSECUTIVE '\n' — a bare \n{2,} would silently degenerate
+# paragraph dedup to whole-document units there (round-9 review
+# finding).  Line granularity needs no such care: it splits on every
+# '\n' and the stray '\r' dies in the \s+ normalization AFTER the
+# split; paragraph splitting happens BEFORE normalization.
+_PARA_RE = r"(?:\r?\n){2,}"
+
+
 def _paras_col(text_col: str) -> Column:
-    return _unit_col(text_col, r"\n{2,}")
+    return _unit_col(text_col, _PARA_RE)
 
 
-_PARA_SPLIT = re.compile(r"\n{2,}")
+_PARA_SPLIT = re.compile(_PARA_RE)
 
 
 def _tokenize_units(texts, splitter) -> list:
@@ -350,7 +374,13 @@ def _dup_grams(windows: DataFrame, id_col: str, min_df: int,
     exactly.)"""
     if est_windows:
         spark = windows.sparkSession
-        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            # some platforms set the conf to the non-numeric 'auto'
+            # (AQE-managed shuffle); fall back to the cluster's
+            # default parallelism as the comparison width
+            cur = int(spark.sparkContext.defaultParallelism)
         need = -(-int(est_windows) // _TARGET_GROUPS_PER_TASK)
         if need > cur:
             windows = windows.repartition(need, "h")
@@ -661,7 +691,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
               & (F.col("first.p") == F.col("pos"))))
     starts = (rem.groupBy(id_col)
               .agg(F.collect_list("pos").alias("__dup_starts")))
-    joined = df.join(starts, id_col, "left")
+    base = df
     if with_stats:
         # join-plan stats: the dup_span_stats aggregates over the
         # same lazy window/dup-set frames, joined onto the output
@@ -679,12 +709,13 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
             F.sum(not_first.cast("long")).alias("n_removable_windows"),
             (F.count("df") / F.count("*")).alias("dup_fraction")))
         nn = F.col(text_col).isNotNull()
-        joined = df.join(st, id_col, "left").join(starts, id_col, "left")
+        base = df.join(st, id_col, "left")
         for c in ("n_windows", "n_dup_windows", "n_removable_windows"):
-            joined = joined.withColumn(
+            base = base.withColumn(
                 c, F.when(nn, F.coalesce(F.col(c), F.lit(0))))
-        joined = joined.withColumn(
+        base = base.withColumn(
             "dup_fraction", F.when(nn, F.col("dup_fraction")))
+    joined = base.join(starts, id_col, "left")
 
     if method == "column":
         toks = _COL_TOKS[granularity](text_col)
@@ -748,8 +779,18 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
 
 # bumped whenever the window-hash construction changes: gram counts
 # from different formulas never align, so a drifted reader would
-# silently strip nothing (or the wrong spans)
+# silently strip nothing (or the wrong spans).  Non-word granularity
+# is FOLDED INTO the stored formula string ("posgram-v1+line"): the
+# tokenization changes the hashes just as much as the combine would,
+# and folding it in makes a granularity-unaware (older) reader fail
+# the formula check LOUDLY instead of probing line hashes with word
+# hashes and silently stripping nothing (round-9 review finding).
 _SPAN_FORMULA = "posgram-v1"
+
+
+def _span_formula(granularity: str) -> str:
+    return (_SPAN_FORMULA if granularity == "word"
+            else f"{_SPAN_FORMULA}+{granularity}")
 
 
 def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
@@ -816,7 +857,8 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
         if b[0] is not None:
             min_id, max_id = int(b[0]), int(b[1])
     pw = spark.createDataFrame(
-        [(_SPAN_FORMULA, int(n), granularity, min_id, max_id)],
+        [(_span_formula(granularity), int(n), granularity,
+          min_id, max_id)],
         "formula string, n int, granularity string, "
         "min_id bigint, max_id bigint",
     ).write.mode("overwrite")
@@ -827,7 +869,9 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
 
 def _load_span_params(spark, table: str):
     """Validated ``__params`` row for a span gram table (loud on the
-    empty-sidecar and drifted-formula states)."""
+    empty-sidecar and drifted-formula states; the formula string
+    carries the granularity for non-word tables, and it must agree
+    with the sidecar's granularity column)."""
     rows = spark.table(f"{table}__params").collect()
     if not rows:
         raise ValueError(
@@ -836,12 +880,14 @@ def _load_span_params(spark, table: str):
             "state) — rebuild it with write_span_gram_table.")
     p = rows[0]
     stored = getattr(p, "formula", None)
-    if stored != _SPAN_FORMULA:
+    gran = getattr(p, "granularity", None) or "word"
+    if stored != _span_formula(gran):
         raise ValueError(
             f"span gram table {table!r} was written with hash formula "
-            f"{stored!r}; this reader computes {_SPAN_FORMULA!r} — "
-            "counts from different formulas never align (every batch "
-            "span would silently look fresh).  Rebuild the table with "
+            f"{stored!r}; this reader computes "
+            f"{_span_formula(gran)!r} — counts from different "
+            "formulas never align (every batch span would silently "
+            "look fresh).  Rebuild the table with "
             "write_span_gram_table.")
     return p
 
@@ -849,16 +895,22 @@ def _load_span_params(spark, table: str):
 def load_span_gram_table(spark, table: str):
     """Open a :func:`write_span_gram_table` table by NAME with the
     loud safety checks (empty sidecar from an interrupted write,
-    drifted hash formula).  Returns (grams DataFrame, n)."""
+    drifted hash formula).  Returns (grams DataFrame, n,
+    granularity) — consumers computing their own window hashes
+    against the table MUST use the returned granularity (its
+    tokenization changes the hashes just as much as the window
+    width does)."""
     p = _load_span_params(spark, table)
-    return spark.table(table), int(p.n)
+    return (spark.table(table), int(p.n),
+            getattr(p, "granularity", None) or "word")
 
 
 def remove_duplicate_spans_incremental(
         new_df: DataFrame, seen, /, min_df: int = 2,
         policy: str = "keep_first", text_col: str = "text",
         id_col: str = "doc_id",
-        max_broadcast_grams: int = _MAX_BROADCAST_GRAMS) -> DataFrame:
+        max_broadcast_grams: int = _MAX_BROADCAST_GRAMS,
+        validate_ids: bool = True) -> DataFrame:
     """Cross-run span dedup: strip from a nightly batch every window
     duplicated against the PERSISTED corpus gram table plus the batch
     itself — without rescanning the corpus.
@@ -907,7 +959,7 @@ def remove_duplicate_spans_incremental(
     # 'all' strips every occurrence, so firsts (and id collisions)
     # cannot change its output and the check is skipped.
     smin = getattr(p, "min_id", None)
-    if policy == "keep_first" and smin is not None:
+    if validate_ids and policy == "keep_first" and smin is not None:
         smax = int(p.max_id)
         bb = new_df.agg(F.min(id_col).alias("lo"),
                         F.max(id_col).alias("hi")).first()
@@ -920,7 +972,10 @@ def remove_duplicate_spans_incremental(
                 "(temporal precedence records the corpus occurrence "
                 "as 'first'; a batch id equal to a seen id would "
                 "silently keep a span that should be stripped).  "
-                "Re-key the batch above the corpus id space.")
+                "Re-key the batch above the corpus id space, or — if "
+                "your id SETS are genuinely disjoint but interleave "
+                "in range (the cheap check can only see bounds) — "
+                "pass validate_ids=False.")
 
     b = _dup_grams(span_windows(new_df, n, text_col, id_col, "arrow",
                                 granularity),

@@ -1335,12 +1335,20 @@ def _sink_roundtrip_path(spark: SparkSession, sf_dir: str,
             raise ValueError(
                 f"sink gate: manifest total_rows={manifest['total_rows']}"
                 f" != input rows {n_in}")
-        if set(manifest["rows_per_shard"]) != {
-                str(i) for i in range(_SINK_SHARDS)}:
+        # count VALUES, not keys (the manifest constructs keys
+        # 0..n-1 unconditionally, so a key check is tautological —
+        # round-9 review): at gate scale every shard is non-empty
+        # w.h.p. under hash uniformity (P[empty] ~ 8*(7/8)^479 ~
+        # 1e-28), so an empty shard means lost data or a broken
+        # assignment, not chance
+        empty = [k for k, v in manifest["rows_per_shard"].items()
+                 if v == 0]
+        if n_in >= 100 * _SINK_SHARDS and empty:
             raise ValueError(
-                f"sink gate: manifest shard keys "
-                f"{sorted(manifest['rows_per_shard'])} do not cover "
-                f"0..{_SINK_SHARDS - 1}")
+                f"sink gate: shards {empty} came back EMPTY from the "
+                f"written files ({n_in} rows over {_SINK_SHARDS} "
+                "shards) — lost shard directory or broken pmod "
+                "assignment")
         from pyspark.sql import Window
 
         back = spark.read.parquet(path).withColumn(

@@ -309,8 +309,8 @@ def test_incremental_probe_has_no_seen_side_exchange(spark, corpus,
     from dask_histogram_spark.operators import load_span_gram_table
 
     table, _ = span_table
-    grams, n = load_span_gram_table(spark, table)
-    assert n == 4
+    grams, n, gran = load_span_gram_table(spark, table)
+    assert n == 4 and gran == "word"
     batch = spark.createDataFrame([(1000, corpus[0])],
                                   "doc_id long, text string")
     from dask_histogram_spark.operators.spans import (
@@ -752,3 +752,77 @@ def test_with_stats_line_granularity_zero_window_docs(spark, line_corpus):
             _sdf(spark, line_corpus), n=1, granularity="line").collect()}
         for i, n in ref.items():
             assert rows[i]["n_dup_windows"] == n, (plan, i)
+
+
+def test_paragraph_crlf_splitting(spark):
+    """Round-9 review: CRLF blank lines ('\\r\\n\\r\\n') must split
+    paragraphs — a bare \\n{2,} never matches them and paragraph
+    dedup silently degenerates to whole-document units."""
+    shared = "shared boilerplate para"
+    df = spark.createDataFrame(
+        [(0, "intro\r\n\r\n" + shared + "\r\n\r\ntail one"),
+         (1, shared + "\n\nother text")],
+        "doc_id long, text string")
+    for method in ("arrow", "column"):
+        # doc 0 must yield THREE paragraph units, not one
+        n0 = sum(1 for r in span_windows(
+            df, n=1, method=method, granularity="paragraph").collect()
+            if r["doc_id"] == 0)
+        assert n0 == 3, (method, n0)
+    rows = {r["doc_id"]: r["clean_text"] for r in remove_duplicate_spans(
+        df, n=1, granularity="paragraph").collect()}
+    assert rows[0] == "intro\n\n" + shared + "\n\ntail one"
+    assert rows[1] == "other text"  # doc 0 holds the first occurrence
+
+
+def test_line_table_rejects_granularity_unaware_reader(spark, corpus,
+                                                       tmp_path):
+    """Round-9 review: granularity is folded into the stored formula
+    string, so a reader that only knows 'posgram-v1' (or a sidecar
+    whose formula disagrees with its granularity column) fails LOUDLY
+    instead of probing line hashes with word hashes."""
+    from dask_histogram_spark.operators import write_span_gram_table
+    from dask_histogram_spark.operators.spans import _load_span_params
+
+    seen = _sdf(spark, {k: v for k, v in corpus.items()
+                        if v is not None})
+    write_span_gram_table(seen, "t_gran_guard", n=2,
+                          granularity="line",
+                          path=str(tmp_path / "gg"))
+    try:
+        p = _load_span_params(spark, "t_gran_guard")
+        assert p.formula == "posgram-v1+line"
+        # simulate the granularity-unaware/disagreeing reader state
+        spark.sql("DROP TABLE IF EXISTS t_gran_guard__params")
+        spark.createDataFrame(
+            [("posgram-v1", 2, "line")],
+            "formula string, n int, granularity string",
+        ).write.mode("overwrite").option(
+            "path", str(tmp_path / "gg") + "__params_bad"
+        ).saveAsTable("t_gran_guard__params")
+        with pytest.raises(ValueError, match="formula"):
+            _load_span_params(spark, "t_gran_guard")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_gran_guard")
+        spark.sql("DROP TABLE IF EXISTS t_gran_guard__params")
+
+
+def test_validate_ids_escape_hatch(spark, corpus, span_table):
+    """Interleaved-but-disjoint id sets are legitimate (the cheap
+    check only sees bounds): validate_ids=False runs, and temporal
+    precedence still strips the re-ingested text."""
+    from dask_histogram_spark.operators import (
+        remove_duplicate_spans_incremental,
+    )
+
+    table, _ = span_table
+    batch = spark.createDataFrame(
+        [(5, corpus[0])], "doc_id long, text string")
+    with pytest.raises(ValueError, match="validate_ids"):
+        remove_duplicate_spans_incremental(batch, table)
+    out = remove_duplicate_spans_incremental(
+        batch, table, validate_ids=False).collect()[0]
+    # corpus[0]'s every window is seen -> fully stripped whatever the
+    # batch id (none of its (id, pos) equal corpus[0]'s stored firsts,
+    # which live on doc 0)
+    assert out["clean_text"] == ""
