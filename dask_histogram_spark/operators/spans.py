@@ -910,7 +910,8 @@ def remove_duplicate_spans_incremental(
         policy: str = "keep_first", text_col: str = "text",
         id_col: str = "doc_id",
         max_broadcast_grams: int = _MAX_BROADCAST_GRAMS,
-        validate_ids: bool = True) -> DataFrame:
+        validate_ids: bool = True,
+        with_stats: bool = False) -> DataFrame:
     """Cross-run span dedup: strip from a nightly batch every window
     duplicated against the PERSISTED corpus gram table plus the batch
     itself — without rescanning the corpus.
@@ -938,6 +939,12 @@ def remove_duplicate_spans_incremental(
     the driver; a batch whose distinct duplicated grams exceed it
     should be split — the cap raises loudly).  Total cost tracks the
     BATCH size, never the corpus.
+
+    ``with_stats=True`` fuses the per-doc duplicated-window profile
+    into the rebuild scan (free — the scan already probes every
+    window; counts are vs the COMBINED corpus+batch dup set).
+    ``validate_ids=False`` bypasses the id-range check for id sets
+    that are disjoint but interleave in range.
     """
     if policy not in ("keep_first", "all"):
         raise ValueError(f"unknown policy: {policy!r}")
@@ -1001,4 +1008,5 @@ def remove_duplicate_spans_incremental(
             f"max_broadcast_grams={max_broadcast_grams}; split the "
             "batch (or raise the cap)")
     return _broadcast_removal_scan(new_df, tbl, policy, n,
-                                   text_col, id_col, granularity)
+                                   text_col, id_col, granularity,
+                                   with_stats)

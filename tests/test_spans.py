@@ -826,3 +826,30 @@ def test_validate_ids_escape_hatch(spark, corpus, span_table):
     # batch id (none of its (id, pos) equal corpus[0]'s stored firsts,
     # which live on doc 0)
     assert out["clean_text"] == ""
+
+
+def test_incremental_with_stats(spark, corpus, span_table):
+    """The probe's fused profile: stats count windows duplicated vs
+    the COMBINED corpus+batch dup set — checked against batch
+    with_stats over (seen UNION batch) restricted to batch rows."""
+    from dask_histogram_spark.operators import (
+        remove_duplicate_spans_incremental,
+    )
+
+    table, seen = span_table
+    batch = spark.createDataFrame(
+        [(1000, corpus[0]), (1001, "entirely fresh words here now")],
+        "doc_id long, text string")
+    inc = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["n_removable_windows"], r["clean_text"])
+           for r in remove_duplicate_spans_incremental(
+               batch, table, with_stats=True).collect()}
+    ref = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["n_removable_windows"], r["clean_text"])
+           for r in remove_duplicate_spans(
+               seen.unionByName(batch), n=4, min_df=2,
+               with_stats=True, plan="join").collect()
+           if r["doc_id"] >= 1000}
+    assert inc == ref
+    assert inc[1000][3] == ""          # re-ingest fully stripped
+    assert inc[1001][1] == 0           # fresh doc: no dup windows
