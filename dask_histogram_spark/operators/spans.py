@@ -132,34 +132,32 @@ def estimate_windows(df: DataFrame, n: int = 6,
     shuffle (see :func:`_dup_grams`); counts windows in the
     requested ``granularity`` (word/line/paragraph).
 
-    Estimator hygiene (round-9 review): the mean is multiplied by the
-    NON-NULL row count (NULL texts produce no windows — scaling by
-    the full count over-sizes the shuffle on sparse corpora);
-    zero-token line/paragraph docs count 0 windows, not a floored 1;
-    and the sample is SEEDED so the derived partition count — and
-    hence the physical plan — is rerun-stable."""
+    Estimator hygiene (round-9 review, both passes): NULL texts and
+    zero-token line/paragraph docs count 0 windows inside the SAMPLED
+    mean itself (so the metadata-weight total row count scales an
+    unbiased per-row mean — no second text scan to count non-nulls,
+    no floored-1 overcount); the sample is SEEDED so the derived
+    partition count — and hence the physical plan — is
+    rerun-stable."""
     _check_granularity(granularity)
-    counts = df.agg(F.count(F.lit(1)).alias("all"),
-                    F.count(text_col).alias("nn")).first()
-    total = int(counts["nn"])  # docs that can produce windows
+    total = df.count()  # metadata-weight for columnar sources
     if total == 0:
         return 0
     toks = _COL_TOKS[granularity](text_col)
     # a doc with >= 1 token has max(m - n + 1, 1) windows (degenerate
-    # short-doc form); a 0-token doc (all-blank under line/paragraph
-    # granularity) has none
-    per_doc = F.when(F.size(toks) > 0,
-                     F.greatest(F.size(toks) - n + 1, F.lit(1))
-                     ).otherwise(F.lit(0))
-    s = (df.where(F.col(text_col).isNotNull())
-         .sample(fraction=min(1.0, max(sample_fraction, 1000 / total)),
-                 seed=17)
+    # short-doc form); NULL text and 0-token docs (all-blank under
+    # line/paragraph granularity) have none
+    per_doc = F.when(
+        F.col(text_col).isNotNull() & (F.size(toks) > 0),
+        F.greatest(F.size(toks) - n + 1, F.lit(1))).otherwise(F.lit(0))
+    s = (df.sample(fraction=min(1.0, max(sample_fraction,
+                                         1000 / total)), seed=17)
          .agg(F.sum(per_doc).alias("w"),
               F.count(F.lit(1)).alias("d"))
          .first())
     if not s["d"]:
         return total  # degenerate sample: assume >= 1 window/doc
-    return int(total * (s["w"] / s["d"]))
+    return int(total * ((s["w"] or 0) / s["d"]))
 
 
 def _toks_col(text_col: str) -> Column:

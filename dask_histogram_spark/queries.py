@@ -1341,9 +1341,14 @@ def _sink_roundtrip_path(spark: SparkSession, sf_dir: str,
         # w.h.p. under hash uniformity (P[empty] ~ 8*(7/8)^479 ~
         # 1e-28), so an empty shard means lost data or a broken
         # assignment, not chance
+        # threshold 25x shards (200 rows): P[chance-empty shard] =
+        # 8*(7/8)^200 ~ 2e-11 — statistically safe AND below the
+        # sf0.01 gate's 479 rows, so the check actually fires where
+        # the gate runs (a 100x threshold silently disabled it there
+        # — second review pass)
         empty = [k for k, v in manifest["rows_per_shard"].items()
                  if v == 0]
-        if n_in >= 100 * _SINK_SHARDS and empty:
+        if n_in >= 25 * _SINK_SHARDS and empty:
             raise ValueError(
                 f"sink gate: shards {empty} came back EMPTY from the "
                 f"written files ({n_in} rows over {_SINK_SHARDS} "

@@ -78,8 +78,7 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
 
 def main() -> None:
     points = [int(a) for a in sys.argv[1:]] or [1_000_000]
-    spark = get_spark("blowup-lines", cpus=int(
-        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark = get_spark("blowup-lines")  # cpus: SPARK_GRAFT_CPUS default
     spark.sparkContext.setLogLevel("ERROR")
     for n in points:
         run_point(spark, n)
