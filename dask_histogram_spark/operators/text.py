@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["token_counts", "text_stats", "language_id", "fingerprint",
-           "text_profile",
+           "text_profile", "lm_score",
            "quality_score", "normalize_text", "normalize_text_sql",
            "repetition_stats", "redact_pii", "redact_pii_sql",
            "PII_PATTERNS", "STOPWORDS"]
@@ -448,3 +448,106 @@ def redact_pii_sql(text_col: str = "text") -> str:
         escaped = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{escaped}', '{token}', 'g')"
     return out
+
+
+def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
+             k: float = 1.0, min_count: int = 1,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document bigram language-model score — the CCNet-style
+    quality signal (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", arXiv:1911.00359):
+    documents whose token transitions are improbable under a
+    reference corpus's n-gram statistics are boilerplate/gibberish
+    candidates.  Model: add-k-smoothed bigram over the pinned corpus
+    tokenization, trained on ``ref_df`` (default: ``df`` itself —
+    self-scoring ranks documents by in-corpus typicality)::
+
+        P(b | a) = (C2(a, b) + k) / (C1(a) + k * V)
+
+    with C2/C1 the reference bigram/unigram occurrence counts and V
+    the reference vocabulary size.
+
+    Output: input columns + ``n_bigrams`` (long; 0 for docs under two
+    tokens), ``n_unseen_bigrams`` (transitions absent from the model —
+    always 0 when self-scored at min_count=1), ``lp_micro`` (bigint),
+    and ``avg_lp10`` (double; NULL when no bigrams).
+
+    CROSS-ENGINE EXACTNESS — why ``lp_micro`` exists: a float SUM of
+    per-bigram log-probs is summation-ORDER-dependent, and Spark's
+    partial aggregates never add in DuckDB's sequence, so a hash gate
+    on the raw sum would flake.  Instead each bigram's log10-prob is
+    quantized to integer micro-units FIRST (``floor(lp * 1e6)`` —
+    floor, not round: no tie rule to disagree on) and the aggregate
+    is an exact integer sum, order-independent by construction.
+    ``avg_lp10 = lp_micro / (n_bigrams * 1e6)`` is then one IEEE
+    division of exact integers — bit-equal everywhere.  (Residual
+    risk: log10 may differ by 1 ulp across libms, flipping a floor
+    only when lp*1e6 sits within ~1e-10 of an integer — ~1e-5 odds
+    across a whole sf0.1 corpus.)
+
+    Scale shape: two vocabulary-sized aggregates build the model
+    (token and bigram hash shuffles — text never moves as text); the
+    scoring join shuffles the document bigram stream against the
+    bigram-count table UNLESS the model broadcasts.  That is what
+    ``min_count`` is for (CCNet prunes its LM the same way): counts
+    below it drop from the model (scored as unseen), collapsing the
+    Zipf tail so the head fits a broadcast and scoring becomes a
+    zero-exchange map over the scan.
+    """
+    ref = df if ref_df is None else ref_df
+    toks = _tokens(F.col(text_col))
+
+    def bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
+        t = frame.where(F.col(text_col).isNotNull()).select(
+            *([F.col(id_col)] if with_id else []),
+            toks.alias("__t"))
+        pairs = F.explode(F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> struct(__t[i-1] AS a, __t[i] AS b))")).alias("p")
+        return (t.where(F.size("__t") > 1)
+                .select(*([id_col] if with_id else []), pairs)
+                .select(*([id_col] if with_id else []),
+                        F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+
+    uni = (ref.where(F.col(text_col).isNotNull())
+           .select(F.explode(toks).alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c1")))
+    # V counts the FULL vocabulary (before min_count pruning): the
+    # smoothing denominator is a property of the reference corpus,
+    # not of how much of the model we chose to materialize
+    vrow = uni.agg(F.count(F.lit(1)).alias("__v"))
+    bi = bigrams(ref, with_id=False).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c2"))
+    if min_count > 1:
+        # prune ONLY the bigram table (the memory-dominant one —
+        # bigram types far outnumber the vocabulary): pruning the
+        # unigram CONTEXT counts would shrink rare contexts'
+        # denominators and score their unseen transitions HIGHER
+        # than the full model does — the wrong direction for a
+        # quality filter (caught by test)
+        bi = bi.where(F.col("c2") >= min_count)
+
+    bg = bigrams(df, with_id=True)
+    j = (bg.join(bi, ["a", "b"], "left")
+         .join(uni, F.col("a") == F.col("token"), "left")
+         .crossJoin(F.broadcast(vrow)))
+    c2 = F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+    c1 = F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+    lp = F.log10((c2 + F.lit(float(k)))
+                 / (c1 + F.lit(float(k)) * F.col("__v")))
+    scored = (j.select(id_col,
+                       F.floor(lp * F.lit(1e6)).cast("long").alias("__lpm"),
+                       (F.col("c2").isNull()).cast("long").alias("__uns"))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("__lpm").alias("lp_micro"),
+                   F.sum("__uns").alias("n_unseen_bigrams")))
+    nn = F.col(text_col).isNotNull()
+    out = df.join(scored, id_col, "left")
+    for c in ("n_bigrams", "lp_micro", "n_unseen_bigrams"):
+        out = out.withColumn(
+            c, F.when(nn, F.coalesce(F.col(c), F.lit(0))))
+    return out.withColumn(
+        "avg_lp10",
+        F.when(F.col("n_bigrams") > 0,
+               F.col("lp_micro") / (F.col("n_bigrams") * F.lit(1e6))))

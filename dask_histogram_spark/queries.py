@@ -1126,11 +1126,15 @@ _register("text_stats", _q_text_stats, _TEXT_STATS_SQL)
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality_score + repetition_stats + normalize_text + redact_pii
-    gated in ONE row set (registry consolidated to the driver's 50-row
-    budget, COVERAGE.md round-5 table): all four are narrow maps over
-    the same documents scan; Catalyst collapses the joins of
-    projections of one cached table."""
+    + the round-9 LM-score leg gated in ONE row set (registry
+    consolidated to the driver's 50-row budget, COVERAGE.md round-5
+    table): all are narrow maps or small aggregates over the same
+    documents scan.  The LM leg (lm_score, CCNet-style self-scored
+    bigram model) contributes n_bigrams / lp_micro / avg_lp10 —
+    lp_micro is the order-independent integer-quantized log-prob sum,
+    which is what makes a float LM score hash-gateable at all."""
     from .operators import (
+        lm_score,
         normalize_text,
         quality_score,
         redact_pii,
@@ -1145,10 +1149,13 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "redacted_text",
         (F.col("redacted_text") != F.col("text")).cast("int").alias("changed"),
     )
+    lm = lm_score(d.select("doc_id", "text")).select(
+        "doc_id", "n_bigrams", "lp_micro", "avg_lp10")
     return (
         quality_score(d)
         .join(repetition_stats(d), "doc_id")
         .join(nr, "doc_id")
+        .join(lm, "doc_id")
     )
 
 
@@ -1191,13 +1198,48 @@ FROM g JOIN top USING (doc_id)
 from .operators.text import normalize_text_sql as _norm_sql  # noqa: E402
 from .operators.text import redact_pii_sql as _redact_sql  # noqa: E402
 
+# DuckDB twin of lm_score(self-scored, k=1, min_count=1): add-1
+# bigram model over the pinned tokenization; per-bigram log10-probs
+# quantized to integer micro-units with FLOOR before the (exact,
+# order-independent) integer sum — see lm_score's docstring.
+_LM_SCORE_SQL = r"""
+WITH lmt AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents
+), lmb AS (
+  SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM lmt WHERE len(tk) > 1)
+), lmu AS (
+  SELECT token, COUNT(*) AS c1 FROM (
+    SELECT unnest(tk) AS token FROM lmt) GROUP BY token
+), lmv AS (SELECT COUNT(*) AS v FROM lmu),
+lmc AS (SELECT a, b, COUNT(*) AS c2 FROM lmb GROUP BY a, b),
+lms AS (
+  SELECT lmb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(FLOOR(log10((lmc.c2 + 1.0) / (lmu.c1 + 1.0 * lmv.v))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS lp_micro
+  FROM lmb JOIN lmc USING (a, b)
+       JOIN lmu ON lmu.token = lmb.a
+       CROSS JOIN lmv
+  GROUP BY lmb.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.lp_micro, 0) AS lp_micro,
+       CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+            THEN s.lp_micro / (s.n_bigrams * 1e6) END AS avg_lp10
+FROM documents d LEFT JOIN lms s ON s.doc_id = d.doc_id
+"""
+
 _register(
     "text_quality",
     _q_quality,
     f"""
 SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality_score, q.keep,
        r.dup_2gram_ratio, r.dup_3gram_ratio, r.top_2gram_ratio,
-       n.n_norm_chars, n.norm_text, n.redacted_text, n.changed
+       n.n_norm_chars, n.norm_text, n.redacted_text, n.changed,
+       lm.n_bigrams, lm.lp_micro, lm.avg_lp10
 FROM (
   SELECT doc_id, n_chars, n_tokens,
          {_QUALITY_GATES_SQL} AS quality_score,
@@ -1211,6 +1253,7 @@ JOIN (
          CAST({_redact_sql()} != text AS INT) AS changed
   FROM documents
 ) n ON q.doc_id = n.doc_id
+JOIN ({_LM_SCORE_SQL}) lm ON q.doc_id = lm.doc_id
 """,
 )
 

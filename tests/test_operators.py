@@ -2220,3 +2220,66 @@ def test_embedding_signature_table_cap_stats_recorded(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_capstats_t")
         spark.sql("DROP TABLE IF EXISTS emb_capstats_t__params")
+
+
+def test_lm_score_matches_python_reference(spark):
+    """lm_score pinned against an independent add-1 bigram model;
+    the integer micro-quantization must match term-for-term."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from dask_histogram_spark.operators import lm_score
+
+    docs = {0: "the cat sat on the mat", 1: "the cat sat",
+            2: "zz qq xx", 3: "one", 4: None, 5: ""}
+    df = spark.createDataFrame([(i, t) for i, t in docs.items()],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in lm_score(df).collect()}
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    tok = {i: ws.split(t.lower().strip(" "))
+           for i, t in docs.items() if t is not None}
+    c1 = Counter(w for ts in tok.values() for w in ts)
+    c2 = Counter(p for ts in tok.values() for p in zip(ts, ts[1:]))
+    v = len(c1)
+    for i, ts in tok.items():
+        bgs = list(zip(ts, ts[1:]))
+        lpm = sum(math.floor(
+            math.log10((c2[p] + 1) / (c1[p[0]] + v)) * 1e6)
+            for p in bgs)
+        assert rows[i]["n_bigrams"] == len(bgs), i
+        assert rows[i]["lp_micro"] == (lpm if bgs else 0), i
+        assert rows[i]["n_unseen_bigrams"] == 0, i
+        if bgs:
+            assert rows[i]["avg_lp10"] == lpm / (len(bgs) * 1e6)
+        else:
+            assert rows[i]["avg_lp10"] is None
+    assert rows[4]["n_bigrams"] is None       # NULL text: NULL stats
+    # typicality ordering: in-distribution doc beats the gibberish doc
+    assert rows[0]["avg_lp10"] > rows[2]["avg_lp10"]
+
+
+def test_lm_score_ref_corpus_and_min_count(spark):
+    """Scoring against a separate reference: unseen transitions are
+    counted and floored to the smoothing floor; min_count pruning
+    demotes tail bigrams to unseen without changing V."""
+    from dask_histogram_spark.operators import lm_score
+
+    ref = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "a b"), (11, "c a"), (12, "q z")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in lm_score(new, ref_df=ref).collect()}
+    assert rows[10]["n_unseen_bigrams"] == 0     # 'a b' well attested
+    assert rows[11]["n_unseen_bigrams"] == 1     # 'c a' never seen
+    assert rows[12]["n_unseen_bigrams"] == 1     # OOV entirely
+    assert rows[10]["avg_lp10"] > rows[12]["avg_lp10"]
+    # min_count=2 prunes the singleton bigrams ('b c', 'c'-anything)
+    pruned = {r["doc_id"]: r for r in lm_score(
+        new, ref_df=ref, min_count=2).collect()}
+    assert pruned[10]["n_unseen_bigrams"] == 0   # 'a b' count 3 kept
+    # 'c a' stays unseen; the pruned model must score it no higher
+    assert pruned[11]["n_unseen_bigrams"] == 1
+    assert pruned[11]["lp_micro"] <= rows[11]["lp_micro"]
