@@ -20,6 +20,7 @@ CARTESIAN_ALLOWED = {
     "similarity_topk",      # broadcast NLJ: queries side is broadcast-tiny
     "dedup_exact_stats",    # cross join against a broadcast 1-ROW stats agg
     "minhash_lsh_stats",    # 1-row pair count x 1-row bucket stats assembly
+    "text_quality",         # lm_score: broadcast 1-ROW vocabulary-size frame
 }
 
 
