@@ -295,8 +295,12 @@ def test_full_corpus_prep_chain_composes(spark, tmp_path):
     merges = train_bpe(kept, 50)
     assert len(merges) == 50
     enc = apply_bpe(kept, merges)
-    packed = pack_sequences(enc, max_tokens=512, tokens_col="n_bpe")
-    rows = (packed.groupBy("seq_id")
+    # grouped, like every at-scale run should be (the ungrouped
+    # single-task warning has its own dedicated test); seq_ids are
+    # per-group, so budget checks key on (source, seq_id)
+    packed = pack_sequences(enc, max_tokens=512, tokens_col="n_bpe",
+                            group_col="source")
+    rows = (packed.groupBy("source", "seq_id")
             .agg(F.sum("n_bpe").alias("tok"),
                  F.count("*").alias("docs"))
             .collect())
