@@ -377,3 +377,23 @@ def test_embedding_pipeline_registry_entry_probes_persisted_table(
     n_tables = captured["seen"]
     QUERIES["embedding_dedup_pipeline"](spark, SF_DIR)
     assert captured["seen"] == n_tables
+
+
+def test_lm_score_scoring_join_broadcasts_small_model(spark):
+    """lm_score's scale claim: when the (pruned) model is small, the
+    scoring joins are broadcast-hash — the document bigram stream
+    never shuffles.  At test scale AQE sees the tiny count tables and
+    must pick BroadcastHashJoin for both model joins (no sort-merge
+    exchange on the scoring path)."""
+    from dask_histogram_spark.operators import lm_score
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(200)],
+        "doc_id long, text string")
+    out = lm_score(df)
+    out.collect()  # AQE finalizes the plan on execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints BOTH sections; the runtime choice is the Final Plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:1200]
+    assert "SortMergeJoin" not in final, final[:1200]
