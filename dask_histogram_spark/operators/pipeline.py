@@ -801,6 +801,15 @@ def _positional_gram_hashes(tok_lists, n: int) -> "list[np.ndarray | None]":
         off, ln = sp
         if ln >= n:
             out.append(acc[off: off + ln - n + 1])
+        elif ln == 0:
+            # a ZERO-token doc (line/paragraph granularity on
+            # all-blank text; word tokenization never yields 0) has
+            # no degenerate window — without this branch th[off:off+1]
+            # would grab the NEXT doc's first token hash mid-batch and
+            # emit a phantom window equal to its first unit, wrongly
+            # marking that unit duplicated (caught by the round-9
+            # tokenizer fuzz, tests/test_properties.py)
+            out.append(th[:0])
         else:
             g = th[off: off + 1].copy()
             for j in range(1, ln):

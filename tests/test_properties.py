@@ -230,3 +230,46 @@ def test_min_label_numpy_matches_union_find(edges):
         comp.setdefault(find(n), []).append(n)
     expected = {n: min(ns) for r, ns in comp.items() for n in ns}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# granularity tokenizer parity (bulk fuzz: one Spark job, many cases)
+# ---------------------------------------------------------------------------
+
+def test_granularity_tokenizers_python_equals_column_bulk(spark):
+    """The round-9 line/paragraph tokenizers exist twice (python twin
+    in the arrow kernels, Column twin in span_windows method='column')
+    — fuzz whitespace-heavy random texts (tabs, CRs, CRLF blank
+    lines, NBSP, runs of separators) and require token-for-token
+    equality, then window-set equality for both methods."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dask_histogram_spark.operators import span_windows
+    from dask_histogram_spark.operators.spans import (
+        _COL_TOKS,
+        _tokenize,
+    )
+
+    rng = random.Random(424242)
+    alphabet = (list("abcXYZ019.,!?") + ["é", "ß", "\xa0"]
+                + list(" \t\r") + ["\n", "\n\n", "\r\n", "\r\n\r\n"])
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randrange(0, 60)))
+             for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    for gran in ("word", "line", "paragraph"):
+        got = {r["doc_id"]: r["tk"] for r in df.select(
+            "doc_id", _COL_TOKS[gran]("text").alias("tk")).collect()}
+        ref = _tokenize(texts, gran)
+        for i, t in enumerate(texts):
+            assert got[i] == ref[i], (gran, i, repr(t), got[i], ref[i])
+        for n in (1, 3):
+            a = {(r["doc_id"], r["pos"]) for r in span_windows(
+                df, n=n, method="arrow", granularity=gran).collect()}
+            c = {(r["doc_id"], r["pos"]) for r in span_windows(
+                df, n=n, method="column", granularity=gran).collect()}
+            assert a == c, (gran, n, a ^ c)

@@ -853,3 +853,23 @@ def test_incremental_with_stats(spark, corpus, span_table):
     assert inc == ref
     assert inc[1000][3] == ""          # re-ingest fully stripped
     assert inc[1001][1] == 0           # fresh doc: no dup windows
+
+
+def test_blank_doc_mid_batch_emits_no_phantom_window(spark):
+    """Round-9 fuzz find, pinned deterministically: a zero-token doc
+    (blank text at line granularity) sitting BEFORE a content doc in
+    the same Arrow batch must contribute NO window — the old
+    degenerate-branch slice grabbed the next doc's first token hash
+    and emitted a phantom window equal to its first line, which
+    keep_first removal would then strip as a duplicate."""
+    df = spark.createDataFrame(
+        [(0, "\t\n  "), (1, "only line here")],
+        "doc_id long, text string").coalesce(1)  # one batch, in order
+    rows = span_windows(df, n=1, granularity="line").collect()
+    assert [(r["doc_id"], r["pos"]) for r in rows] == [(1, 0)]
+    # end-to-end: doc 1's line must SURVIVE removal (min_df=2 would
+    # have treated the phantom as a second occurrence)
+    out = {r["doc_id"]: r["clean_text"] for r in remove_duplicate_spans(
+        df.coalesce(1), n=1, granularity="line").collect()}
+    assert out[1] == "only line here"
+    assert out[0] == ""
