@@ -1225,8 +1225,10 @@ lms AS (
   GROUP BY lmb.doc_id
 )
 SELECT d.doc_id,
-       COALESCE(s.n_bigrams, 0) AS n_bigrams,
-       COALESCE(s.lp_micro, 0) AS lp_micro,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(s.n_bigrams, 0) END AS n_bigrams,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(s.lp_micro, 0) END AS lp_micro,
        CASE WHEN COALESCE(s.n_bigrams, 0) > 0
             THEN s.lp_micro / (s.n_bigrams * 1e6) END AS avg_lp10
 FROM documents d LEFT JOIN lms s ON s.doc_id = d.doc_id
@@ -1357,9 +1359,13 @@ def _sink_roundtrip_path(spark: SparkSession, sf_dir: str,
       key xxhash64(doc_id, seed) — which makes rerun determinism hold
       by construction (the order is a pure function of the ids), the
       contract test_sources pins file-level.  Order is read back via
-      per-file position (each shard is one task -> one parquet file at
-      gate scale, so monotonically_increasing_id IS file order);
-      violations are counted distributed-side, never collected.
+      per-file position (``_metadata.row_index`` — true row order
+      within each written file regardless of how many read splits the
+      file spans or how many files a shard grew to); violations are
+      counted distributed-side, never collected.  Within-FILE order is
+      the writer's actual guarantee (sortWithinPartitions before a
+      one-file-per-task write); cross-file order inside a shard is not
+      promised and not checked.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SINK_CACHE:
@@ -1399,9 +1405,11 @@ def _sink_roundtrip_path(spark: SparkSession, sf_dir: str,
                 "assignment")
         from pyspark.sql import Window
 
-        back = spark.read.parquet(path).withColumn(
-            "__pos", F.monotonically_increasing_id())
-        ow = Window.partitionBy("shard").orderBy("__pos")
+        back = spark.read.parquet(path).select(
+            "*",
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"))
+        ow = Window.partitionBy("shard", "__file").orderBy("__pos")
         k = F.xxhash64(F.col("doc_id"), F.lit(_SINK_SEED))
         bad = (back.withColumn("__prev", F.lag(k).over(ow))
                .where(F.col("__prev").isNotNull() & (k < F.col("__prev")))
@@ -1437,7 +1445,10 @@ def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     eq = (F.col("shard") == F.pmod(F.xxhash64(F.col("doc_id")),
                                    F.lit(_SINK_SHARDS)).cast("int"))
     for c in val_cols:
-        eq = eq & (F.col(f"b_{c}") == F.col(c))
+        # eqNullSafe, not ==: a nullable column's NULL==NULL would
+        # evaluate to NULL, coalesce to False, and flag a faithful
+        # round-trip as corrupt (round-9 ADVICE)
+        eq = eq & F.col(f"b_{c}").eqNullSafe(F.col(c))
     b = back.select(
         "doc_id", "shard",
         *[F.col(c).alias(f"b_{c}") for c in val_cols])
@@ -2972,13 +2983,19 @@ from .operators.pipeline import pack_sequences_sql as _pack_sql  # noqa: E402
 _register(
     "pipeline_pack_sequences",
     _q_pack_sequences,
+    # LEFT JOIN + COALESCE: apply_bpe emits n_bpe=0 / md5('') rows for
+    # wordless docs, while bw (and so bpe) has no rows for them — an
+    # inner join's row-set parity would silently lean on the
+    # min_tokens gate excluding such docs from the packed side
+    # (round-9 ADVICE)
     f"WITH {_bpe_encode_ctes(_DUP_SQL)} "
-    f"SELECT pk.*, bpe.n_bpe, bpe.bpe_md5 FROM ("
+    f"SELECT pk.*, COALESCE(bpe.n_bpe, 0) AS n_bpe, "
+    f"COALESCE(bpe.bpe_md5, md5('')) AS bpe_md5 FROM ("
     f"SELECT doc_id, split, n_tokens, n_bpe_tokens, "
     f"{_pack_sql(512, group_col='split', tokens_col='n_bpe_tokens')} "
     f"FROM (SELECT *, {_split_sql(_SPLIT_RATIOS)} "
     f"FROM ({_pipe_sql(table=_DUP_SQL)}))) pk "
-    f"JOIN bpe USING (doc_id)",
+    f"LEFT JOIN bpe USING (doc_id)",
 )
 
 
