@@ -758,7 +758,9 @@ def _tokenize_texts(texts) -> "list[list[str] | None]":
             for t in texts]
 
 
-def _positional_gram_hashes(tok_lists, n: int) -> "list[np.ndarray | None]":
+def _positional_gram_hashes(tok_lists, n: int,
+                            hash_key: str | None = None,
+                            ) -> "list[np.ndarray | None]":
     """POSITIONAL word-n-gram hashes per document (no uniquing): the
     single copy of the batch-vectorized convention shared by
     contamination (distinct membership) and span dedup (positional
@@ -783,8 +785,14 @@ def _positional_gram_hashes(tok_lists, n: int) -> "list[np.ndarray | None]":
             continue
         spans.append((len(flat), len(toks)))
         flat.extend(toks)
+    # hash_key (16 chars, pd.util.hash_array's keyed-SipHash seed)
+    # selects an INDEPENDENT 64-bit stream over the same tokens —
+    # span dedup's hash_bits=128 runs the kernel twice with two keys
+    # (dual-64); default None keeps the library default key, i.e.
+    # every existing 64-bit output is unchanged
+    kw = {"hash_key": hash_key} if hash_key is not None else {}
     th = (pd.util.hash_array(np.asarray(flat, dtype=object),
-                             categorize=True)
+                             categorize=True, **kw)
           if flat else np.zeros(0, dtype=np.uint64))
     total = len(th)
     if total >= n:

@@ -109,6 +109,13 @@ __all__ = [
 # (3 numpy arrays x 8-16 B/gram -> low hundreds of MB at the cap)
 _MAX_BROADCAST_GRAMS = 2_000_000
 
+# second pd.util.hash_array key (exactly 16 chars, the API contract)
+# for the dual-64 window identity under hash_bits=128; the default
+# key hashes the first stream, this one the second — two independent
+# keyed-SipHash streams over the same tokens, pair-collision odds
+# ~W^2 / 2^129
+_DUAL_HASH_KEY = "dhs-span-dual-64"
+
 # gram-aggregate sizing target: the reduce-side hash map holds
 # ~windows/partitions groups per task (grams are mostly distinct in a
 # dedup corpus), and concurrent tasks share one execution-memory pool
@@ -248,12 +255,19 @@ def _check_granularity(granularity: str) -> None:
             f"(expected one of {_GRANULARITIES})")
 
 
+def _check_hash_bits(hash_bits: int) -> None:
+    if hash_bits not in (64, 128):
+        raise ValueError(
+            f"unknown hash_bits: {hash_bits!r} (expected 64 or 128)")
+
+
 def _tokenize(texts: list, granularity: str) -> list:
     return _TOKENIZERS[granularity](texts)
 
 
 def _batch_window_hashes(texts: list, n: int,
-                         granularity: str = "word") -> tuple[list, list]:
+                         granularity: str = "word",
+                         dual: bool = False) -> tuple:
     """Tokenize + positional window hashes for a batch (None text ->
     None in both outputs) via the single shared batch kernel
     (pipeline._positional_gram_hashes: one ``pd.util.hash_array``
@@ -261,15 +275,25 @@ def _batch_window_hashes(texts: list, n: int,
     shared with contamination, so the pinned tokenization and the
     degenerate short-doc form have exactly one implementation).
     ``granularity='line'`` swaps in the line tokenizer; the hash
-    kernel is token-type-agnostic."""
+    kernel is token-type-agnostic.
+
+    ``dual=True`` additionally returns a SECOND, independent 64-bit
+    stream over the same tokenization (one extra keyed hash pass —
+    the tokenize cost is not paid twice): the dual-64 = 128-bit
+    window identity behind ``hash_bits=128`` (third return is None
+    otherwise)."""
     tok_lists = _tokenize(texts, granularity)
-    return tok_lists, _positional_gram_hashes(tok_lists, n)
+    h1 = _positional_gram_hashes(tok_lists, n)
+    h2 = (_positional_gram_hashes(tok_lists, n, hash_key=_DUAL_HASH_KEY)
+          if dual else None)
+    return tok_lists, h1, h2
 
 
 def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
                  id_col: str = "doc_id",
                  method: str = "auto",
-                 granularity: str = "word") -> DataFrame:
+                 granularity: str = "word",
+                 hash_bits: int = 64) -> DataFrame:
     """Explode every document into (id, pos, h): one row per n-token
     window, ``h`` a 64-bit hash of the window's token sequence.
 
@@ -290,8 +314,18 @@ def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
     exact line dedup.  A line/paragraph-granularity doc with no
     non-blank content has NO windows (unlike word granularity, where
     an empty string is one empty token).
+
+    ``hash_bits=128`` emits a SECOND independent 64-bit hash column
+    ``h2`` (dual-64 window identity — pair-collision odds ~W^2/2^129,
+    zero at any earthly corpus): the opt-in for DESTRUCTIVE removal
+    at strict ``min_df=2`` beyond ~1e10 windows, where the 64-bit
+    birthday floor (module docstring) starts deleting real passages.
+    One extra keyed hash pass in the arrow kernel (tokenization is
+    not repeated); consumers key on (h, h2) instead of h.
     """
     _check_granularity(granularity)
+    _check_hash_bits(hash_bits)
+    dual = hash_bits == 128
     if method == "auto":
         method = "arrow"
     if method == "column":
@@ -315,8 +349,15 @@ def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
         e = e.where(F.size("__toks") > 0)
         gram = F.array_join(F.slice(F.col("__toks"), F.col("pos") + 1, n),
                             _JOINERS[granularity])
-        return e.select(F.col(id_col), F.col("pos").cast("int"),
-                        F.xxhash64(gram).alias("h"))
+        cols = [F.col(id_col), F.col("pos").cast("int"),
+                F.xxhash64(gram).alias("h")]
+        if dual:
+            # seed the second stream by prefixing a literal no gram
+            # can produce (xxhash64 folds arguments sequentially, so
+            # a distinct leading value IS a distinct seed)
+            cols.append(F.xxhash64(F.lit(_DUAL_HASH_KEY), gram)
+                        .alias("h2"))
+        return e.select(*cols)
     if method != "arrow":
         raise ValueError(f"unknown span_windows method: {method!r}")
 
@@ -325,32 +366,38 @@ def span_windows(df: DataFrame, n: int = 6, text_col: str = "text",
         T.StructField(id_col, id_type),
         T.StructField("pos", T.IntegerType()),
         T.StructField("h", T.LongType()),
-    ])
+    ] + ([T.StructField("h2", T.LongType())] if dual else []))
 
     def gen(batches):
         for b in batches:
             ids = b[id_col].to_numpy()
-            _, hashes = _batch_window_hashes(b[text_col].tolist(), n,
-                                             granularity)
-            out_i, out_p, out_h = [], [], []
+            _, hashes, hashes2 = _batch_window_hashes(
+                b[text_col].tolist(), n, granularity, dual=dual)
+            out_i, out_p, out_h, out_h2 = [], [], [], []
             for i, hs in enumerate(hashes):
                 if hs is None or len(hs) == 0:
                     continue
                 out_i.append(np.full(len(hs), ids[i]))
                 out_p.append(np.arange(len(hs), dtype=np.int32))
                 out_h.append(hs.view(np.int64))
+                if dual:
+                    out_h2.append(hashes2[i].view(np.int64))
             if out_i:
-                yield pd.DataFrame({
+                cols = {
                     id_col: np.concatenate(out_i),
                     "pos": np.concatenate(out_p),
                     "h": np.concatenate(out_h),
-                })
+                }
+                if dual:
+                    cols["h2"] = np.concatenate(out_h2)
+                yield pd.DataFrame(cols)
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def _dup_grams(windows: DataFrame, id_col: str, min_df: int,
-               est_windows: int | None = None) -> DataFrame:
+               est_windows: int | None = None,
+               keys: tuple = ("h",)) -> DataFrame:
     """(h, df, first) for every window hash seen >= min_df times;
     ``first`` is the globally smallest (id, pos) occurrence.
 
@@ -381,9 +428,9 @@ def _dup_grams(windows: DataFrame, id_col: str, min_df: int,
             cur = int(spark.sparkContext.defaultParallelism)
         need = -(-int(est_windows) // _TARGET_GROUPS_PER_TASK)
         if need > cur:
-            windows = windows.repartition(need, "h")
+            windows = windows.repartition(need, *keys)
     return (
-        windows.groupBy("h")
+        windows.groupBy(*keys)
         .agg(F.count("*").alias("df"),
              F.min(F.struct(F.col(id_col).alias("i"),
                             F.col("pos").alias("p"))).alias("first"))
@@ -478,10 +525,43 @@ def _rebuild_batch(toks_list: list, starts_list: list, n: int,
         removed_out.append(int(cov.sum()))
 
 
+def _probe_slots(hs_g: np.ndarray, h2_g, sh: np.ndarray,
+                 sh2) -> np.ndarray:
+    """Exact vectorized membership probe of a batch's window hashes
+    against the (lex)sorted broadcast dup set: returns the matched
+    SLOT index per window, -1 for a miss.  64-bit mode (``h2_g`` is
+    None): one searchsorted + equality, the original probe.  Dual-64
+    mode: the set is lexsorted by (h, h2); the first slot of the
+    equal-``h`` run is checked vectorized, and the ~2^-64-probability
+    runs longer than one entry fall to a bounded scalar walk — a
+    duplicate-``h`` pair in the set can never mask a real (h, h2)
+    member (pinned by tests/test_spans.py's synthetic-collision
+    test)."""
+    n_g = len(hs_g)
+    out_n = len(sh)
+    if n_g == 0:
+        return np.full(out_n, -1, dtype=np.int64)
+    idx = np.searchsorted(hs_g, sh)          # first slot with >= sh
+    idx_c = np.minimum(idx, n_g - 1)
+    ok = hs_g[idx_c] == sh
+    if h2_g is None:
+        return np.where(ok, idx_c, np.int64(-1))
+    slot = np.where(ok & (h2_g[idx_c] == sh2), idx_c, np.int64(-1))
+    for r in np.nonzero(ok & (slot < 0))[0]:
+        k = int(idx_c[r]) + 1
+        while k < n_g and hs_g[k] == sh[r]:
+            if h2_g[k] == sh2[r]:
+                slot[r] = k
+                break
+            k += 1
+    return slot
+
+
 def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
                             text_col: str, id_col: str,
                             granularity: str = "word",
-                            with_stats: bool = False) -> DataFrame:
+                            with_stats: bool = False,
+                            dual: bool = False) -> DataFrame:
     """One zero-exchange rebuild scan against a collected dup-window
     set ``tbl`` (arrow table of (h, i, p): hash + FIRST occurrence).
     Shared by batch removal (first = corpus min (id, pos)) and the
@@ -501,12 +581,18 @@ def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
     removal policy deletes)."""
     spark = df.sparkSession
     hs = tbl.column("h").to_numpy(zero_copy_only=False)
-    order = np.argsort(hs, kind="stable")
+    if dual:
+        h2s = tbl.column("h2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2s, hs))   # h-major, h2 within ties
+        h2s = h2s[order]
+    else:
+        h2s = None
+        order = np.argsort(hs, kind="stable")
     hs = hs[order]
     fi = tbl.column("i").to_numpy(zero_copy_only=False)[order]
     fp = tbl.column("p").to_numpy(zero_copy_only=False)[order]
     keep_first = policy == "keep_first"
-    bc = spark.sparkContext.broadcast((hs, fi, fp))
+    bc = spark.sparkContext.broadcast((hs, h2s, fi, fp))
 
     stat_fields = [
         T.StructField("n_windows", T.LongType()),
@@ -522,10 +608,10 @@ def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
     joiner = _JOINERS[granularity]
 
     def scan(batches):
-        hs_g, fi_g, fp_g = bc.value
+        hs_g, h2_g, fi_g, fp_g = bc.value
         for b in batches:
-            toks_list, hashes = _batch_window_hashes(
-                b[text_col].tolist(), n, granularity)
+            toks_list, hashes, hashes2 = _batch_window_hashes(
+                b[text_col].tolist(), n, granularity, dual=dual)
             ids = b[id_col].to_numpy()
             starts_list = []
             stats_rows: list = []
@@ -535,13 +621,12 @@ def _broadcast_removal_scan(df: DataFrame, tbl, policy: str, n: int,
                     stats_rows.append((None, None, None, None))
                     continue
                 sh = wh.view(np.int64)
-                idx = np.searchsorted(hs_g, sh)
-                idx[idx == len(hs_g)] = 0
-                hit = (hs_g[idx] == sh) if len(hs_g) else \
-                    np.zeros(len(sh), dtype=bool)
+                sh2 = hashes2[i].view(np.int64) if dual else None
+                slot = _probe_slots(hs_g, h2_g, sh, sh2)
+                hit = slot >= 0
                 n_own = 0
                 if (keep_first or with_stats) and hit.any():
-                    j = idx[hit]
+                    j = slot[hit]
                     pos_hit = np.nonzero(hit)[0]
                     own = (fi_g[j] == ids[i]) & (fp_g[j] == pos_hit)
                     n_own = int(own.sum())
@@ -583,7 +668,8 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
                            max_broadcast_grams: int = _MAX_BROADCAST_GRAMS,
                            est_windows=None,
                            granularity: str = "word",
-                           with_stats: bool = False) -> DataFrame:
+                           with_stats: bool = False,
+                           hash_bits: int = 64) -> DataFrame:
     """Rebuild every document without its duplicated spans.
 
     Output: the input columns plus ``clean_text`` (normalized text
@@ -633,10 +719,26 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     re-tokenize the corpus).  One divergence from dup_span_stats:
     that operator omits rows for docs with no windows, this emits
     them with n_windows=0 (stats are columns on the full output).
+
+    ``hash_bits=128`` keys duplication on a dual-64 (= 128-bit)
+    window identity instead of one 64-bit hash — the opt-in for the
+    user running DESTRUCTIVE strict-``min_df=2`` removal over 1e11+
+    windows corpus-wide, where the module docstring's 64-bit birthday
+    floor (~27k silent false removals at W~1e12) is no longer
+    acceptable and the per-shard / min_df>=3 mitigations don't apply.
+    Pair-collision odds drop to ~W^2/2^129 (zero at any earthly W).
+    Cost: one extra keyed hash pass in the window kernel, 16-byte
+    instead of 8-byte gram-aggregate keys, and a two-column dup-set
+    join — measured ~1.1-1.3x the 64-bit wall at sf0.1 (BASELINE.md
+    round-10 A/B).  Outputs are bit-identical to ``hash_bits=64``
+    short of a real 64-bit collision (differential-tested).
     """
     if policy not in ("keep_first", "all"):
         raise ValueError(f"unknown policy: {policy!r}")
     _check_granularity(granularity)
+    _check_hash_bits(hash_bits)
+    dual = hash_bits == 128
+    keys = ("h", "h2") if dual else ("h",)
     if method == "auto":
         method = "arrow"
     if method not in ("arrow", "column"):
@@ -657,9 +759,10 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
         # driver, and the collected rows ARE the broadcast payload —
         # auto never pays a second aggregate pass to count first
         d = _dup_grams(
-            span_windows(df, n, text_col, id_col, "arrow", granularity),
-            id_col, min_df, est)
-        tbl = (d.select("h", "first.i", "first.p")
+            span_windows(df, n, text_col, id_col, "arrow", granularity,
+                         hash_bits),
+            id_col, min_df, est, keys)
+        tbl = (d.select(*keys, "first.i", "first.p")
                .limit(max_broadcast_grams + 1).toArrow())
         if tbl.num_rows > max_broadcast_grams:
             if plan == "broadcast":
@@ -675,14 +778,15 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
     if plan == "broadcast":
         return _broadcast_removal_scan(df, arrays, policy, n,
                                        text_col, id_col, granularity,
-                                       with_stats)
+                                       with_stats, dual)
 
     if plan != "join":
         raise ValueError(f"unknown plan: {plan!r}")
 
-    w = span_windows(df, n, text_col, id_col, "auto", granularity)
-    d = _dup_grams(w, id_col, min_df, est)
-    rem = w.join(d, "h")
+    w = span_windows(df, n, text_col, id_col, "auto", granularity,
+                     hash_bits)
+    d = _dup_grams(w, id_col, min_df, est, keys)
+    rem = w.join(d, list(keys))
     if policy == "keep_first":
         rem = rem.filter(
             ~((F.col("first.i") == F.col(id_col))
@@ -696,7 +800,7 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
         # (docs with no windows — NULL or all-blank text — get
         # n_windows=0 rather than dropping from the output; NULL
         # text keeps NULL stats to match the broadcast scan)
-        j = w.join(d, "h", "left")
+        j = w.join(d, list(keys), "left")
         not_first = (
             F.col("df").isNotNull()
             & ~((F.col("first.i") == F.col(id_col))

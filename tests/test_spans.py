@@ -873,3 +873,86 @@ def test_blank_doc_mid_batch_emits_no_phantom_window(spark):
         df.coalesce(1), n=1, granularity="line").collect()}
     assert out[1] == "only line here"
     assert out[0] == ""
+
+
+# ---------------------------------------------------------------------------
+# hash_bits=128 (dual-64 window identity for destructive removal)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("plan", ["broadcast", "join"])
+def test_hash_bits_128_matches_64(spark, corpus, plan):
+    """Short of a real 64-bit collision, the 128-bit removal must be
+    bit-identical to the 64-bit one — on clean_text, n_removed_words
+    AND the fused with_stats profile, under both physical plans."""
+    df = _sdf(spark, corpus)
+    cols = ("clean_text", "n_removed_words", "n_windows",
+            "n_dup_windows", "n_removable_windows", "dup_fraction")
+
+    def run(bits):
+        return {
+            r["doc_id"]: tuple(r[c] for c in cols)
+            for r in remove_duplicate_spans(
+                df, n=4, min_df=2, plan=plan, with_stats=True,
+                hash_bits=bits).collect()}
+
+    assert run(128) == run(64)
+
+
+def test_hash_bits_128_line_granularity(spark, line_corpus):
+    """Dual-64 composes with non-word granularity (the second stream
+    hashes the same unit tokenization)."""
+    df = _sdf(spark, line_corpus)
+
+    def run(bits):
+        return {r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+                for r in remove_duplicate_spans(
+                    df, n=1, granularity="line",
+                    hash_bits=bits).collect()}
+
+    assert run(128) == run(64)
+
+
+def test_span_windows_dual_streams_independent(spark, corpus):
+    """hash_bits=128 emits an h2 column whose values do not simply
+    mirror h (independent keyed streams), while (doc_id, pos)
+    coverage is identical to the 64-bit output."""
+    df = _sdf(spark, corpus)
+    w64 = span_windows(df, n=4).collect()
+    w128 = span_windows(df, n=4, hash_bits=128).collect()
+    assert {(r["doc_id"], r["pos"]) for r in w64} == \
+        {(r["doc_id"], r["pos"]) for r in w128}
+    # same token sequence -> same (h, h2); distinct sequences ->
+    # h2 must not be a function applied to h alone
+    pair = {}
+    for r in w128:
+        pair.setdefault(r["h"], set()).add(r["h2"])
+    assert all(len(v) == 1 for v in pair.values())
+    assert len({r["h2"] - r["h"] for r in w128}) > 1
+
+
+def test_probe_slots_duplicate_h_run_resolved():
+    """The dual-64 probe must find a member whose h collides with a
+    DIFFERENT pair earlier in the lexsorted run — the ~2^-64 case the
+    scalar-walk fallback exists for — and must not claim membership
+    for a pair sharing h with members but matching none of their h2."""
+    import numpy as np
+
+    from dask_histogram_spark.operators.spans import _probe_slots
+
+    hs = np.array([5, 5, 5, 9], dtype=np.int64)
+    h2 = np.array([1, 2, 3, 4], dtype=np.int64)   # lexsorted by (h, h2)
+    sh = np.array([5, 5, 5, 9, 9, 7], dtype=np.int64)
+    sh2 = np.array([3, 1, 99, 4, 1, 1], dtype=np.int64)
+    got = _probe_slots(hs, h2, sh, sh2)
+    assert got.tolist() == [2, 0, -1, 3, -1, -1]
+    # 64-bit mode unchanged: membership on h alone
+    got64 = _probe_slots(hs, None, sh, None)
+    assert got64.tolist() == [0, 0, 0, 3, 3, -1]
+
+
+def test_hash_bits_validated(spark, corpus):
+    df = _sdf(spark, corpus)
+    with pytest.raises(ValueError, match="hash_bits"):
+        remove_duplicate_spans(df, hash_bits=96)
+    with pytest.raises(ValueError, match="hash_bits"):
+        span_windows(df, hash_bits=32)
