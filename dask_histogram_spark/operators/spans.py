@@ -125,6 +125,80 @@ _DUAL_HASH_KEY = "dhs-span-dual-64"
 _TARGET_GROUPS_PER_TASK = 8_000_000
 _EST_SAMPLE_FRACTION = 0.001
 
+# preflight model of the gram aggregate's reduce-side hash map
+# (round-9 VERDICT #6 — the 100M capstone needed a hand-set
+# SPARK_DRIVER_MEMORY=96g; the operator now checks the budget
+# itself): ~64 B per group entry (8-16 B key + count + first-struct
+# + open-addressing overhead — the round-8 OOM datum, 53M groups/task
+# x 32 tasks killing a 96 GiB heap, implies >= 56 B), of which
+# concurrent tasks share ~60% of the JVM heap (Spark's default
+# execution+storage fraction)
+_BYTES_PER_GROUP = 64
+_GRAM_BUDGET_FRACTION = 0.6
+# widening the shuffle past this is no longer a sane fix — raise the
+# actionable error instead of scheduling hundreds of thousands of
+# tiny tasks
+_MAX_GRAM_PARTITIONS = 200_000
+
+
+def _parse_mem(s: str) -> int:
+    """'4g' / '512m' / '96G' -> bytes (0 when unparseable)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", s.lower())
+    if not m:
+        return 0
+    suf = m.group(2)
+    return int(m.group(1)) * (1024 ** (0 if not suf
+                                       else "kmgt".index(suf) + 1))
+
+
+def _gram_parts_for_memory(spark, est_windows: int) -> int:
+    """Memory-aware floor on the gram aggregate's partition count:
+    enough partitions that the CONCURRENT reduce-side hash maps
+    (slots x groups-per-task x ~64 B) fit ~60% of the executor heap.
+    local[*]: the driver JVM's real ``Runtime.maxMemory`` with
+    ``defaultParallelism`` slots; cluster: ``spark.executor.memory``
+    / ``spark.executor.cores`` when both are set.  Returns 0 when the
+    budget cannot be determined (no widening, no raise — the
+    ~8M-groups/task target still applies).  Raises RuntimeError with
+    the numbers and the knobs when even ``_MAX_GRAM_PARTITIONS``-way
+    widening cannot fit — an actionable preflight instead of a
+    mid-job OOM."""
+    try:
+        sc = spark.sparkContext
+        master = sc.master or ""
+        if master.startswith("local"):
+            slots = int(sc.defaultParallelism)
+            heap = int(spark._jvm.java.lang.Runtime
+                       .getRuntime().maxMemory())
+        else:
+            heap = _parse_mem(spark.conf.get("spark.executor.memory",
+                                             "") or "")
+            slots = int(spark.conf.get("spark.executor.cores", "0")
+                        or 0)
+            if not heap or not slots:
+                return 0
+    except Exception:  # pragma: no cover - jvm/conf access denied
+        return 0
+    budget = _GRAM_BUDGET_FRACTION * heap
+    if budget <= 0:
+        return 0
+    parts = -(-int(est_windows) * _BYTES_PER_GROUP * slots
+              // int(budget))
+    if parts > _MAX_GRAM_PARTITIONS:
+        gib = est_windows * _BYTES_PER_GROUP * slots / (
+            _MAX_GRAM_PARTITIONS * 2 ** 30)
+        raise RuntimeError(
+            f"gram-aggregate preflight: ~{est_windows:,} windows need "
+            f"~{gib:.0f} GiB of concurrent aggregate memory even at "
+            f"the {_MAX_GRAM_PARTITIONS:,}-partition widening cap, but "
+            f"only ~{budget / 2 ** 30:.1f} GiB of execution budget is "
+            f"available ({slots} concurrent tasks). Raise the heap "
+            "(SPARK_DRIVER_MEMORY for local[*] runs, "
+            "spark.executor.memory on a cluster), shard the corpus "
+            "and run per shard, or use a boilerplate-style min_df with "
+            "plan='broadcast' so the dup set stays bounded.")
+    return int(parts)
+
 
 def estimate_windows(df: DataFrame, n: int = 6,
                      text_col: str = "text",
@@ -416,7 +490,18 @@ def _dup_grams(windows: DataFrame, id_col: str, min_df: int,
     away map-side partial aggregation, which buys ~nothing here:
     grams are mostly distinct, so partials barely compress — the
     binding constraint is the reduce-side hash map, which this sizes
-    exactly.)"""
+    exactly.)
+
+    MEMORY PREFLIGHT (round-9 VERDICT #6): the ~8M-groups/task target
+    is the measured safe point for a 96 GiB heap; on a smaller heap it
+    can still OOM (the round-8 capstone's hand-set
+    SPARK_DRIVER_MEMORY).  When ``est_windows`` is given the sizing
+    therefore also takes :func:`_gram_parts_for_memory`'s floor —
+    enough partitions that the concurrent reduce-side maps fit ~60% of
+    the measured heap — and RAISES an actionable error (heap knobs,
+    per-shard runs, bounded-min_df broadcast) when even the
+    200k-partition widening cap cannot fit, instead of dying mid-job.
+    """
     if est_windows:
         spark = windows.sparkSession
         try:
@@ -426,7 +511,8 @@ def _dup_grams(windows: DataFrame, id_col: str, min_df: int,
             # (AQE-managed shuffle); fall back to the cluster's
             # default parallelism as the comparison width
             cur = int(spark.sparkContext.defaultParallelism)
-        need = -(-int(est_windows) // _TARGET_GROUPS_PER_TASK)
+        need = max(-(-int(est_windows) // _TARGET_GROUPS_PER_TASK),
+                   _gram_parts_for_memory(spark, int(est_windows)))
         if need > cur:
             windows = windows.repartition(need, *keys)
     return (

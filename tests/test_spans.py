@@ -425,14 +425,18 @@ def test_est_windows_sizes_gram_shuffle(spark, corpus):
     from dask_histogram_spark.operators.spans import (
         _TARGET_GROUPS_PER_TASK,
         _dup_grams,
+        _gram_parts_for_memory,
     )
 
     df = _sdf(spark, corpus)
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     want = cur + 17
+    est = want * _TARGET_GROUPS_PER_TASK
+    # the round-10 memory preflight may widen past the groups/task
+    # target on small heaps — the expected width is the max of both
+    want = max(want, _gram_parts_for_memory(spark, est))
     w = span_windows(df, 4)
-    sized = _dup_grams(w, "doc_id", 2,
-                       est_windows=want * _TARGET_GROUPS_PER_TASK)
+    sized = _dup_grams(w, "doc_id", 2, est_windows=est)
     plan = sized._jdf.queryExecution().sparkPlan().toString()
     assert f"hashpartitioning(h#" in plan, plan[:800]
     assert f", {want})" in plan, plan[:800]
@@ -956,3 +960,53 @@ def test_hash_bits_validated(spark, corpus):
         remove_duplicate_spans(df, hash_bits=96)
     with pytest.raises(ValueError, match="hash_bits"):
         span_windows(df, hash_bits=32)
+
+
+# ---------------------------------------------------------------------------
+# gram-aggregate memory preflight (round-9 VERDICT #6)
+# ---------------------------------------------------------------------------
+
+def test_parse_mem():
+    from dask_histogram_spark.operators.spans import _parse_mem
+
+    assert _parse_mem("512") == 512
+    assert _parse_mem("4g") == 4 * 1024 ** 3
+    assert _parse_mem("96G") == 96 * 1024 ** 3
+    assert _parse_mem("512m") == 512 * 1024 ** 2
+    assert _parse_mem(" 2 GB ") == 2 * 1024 ** 3
+    assert _parse_mem("auto") == 0
+    assert _parse_mem("") == 0
+
+
+def test_gram_memory_floor_scales_with_estimate(spark):
+    """The memory floor is linear in est_windows and matches the
+    documented model (slots x groups/task x 64 B <= 60% of the
+    measured local JVM heap)."""
+    from dask_histogram_spark.operators.spans import (
+        _BYTES_PER_GROUP,
+        _GRAM_BUDGET_FRACTION,
+        _gram_parts_for_memory,
+    )
+
+    slots = spark.sparkContext.defaultParallelism
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    est = 10 ** 9
+    got = _gram_parts_for_memory(spark, est)
+    budget = _GRAM_BUDGET_FRACTION * heap
+    assert got == -(-est * _BYTES_PER_GROUP * slots // int(budget))
+    assert _gram_parts_for_memory(spark, 2 * est) >= 2 * got - 1
+    # per-task bytes at the returned width actually fit the budget
+    assert slots * (est / got) * _BYTES_PER_GROUP <= budget
+
+
+def test_gram_preflight_raises_actionably(spark, corpus):
+    """An estimate no amount of sane widening can fit raises BEFORE
+    any job runs, naming the heap knobs — not a mid-job OOM."""
+    import pytest as _pytest
+
+    df = _sdf(spark, corpus)
+    with _pytest.raises(RuntimeError, match="SPARK_DRIVER_MEMORY"):
+        dup_span_stats(df, n=4, est_windows=10 ** 15)
+    with _pytest.raises(RuntimeError, match="per shard"):
+        remove_duplicate_spans(df, n=4, est_windows=10 ** 15,
+                               plan="join")
