@@ -452,7 +452,8 @@ def redact_pii_sql(text_col: str = "text") -> str:
 
 def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
              k: float = 1.0, min_count: int = 1,
-             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+             text_col: str = "text", id_col: str = "doc_id",
+             est_bigrams: int | None = None) -> DataFrame:
     """Per-document bigram language-model score — the CCNet-style
     quality signal (Wenzek et al., "CCNet: Extracting High Quality
     Monolingual Datasets from Web Crawl Data", arXiv:1911.00359):
@@ -493,6 +494,16 @@ def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
     below it drop from the model (scored as unseen), collapsing the
     Zipf tail so the head fits a broadcast and scoring becomes a
     zero-exchange map over the scan.
+
+    ``est_bigrams`` (total reference bigram-OCCURRENCE estimate, e.g.
+    ~11 x doc count at 12 words/doc) sizes the MODEL aggregate's own
+    shuffle exactly like the span operators' ``est_windows``
+    (groups-per-task target + the memory-budget floor of
+    ``spans._gram_parts_for_memory``, including its actionable
+    over-cap error): at 1e9+ bigrams the (a, b) hash map is the same
+    reduce-side OOM risk the round-8 span capstone hit, and a 100 TB
+    caller must not need a babysitting script to survive it.
+    Default None keeps session sizing.
     """
     ref = df if ref_df is None else ref_df
     toks = _tokens(F.col(text_col))
@@ -516,7 +527,28 @@ def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
     # smoothing denominator is a property of the reference corpus,
     # not of how much of the model we chose to materialize
     vrow = uni.agg(F.count(F.lit(1)).alias("__v"))
-    bi = bigrams(ref, with_id=False).groupBy("a", "b").agg(
+    bi_src = bigrams(ref, with_id=False)
+    if est_bigrams:
+        # size the model aggregate's own shuffle (the span operators'
+        # est_windows pattern): distinct bigram types are bounded by
+        # occurrences, so the occurrence estimate upper-bounds the
+        # reduce-side group count; the repartition is reused by the
+        # aggregate (exactly one exchange)
+        from .spans import (
+            _TARGET_GROUPS_PER_TASK,
+            _gram_parts_for_memory,
+        )
+
+        spark = df.sparkSession
+        try:
+            cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            cur = int(spark.sparkContext.defaultParallelism)
+        need = max(-(-int(est_bigrams) // _TARGET_GROUPS_PER_TASK),
+                   _gram_parts_for_memory(spark, int(est_bigrams)))
+        if need > cur:
+            bi_src = bi_src.repartition(need, "a", "b")
+    bi = bi_src.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("c2"))
     if min_count > 1:
         # prune ONLY the bigram table (the memory-dominant one —

@@ -2283,3 +2283,36 @@ def test_lm_score_ref_corpus_and_min_count(spark):
     # 'c a' stays unseen; the pruned model must score it no higher
     assert pruned[11]["n_unseen_bigrams"] == 1
     assert pruned[11]["lp_micro"] <= rows[11]["lp_micro"]
+
+
+def test_lm_score_est_bigrams_sizes_model_shuffle(spark):
+    """est_bigrams (round-10): an estimate implying more than the
+    session's shuffle partitions of ~8M groups repartitions the
+    reference bigram stream on (a, b) at the computed width —
+    the span operators' est_windows pattern on the LM model
+    aggregate — without changing any result."""
+    from dask_histogram_spark.operators import lm_score
+    from dask_histogram_spark.operators.spans import (
+        _TARGET_GROUPS_PER_TASK,
+        _gram_parts_for_memory,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat sat"),
+         (2, "one"), (3, None)],
+        "doc_id long, text string")
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    est = (cur + 11) * _TARGET_GROUPS_PER_TASK
+    want = max(cur + 11, _gram_parts_for_memory(spark, est))
+    sized = lm_score(df, est_bigrams=est)
+    plan = sized._jdf.queryExecution().sparkPlan().toString()
+    assert f", {want})" in plan, plan[:1500]
+    base = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"], r["avg_lp10"])
+            for r in lm_score(df).collect()}
+    got = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"], r["avg_lp10"])
+           for r in sized.collect()}
+    assert got == base
+    # small estimate: default sizing, no repartition node
+    small = lm_score(df, est_bigrams=10)
+    assert "REPARTITION" not in \
+        small._jdf.queryExecution().sparkPlan().toString()
