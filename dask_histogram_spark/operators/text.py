@@ -453,7 +453,8 @@ def redact_pii_sql(text_col: str = "text") -> str:
 def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
              k: float = 1.0, min_count: int = 1,
              text_col: str = "text", id_col: str = "doc_id",
-             est_bigrams: int | None = None) -> DataFrame:
+             est_bigrams: int | None = None,
+             hashed_model: bool = False) -> DataFrame:
     """Per-document bigram language-model score — the CCNet-style
     quality signal (Wenzek et al., "CCNet: Extracting High Quality
     Monolingual Datasets from Web Crawl Data", arXiv:1911.00359):
@@ -504,6 +505,19 @@ def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
     reduce-side OOM risk the round-8 span capstone hit, and a 100 TB
     caller must not need a babysitting script to survive it.
     Default None keeps session sizing.
+
+    ``hashed_model=True`` keys the model and the scoring join on
+    64-BIT TOKEN HASHES instead of token strings — the span-dedup
+    posture (text never crosses an exchange as text).  At 100M docs
+    the string-keyed model aggregate + scoring join shuffle ~1.1e9
+    bigram STRING pairs and exhausted ~77 GiB of shuffle scratch on
+    this container (round-10 ladder finding); hashing cuts the
+    shuffled key bytes ~3x and the 100M point fits.  Opt-in, not the
+    default, because scoring becomes hash-collision-TOLERANT: two
+    bigram types colliding (expected pairs ~types^2/2^65, ~0.02 at
+    9e8 types) merge their counts, so the output is no longer
+    bit-pinned to the string model (differentially tested equal at
+    test scale, where collisions cannot occur).
     """
     ref = df if ref_df is None else ref_df
     toks = _tokens(F.col(text_col))
@@ -520,14 +534,24 @@ def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
                 .select(*([id_col] if with_id else []),
                         F.col("p.a").alias("a"), F.col("p.b").alias("b")))
 
-    uni = (ref.where(F.col(text_col).isNotNull())
-           .select(F.explode(toks).alias("token"))
+    def _h(frame: DataFrame, cols: tuple) -> DataFrame:
+        # hashed_model: swap token-string key columns for xxhash64
+        # longs IN PLACE (same names), so every aggregate/join below
+        # is key-type-agnostic; text stops at the first projection
+        if not hashed_model:
+            return frame
+        return frame.select(
+            *[c for c in frame.columns if c not in cols],
+            *[F.xxhash64(F.col(c)).alias(c) for c in cols])
+
+    uni = (_h(ref.where(F.col(text_col).isNotNull())
+              .select(F.explode(toks).alias("token")), ("token",))
            .groupBy("token").agg(F.count(F.lit(1)).alias("c1")))
     # V counts the FULL vocabulary (before min_count pruning): the
     # smoothing denominator is a property of the reference corpus,
     # not of how much of the model we chose to materialize
     vrow = uni.agg(F.count(F.lit(1)).alias("__v"))
-    bi_src = bigrams(ref, with_id=False)
+    bi_src = _h(bigrams(ref, with_id=False), ("a", "b"))
     if est_bigrams:
         # size the model aggregate's own shuffle (the span operators'
         # est_windows pattern): distinct bigram types are bounded by
@@ -559,7 +583,7 @@ def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
         # quality filter (caught by test)
         bi = bi.where(F.col("c2") >= min_count)
 
-    bg = bigrams(df, with_id=True)
+    bg = _h(bigrams(df, with_id=True), ("a", "b"))
     j = (bg.join(bi, ["a", "b"], "left")
          .join(uni, F.col("a") == F.col("token"), "left")
          .crossJoin(F.broadcast(vrow)))

@@ -1640,6 +1640,9 @@ _register(
 
 
 _EMB_SIG_CACHE: dict = {}
+# nightly-batch id offset for the embedding gate (re-crawls at +OFF,
+# negated editions at +2*OFF) — far above any sf's sparse vec_ids
+_EMB_OFF = 1_000_000_000_000
 
 
 def _q_embedding_dedup_pipeline(spark: SparkSession,
@@ -1685,10 +1688,24 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
         lambda tbl, path: write_embedding_signature_table(
             emb, tbl, planes=8, seed=23, repetitions=1,
             max_bucket=64, n_buckets=16, path=path))
+    # batch ids must sit ABOVE every seen id (the dedup_incremental
+    # precedent): sf1's embeddings carry SPARSE vec_ids up to 9e7, so
+    # the old +100000/+200000 offsets collided with real ids — the
+    # symmetric incremental/probe legs still hash-matched (engine and
+    # oracle collide identically), but the round-10 stream leg
+    # classifies probe anchors BY ID RANGE and misfired (caught by
+    # the sf1 audit).  1e12 clears any plausible sf; raise loudly if
+    # a future sf outgrows it.
+    max_vec = emb.agg(F.max("vec_id")).first()[0]
+    if max_vec is None or max_vec >= _EMB_OFF:
+        raise ValueError(
+            f"embedding gate: max vec_id {max_vec} >= offset "
+            f"{_EMB_OFF}; raise _EMB_OFF (and its oracle literals)")
     new = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + F.lit(_EMB_OFF)).alias("vec_id"),
+        "embedding"
     ).unionByName(emb.select(
-        (F.col("vec_id") + 200000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(2 * _EMB_OFF)).alias("vec_id"),
         F.transform("embedding", lambda x: -x).alias("embedding"),
     ))
     # name-based call: planes/seed/repetitions/dim come from __params
@@ -1721,7 +1738,7 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
             s, seen_table=emb_tbl, threshold=0.3))
     got: dict = {}
     for a, b in pairs_s:
-        if a < 100000:  # probe rows anchor on a SEEN id
+        if a < _EMB_OFF:  # probe rows anchor on a SEEN id
             got.setdefault(int(b), set()).add(int(a))
     counts = spark.createDataFrame(
         [(v, len(s)) for v, s in got.items()] or [(-1, 0)],
@@ -1768,10 +1785,11 @@ clus AS (
 ),
 Hn AS (SELECT {harrs}),
 nw AS (
-  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  SELECT vec_id + 1000000000000 AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
   UNION ALL
-  SELECT vec_id + 200000 AS vec_id,
+  SELECT vec_id + 2000000000000 AS vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> -x) AS v
   FROM embeddings
 ),

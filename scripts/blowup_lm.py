@@ -60,10 +60,22 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
     corpus.count()
     est = (WORDS - 1) * n_docs
     rows = []
-    for mode in ("self", "pruned", "ref"):
-        kw = {"min_count": {"self": 1, "pruned": 3, "ref": 2}[mode],
-              "est_bigrams": est}
-        if mode == "ref":
+    # >= 50M docs: the string-keyed model aggregate + scoring join
+    # shuffle ~11n bigram STRING pairs and exhausted this container's
+    # ~77 GiB shuffle scratch at 100M (round-10 finding) — the scale
+    # path is hashed_model=True (64-bit token-hash keys, ~3x less
+    # shuffle; differentially tested equal to strings at test scale).
+    # The 10M point runs BOTH, as the continuity datum.
+    hashed = n_docs >= 50_000_000
+    modes = ["self", "pruned", "ref"]
+    if n_docs == 10_000_000:
+        modes.append("self_hashed")
+    for mode in modes:
+        base = mode.replace("_hashed", "")
+        kw = {"min_count": {"self": 1, "pruned": 3, "ref": 2}[base],
+              "est_bigrams": est,
+              "hashed_model": hashed or mode.endswith("_hashed")}
+        if base == "ref":
             kw["ref_df"] = corpus.where(F.col("doc_id") % 2 == 0)
         t0 = time.perf_counter()
         agg = lm_score(corpus, **kw).agg(
@@ -75,11 +87,12 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
         if agg["nb"] != (WORDS - 1) * n_docs:
             raise AssertionError(
                 f"{mode}: bigram total {agg['nb']} != 11 x {n_docs}")
-        if mode == "self" and agg["nu"] != 0:
+        if base == "self" and agg["nu"] != 0:
             raise AssertionError(f"self-scored unseen: {agg['nu']}")
         rows.append((mode, wall, agg["nu"], agg["lo"], agg["hi"]))
     corpus.unpersist()
-    print(f"{n_docs:>11,} docs ({est / 1e6:.0f}M bigrams)  " +
+    tag = " [hashed_model]" if hashed else ""
+    print(f"{n_docs:>11,} docs ({est / 1e6:.0f}M bigrams){tag}  " +
           "  ".join(f"{m} {w:6.1f}s (unseen {u:,})"
                     for m, w, u, _, _ in rows),
           flush=True)

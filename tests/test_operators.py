@@ -2316,3 +2316,26 @@ def test_lm_score_est_bigrams_sizes_model_shuffle(spark):
     small = lm_score(df, est_bigrams=10)
     assert "REPARTITION" not in \
         small._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_lm_score_hashed_model_matches_strings(spark):
+    """hashed_model=True (the 100M-scale shuffle posture: 64-bit
+    token hashes as model/join keys) must be bit-equal to the
+    string-keyed model wherever hash collisions cannot occur — i.e.
+    everywhere below ~1e9 bigram types.  Covers self, ref-corpus and
+    pruned configurations on real testdata."""
+    from dask_histogram_spark.operators import lm_score
+    from dask_histogram_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001",
+                    names=("documents",))["documents"] \
+        .select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    cols = ("n_bigrams", "n_unseen_bigrams", "lp_micro", "avg_lp10")
+    for kw in ({}, {"min_count": 2},
+               {"ref_df": ref, "min_count": 2}):
+        a = {r["doc_id"]: tuple(r[c] for c in cols)
+             for r in lm_score(d, **kw).collect()}
+        b = {r["doc_id"]: tuple(r[c] for c in cols)
+             for r in lm_score(d, hashed_model=True, **kw).collect()}
+        assert a == b, kw

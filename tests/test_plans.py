@@ -372,7 +372,7 @@ def test_embedding_pipeline_registry_entry_probes_persisted_table(
     assert isinstance(captured.get("seen"), str), captured
     assert spark.catalog.tableExists(captured["seen"] + "__params")
     kinds = {r.kind for r in out.select("kind").distinct().collect()}
-    assert kinds == {"cluster", "incremental", "probe"}
+    assert kinds == {"cluster", "incremental", "probe", "stream"}
     # the persisted table is session-cached: a second call reuses it
     n_tables = captured["seen"]
     QUERIES["embedding_dedup_pipeline"](spark, SF_DIR)
