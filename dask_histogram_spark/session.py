@@ -21,11 +21,20 @@ TABLES = (
 )
 
 
-def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """``extra_conf``: static session confs a harness needs set at
+    build time (e.g. the 100M LM ladder's
+    ``spark.io.compression.codec=zstd`` — shuffle scratch on this
+    container is ~73 GiB and zstd compresses hash-key shuffles ~1.5-2x
+    tighter than the lz4 default)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = SparkSession.builder
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        b.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -56,8 +56,14 @@ def synth(spark: SparkSession, n_docs: int):
 
 
 def run_point(spark: SparkSession, n_docs: int) -> None:
-    corpus = synth(spark, n_docs).persist()
-    corpus.count()
+    # >= 50M: DON'T persist — the corpus is a closed-form projection
+    # of range() (regeneration is ~free) and its disk-spilled blocks
+    # compete with the mode shuffles for the ~73 GiB scratch
+    big = n_docs >= 50_000_000
+    corpus = synth(spark, n_docs)
+    if not big:
+        corpus = corpus.persist()
+        corpus.count()
     est = (WORDS - 1) * n_docs
     rows = []
     # >= 50M docs: the string-keyed model aggregate + scoring join
@@ -90,7 +96,18 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
         if base == "self" and agg["nu"] != 0:
             raise AssertionError(f"self-scored unseen: {agg['nu']}")
         rows.append((mode, wall, agg["nu"], agg["lo"], agg["hi"]))
-    corpus.unpersist()
+        if big:
+            # drop the previous mode's shuffle files before the next
+            # one starts: local-mode shuffle data is reclaimed by the
+            # ContextCleaner only on GC, and two modes' shuffles
+            # together overflow the scratch disk
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(5)
+    if not big:
+        corpus.unpersist()
     tag = " [hashed_model]" if hashed else ""
     print(f"{n_docs:>11,} docs ({est / 1e6:.0f}M bigrams){tag}  " +
           "  ".join(f"{m} {w:6.1f}s (unseen {u:,})"
@@ -101,7 +118,8 @@ def run_point(spark: SparkSession, n_docs: int) -> None:
 def main() -> None:
     points = [int(x) for x in sys.argv[1:]] or [1_000_000, 10_000_000]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("dhs-lm", cpus=cpus)
+    spark = get_spark("dhs-lm", cpus=cpus,
+                      extra_conf={"spark.io.compression.codec": "zstd"})
     spark.sparkContext.setLogLevel("ERROR")
     for n in points:
         run_point(spark, n)
