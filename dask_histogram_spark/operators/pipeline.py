@@ -332,17 +332,40 @@ def pack_sequences_sql(max_tokens: int, id_col: str = "doc_id",
 
 
 def token_vocabulary(df: DataFrame, text_col: str = "text",
-                     min_count: int = 1, top_k: int | None = None) -> DataFrame:
+                     min_count: int = 1, top_k: int | None = None,
+                     est_tokens: int | None = None) -> DataFrame:
     """(token, count) vocabulary over whitespace-normalized lowercase
     tokens — the tokenizer-training precursor.  explode -> count is one
     shuffle with map-side partial aggregation; ``top_k`` ranks with
     deterministic (count DESC, token ASC) ordering.
+
+    ``est_tokens`` (total token-OCCURRENCE estimate) sizes the
+    vocabulary aggregate's shuffle via the shared sizing module
+    (groups-per-task target + memory-budget floor + actionable
+    over-cap error) — the same 100-TB posture as the span operators'
+    ``est_windows`` and lm_score's ``est_bigrams``.  For a natural-
+    language corpus the distinct-type count is far below occurrences
+    (Heaps' law), so the occurrence estimate is a loose upper bound;
+    it still prevents the reduce-side OOM because the bound is on the
+    map SIZE, not the skew.  Default None keeps session sizing (plans
+    unchanged).
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    src = (df.select(F.explode(toks).alias("token"))
+           .where(F.col("token") != ""))
+    if est_tokens:
+        from .sizing import agg_partitions, current_shuffle_partitions
+
+        spark = df.sparkSession
+        need = agg_partitions(
+            spark, int(est_tokens), unit="tokens",
+            remedies=("raise min_count and pre-filter rare types per "
+                      "shard", "build the vocabulary per corpus shard "
+                      "and merge counts"))
+        if need > current_shuffle_partitions(spark):
+            src = src.repartition(need, "token")
     counts = (
-        df.select(F.explode(toks).alias("token"))
-        .where(F.col("token") != "")
-        .groupBy("token")
+        src.groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= min_count)
     )

@@ -1,0 +1,131 @@
+"""Shared shuffle-sizing helpers for the big hash aggregates.
+
+Three pillars run a corpus-cardinality hash aggregate whose reduce-side
+map is the dominant memory risk at 100-TB scale: the span-dedup gram
+aggregate (operators/spans.py), lm_score's bigram model aggregate
+(operators/text.py), and the token_vocabulary aggregate
+(operators/pipeline.py).  Round 10 grew two private copies of the same
+sizing logic (groups-per-task target + memory-budget floor + actionable
+over-cap error); this module is the single implementation (round-10
+VERDICT #5).
+
+The model (calibrated on the round-8 100M-doc span capstone, see
+BASELINE.md): the reduce-side hash map holds ~groups/partitions entries
+per task at ~64 B each (8-16 B key + count + payload struct +
+open-addressing overhead), and ``slots`` concurrent tasks share ~60% of
+the executor heap (Spark's default execution+storage fraction).  The
+round-8 OOM datum — 53M groups/task x 32 concurrent maps killing a
+96 GiB heap — implies >= 56 B/group; ~8M groups/task ran clean.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "TARGET_GROUPS_PER_TASK",
+    "MAX_AGG_PARTITIONS",
+    "parts_for_memory",
+    "agg_partitions",
+]
+
+# safe reduce-side group count per task (round-8 capstone measurement)
+TARGET_GROUPS_PER_TASK = 8_000_000
+# preflight model parameters — see module docstring
+BYTES_PER_GROUP = 64
+BUDGET_FRACTION = 0.6
+# widening the shuffle past this is no longer a sane fix — raise the
+# actionable error instead of scheduling hundreds of thousands of
+# tiny tasks
+MAX_AGG_PARTITIONS = 200_000
+
+
+def _parse_mem(s: str) -> int:
+    """'4g' / '512m' / '96G' -> bytes (0 when unparseable)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", s.lower())
+    if not m:
+        return 0
+    suf = m.group(2)
+    return int(m.group(1)) * (1024 ** (0 if not suf
+                                       else "kmgt".index(suf) + 1))
+
+
+def parts_for_memory(spark, est_groups: int, *,
+                     unit: str = "groups",
+                     remedies: tuple[str, ...] = ()) -> int:
+    """Memory-aware floor on a hash aggregate's partition count:
+    enough partitions that the CONCURRENT reduce-side hash maps
+    (slots x groups-per-task x ~64 B) fit ~60% of the executor heap.
+    local[*]: the driver JVM's real ``Runtime.maxMemory`` with
+    ``defaultParallelism`` slots; cluster: ``spark.executor.memory``
+    / ``spark.executor.cores`` when both are set.  Returns 0 when the
+    budget cannot be determined (no widening, no raise — the
+    ~8M-groups/task target still applies).  Raises RuntimeError with
+    the numbers, the caller's ``unit`` noun, and the caller's
+    operator-appropriate ``remedies`` when even
+    ``MAX_AGG_PARTITIONS``-way widening cannot fit — an actionable
+    preflight instead of a mid-job OOM.  (The remedy list is
+    per-operator by design: span-dedup advice like "min_df with
+    plan='broadcast'" is wrong for an lm_score caller — round-10
+    ADVICE.)
+    """
+    try:
+        sc = spark.sparkContext
+        master = sc.master or ""
+        if master.startswith("local"):
+            slots = int(sc.defaultParallelism)
+            heap = int(spark._jvm.java.lang.Runtime
+                       .getRuntime().maxMemory())
+        else:
+            heap = _parse_mem(spark.conf.get("spark.executor.memory",
+                                             "") or "")
+            slots = int(spark.conf.get("spark.executor.cores", "0")
+                        or 0)
+            if not heap or not slots:
+                return 0
+    except Exception:  # pragma: no cover - jvm/conf access denied
+        return 0
+    budget = BUDGET_FRACTION * heap
+    if budget <= 0:
+        return 0
+    parts = -(-int(est_groups) * BYTES_PER_GROUP * slots
+              // int(budget))
+    if parts > MAX_AGG_PARTITIONS:
+        gib = est_groups * BYTES_PER_GROUP * slots / (
+            MAX_AGG_PARTITIONS * 2 ** 30)
+        fixes = (
+            "Raise the heap (SPARK_DRIVER_MEMORY for local[*] runs, "
+            "spark.executor.memory on a cluster)",
+        ) + tuple(remedies)
+        raise RuntimeError(
+            f"aggregate-sizing preflight: ~{est_groups:,} {unit} need "
+            f"~{gib:.0f} GiB of concurrent aggregate memory even at "
+            f"the {MAX_AGG_PARTITIONS:,}-partition widening cap, but "
+            f"only ~{budget / 2 ** 30:.1f} GiB of execution budget is "
+            f"available ({slots} concurrent tasks). "
+            + "; or ".join(fixes) + ".")
+    return int(parts)
+
+
+def agg_partitions(spark, est_groups: int, *,
+                   unit: str = "groups",
+                   remedies: tuple[str, ...] = ()) -> int:
+    """Partition count for a hash aggregate over ~``est_groups``
+    reduce-side groups: the max of the groups-per-task target and the
+    memory-budget floor (:func:`parts_for_memory`, including its
+    actionable over-cap error).  Callers repartition on the aggregate
+    keys only when this exceeds the session's shuffle-partition
+    setting, so small corpora keep session sizing (and plans stay
+    unchanged — the round-10 plan assertions pin this)."""
+    return max(-(-int(est_groups) // TARGET_GROUPS_PER_TASK),
+               parts_for_memory(spark, int(est_groups),
+                                unit=unit, remedies=remedies))
+
+
+def current_shuffle_partitions(spark) -> int:
+    """The session's effective shuffle-partition count (falls back to
+    defaultParallelism when the conf is set to 'auto' or unreadable)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return int(spark.sparkContext.defaultParallelism)

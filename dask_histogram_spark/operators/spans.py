@@ -116,88 +116,39 @@ _MAX_BROADCAST_GRAMS = 2_000_000
 # ~W^2 / 2^129
 _DUAL_HASH_KEY = "dhs-span-dual-64"
 
-# gram-aggregate sizing target: the reduce-side hash map holds
-# ~windows/partitions groups per task (grams are mostly distinct in a
-# dedup corpus), and concurrent tasks share one execution-memory pool
-# — ~8M groups/task is the measured safe point (round-8 100M-doc
-# capstone: default 32 partitions put ~53M groups in every one of 32
-# concurrent maps and OOM'd a 96g heap; ~8M/task ran clean)
-_TARGET_GROUPS_PER_TASK = 8_000_000
+# gram-aggregate sizing (shared with lm_score's bigram model and
+# token_vocabulary — operators/sizing.py is the single implementation;
+# round-10 VERDICT #5).  The ~8M-groups/task target and the
+# ~64 B/group preflight model were both calibrated on THIS operator's
+# round-8/9 100M-doc capstones (see sizing.py's docstring); the names
+# below are kept as aliases for the capstone scripts and tests.
+from .sizing import (  # noqa: E402
+    BUDGET_FRACTION as _GRAM_BUDGET_FRACTION,
+    BYTES_PER_GROUP as _BYTES_PER_GROUP,
+    MAX_AGG_PARTITIONS as _MAX_GRAM_PARTITIONS,
+    TARGET_GROUPS_PER_TASK as _TARGET_GROUPS_PER_TASK,
+    _parse_mem,
+    parts_for_memory as _parts_for_memory,
+)
+
 _EST_SAMPLE_FRACTION = 0.001
 
-# preflight model of the gram aggregate's reduce-side hash map
-# (round-9 VERDICT #6 — the 100M capstone needed a hand-set
-# SPARK_DRIVER_MEMORY=96g; the operator now checks the budget
-# itself): ~64 B per group entry (8-16 B key + count + first-struct
-# + open-addressing overhead — the round-8 OOM datum, 53M groups/task
-# x 32 tasks killing a 96 GiB heap, implies >= 56 B), of which
-# concurrent tasks share ~60% of the JVM heap (Spark's default
-# execution+storage fraction)
-_BYTES_PER_GROUP = 64
-_GRAM_BUDGET_FRACTION = 0.6
-# widening the shuffle past this is no longer a sane fix — raise the
-# actionable error instead of scheduling hundreds of thousands of
-# tiny tasks
-_MAX_GRAM_PARTITIONS = 200_000
-
-
-def _parse_mem(s: str) -> int:
-    """'4g' / '512m' / '96G' -> bytes (0 when unparseable)."""
-    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", s.lower())
-    if not m:
-        return 0
-    suf = m.group(2)
-    return int(m.group(1)) * (1024 ** (0 if not suf
-                                       else "kmgt".index(suf) + 1))
+# span-dedup-specific remedies for the over-cap preflight error (the
+# generic sizing module words the error per-operator — round-10 ADVICE)
+_SPAN_REMEDIES = (
+    "shard the corpus and run per shard",
+    "use a boilerplate-style min_df with plan='broadcast' so the dup "
+    "set stays bounded",
+)
 
 
 def _gram_parts_for_memory(spark, est_windows: int) -> int:
-    """Memory-aware floor on the gram aggregate's partition count:
-    enough partitions that the CONCURRENT reduce-side hash maps
-    (slots x groups-per-task x ~64 B) fit ~60% of the executor heap.
-    local[*]: the driver JVM's real ``Runtime.maxMemory`` with
-    ``defaultParallelism`` slots; cluster: ``spark.executor.memory``
-    / ``spark.executor.cores`` when both are set.  Returns 0 when the
-    budget cannot be determined (no widening, no raise — the
-    ~8M-groups/task target still applies).  Raises RuntimeError with
-    the numbers and the knobs when even ``_MAX_GRAM_PARTITIONS``-way
-    widening cannot fit — an actionable preflight instead of a
-    mid-job OOM."""
-    try:
-        sc = spark.sparkContext
-        master = sc.master or ""
-        if master.startswith("local"):
-            slots = int(sc.defaultParallelism)
-            heap = int(spark._jvm.java.lang.Runtime
-                       .getRuntime().maxMemory())
-        else:
-            heap = _parse_mem(spark.conf.get("spark.executor.memory",
-                                             "") or "")
-            slots = int(spark.conf.get("spark.executor.cores", "0")
-                        or 0)
-            if not heap or not slots:
-                return 0
-    except Exception:  # pragma: no cover - jvm/conf access denied
-        return 0
-    budget = _GRAM_BUDGET_FRACTION * heap
-    if budget <= 0:
-        return 0
-    parts = -(-int(est_windows) * _BYTES_PER_GROUP * slots
-              // int(budget))
-    if parts > _MAX_GRAM_PARTITIONS:
-        gib = est_windows * _BYTES_PER_GROUP * slots / (
-            _MAX_GRAM_PARTITIONS * 2 ** 30)
-        raise RuntimeError(
-            f"gram-aggregate preflight: ~{est_windows:,} windows need "
-            f"~{gib:.0f} GiB of concurrent aggregate memory even at "
-            f"the {_MAX_GRAM_PARTITIONS:,}-partition widening cap, but "
-            f"only ~{budget / 2 ** 30:.1f} GiB of execution budget is "
-            f"available ({slots} concurrent tasks). Raise the heap "
-            "(SPARK_DRIVER_MEMORY for local[*] runs, "
-            "spark.executor.memory on a cluster), shard the corpus "
-            "and run per shard, or use a boilerplate-style min_df with "
-            "plan='broadcast' so the dup set stays bounded.")
-    return int(parts)
+    """Memory-aware floor on the gram aggregate's partition count —
+    :func:`sizing.parts_for_memory` with span-dedup units and
+    remedies (returns 0 when the budget cannot be determined; raises
+    the actionable preflight error past the widening cap)."""
+    return _parts_for_memory(spark, est_windows, unit="windows",
+                             remedies=_SPAN_REMEDIES)
 
 
 def estimate_windows(df: DataFrame, n: int = 6,

@@ -554,23 +554,23 @@ def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
     bi_src = _h(bigrams(ref, with_id=False), ("a", "b"))
     if est_bigrams:
         # size the model aggregate's own shuffle (the span operators'
-        # est_windows pattern): distinct bigram types are bounded by
-        # occurrences, so the occurrence estimate upper-bounds the
-        # reduce-side group count; the repartition is reused by the
-        # aggregate (exactly one exchange)
-        from .spans import (
-            _TARGET_GROUPS_PER_TASK,
-            _gram_parts_for_memory,
-        )
+        # est_windows pattern, shared sizing module): distinct bigram
+        # types are bounded by occurrences, so the occurrence estimate
+        # upper-bounds the reduce-side group count; the repartition is
+        # reused by the aggregate (exactly one exchange).  The over-cap
+        # preflight error names lm_score's OWN remedies (round-10
+        # ADVICE — span-dedup knobs make no sense here).
+        from .sizing import agg_partitions, current_shuffle_partitions
 
         spark = df.sparkSession
-        try:
-            cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except ValueError:
-            cur = int(spark.sparkContext.defaultParallelism)
-        need = max(-(-int(est_bigrams) // _TARGET_GROUPS_PER_TASK),
-                   _gram_parts_for_memory(spark, int(est_bigrams)))
-        if need > cur:
+        need = agg_partitions(
+            spark, int(est_bigrams), unit="bigrams",
+            remedies=("prune the model with min_count>=2 (the "
+                      "broadcast posture)",
+                      "set hashed_model=True (64-bit keys, ~3x "
+                      "fewer shuffled bytes)",
+                      "score per corpus shard"))
+        if need > current_shuffle_partitions(spark):
             bi_src = bi_src.repartition(need, "a", "b")
     bi = bi_src.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("c2"))

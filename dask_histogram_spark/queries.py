@@ -1640,6 +1640,9 @@ _register(
 
 
 _EMB_SIG_CACHE: dict = {}
+# (app, sf_dir) pairs whose vec_id-offset preflight already ran —
+# the max(vec_id) aggregation is a real job, so run it once/session
+_EMB_MAXCHECK_CACHE: set = set()
 # nightly-batch id offset for the embedding gate (re-crawls at +OFF,
 # negated editions at +2*OFF) — far above any sf's sparse vec_ids
 _EMB_OFF = 1_000_000_000_000
@@ -1695,12 +1698,17 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
     # oracle collide identically), but the round-10 stream leg
     # classifies probe anchors BY ID RANGE and misfired (caught by
     # the sf1 audit).  1e12 clears any plausible sf; raise loudly if
-    # a future sf outgrows it.
-    max_vec = emb.agg(F.max("vec_id")).first()[0]
-    if max_vec is None or max_vec >= _EMB_OFF:
-        raise ValueError(
-            f"embedding gate: max vec_id {max_vec} >= offset "
-            f"{_EMB_OFF}; raise _EMB_OFF (and its oracle literals)")
+    # a future sf outgrows it.  Checked ONCE per (app, sf_dir) — the
+    # preflight is a full aggregation job — and an EMPTY table passes
+    # (max None -> 0: a vacuous pipeline is a valid degenerate input,
+    # round-10 ADVICE).
+    if key not in _EMB_MAXCHECK_CACHE:
+        max_vec = emb.agg(F.max("vec_id")).first()[0] or 0
+        if max_vec >= _EMB_OFF:
+            raise ValueError(
+                f"embedding gate: max vec_id {max_vec} >= offset "
+                f"{_EMB_OFF}; raise _EMB_OFF (and its oracle literals)")
+        _EMB_MAXCHECK_CACHE.add(key)
     new = emb.select(
         (F.col("vec_id") + F.lit(_EMB_OFF)).alias("vec_id"),
         "embedding"

@@ -27,14 +27,15 @@ def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None,
     build time (e.g. the 100M LM ladder's
     ``spark.io.compression.codec=zstd`` — shuffle scratch on this
     container is ~73 GiB and zstd compresses hash-key shuffles ~1.5-2x
-    tighter than the lz4 default)."""
+    tighter than the lz4 default).  Applied LAST so caller-supplied
+    values win over the library defaults below (a harness overriding
+    e.g. ``spark.driver.memory`` or the shuffle-partition count must
+    not be silently reverted — round-10 ADVICE)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    b = SparkSession.builder
-    for k, v in (extra_conf or {}).items():
-        b = b.config(k, v)
-    return (
-        b.master(f"local[{cpus}]")
+    b = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -51,8 +52,10 @@ def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:

@@ -2306,15 +2306,25 @@ def test_lm_score_est_bigrams_sizes_model_shuffle(spark):
     want = max(cur + 11, _gram_parts_for_memory(spark, est))
     sized = lm_score(df, est_bigrams=est)
     plan = sized._jdf.queryExecution().sparkPlan().toString()
-    assert f", {want})" in plan, plan[:1500]
+    # anchor to the repartition node's own key list, not a bare
+    # ", {want})" substring that any parenthesized number could
+    # false-match (round-10 ADVICE) — the spans twin anchors
+    # hashpartitioning(h#... the same way
+    import re as _re
+
+    pat = rf"hashpartitioning\(a#\d+[^,)]*, b#\d+[^,)]*, {want}\)"
+    assert _re.search(pat, plan), plan[:1500]
     base = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"], r["avg_lp10"])
             for r in lm_score(df).collect()}
     got = {r["doc_id"]: (r["n_bigrams"], r["lp_micro"], r["avg_lp10"])
            for r in sized.collect()}
     assert got == base
-    # small estimate: default sizing, no repartition node
+    # small estimate: default sizing — no user repartition node (the
+    # REPARTITION_BY_NUM shuffle origin is what .repartition(n, cols)
+    # stamps; ENSURE_REQUIREMENTS exchanges from the aggregate itself
+    # are expected and must not trip this)
     small = lm_score(df, est_bigrams=10)
-    assert "REPARTITION" not in \
+    assert "REPARTITION_BY_NUM" not in \
         small._jdf.queryExecution().sparkPlan().toString()
 
 
