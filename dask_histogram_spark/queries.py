@@ -1167,12 +1167,30 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unseen_bigrams").alias("ref_n_unseen"),
         F.col("lp_micro").alias("ref_lp_micro"),
         F.col("avg_lp10").alias("ref_avg_lp10"))
+    # round-11 HASHED-MODEL leg (round-10 VERDICT #2): the same
+    # production configuration under hashed_model=True — the 100M-doc
+    # shuffle posture (64-bit xxhash64 token keys through the model
+    # aggregates AND the scoring join; text.py:537).  The oracle is
+    # the SAME string-keyed DuckDB chain: below ~1e9 bigram types the
+    # token hash is injective w.h.p. (pair-collision odds ~types^2 /
+    # 2^65 ~ 1e-11 at gate scale), so hashed-keyed counts equal
+    # string-keyed counts EXACTLY — and a collision would surface as
+    # a loud hash-mismatch on this row, never a silent pass.  This
+    # drives the hashed join path end-to-end on the driver board,
+    # which the differential pytest alone could not.
+    lmh = lm_score(d.select("doc_id", "text"), ref_df=ref,
+                   min_count=2, hashed_model=True).select(
+        "doc_id",
+        F.col("n_unseen_bigrams").alias("href_n_unseen"),
+        F.col("lp_micro").alias("href_lp_micro"),
+        F.col("avg_lp10").alias("href_avg_lp10"))
     return (
         quality_score(d)
         .join(repetition_stats(d), "doc_id")
         .join(nr, "doc_id")
         .join(lm, "doc_id")
         .join(lmr, "doc_id")
+        .join(lmh, "doc_id")
     )
 
 
@@ -1306,7 +1324,13 @@ SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality_score, q.keep,
        r.dup_2gram_ratio, r.dup_3gram_ratio, r.top_2gram_ratio,
        n.n_norm_chars, n.norm_text, n.redacted_text, n.changed,
        lm.n_bigrams, lm.lp_micro, lm.avg_lp10,
-       lr.ref_n_unseen, lr.ref_lp_micro, lr.ref_avg_lp10
+       lr.ref_n_unseen, lr.ref_lp_micro, lr.ref_avg_lp10,
+       -- hashed_model leg: the string-keyed chain IS the oracle —
+       -- xxhash64 token keys are injective at gate scale, so the
+       -- hashed engine path must reproduce these values exactly
+       lh.ref_n_unseen AS href_n_unseen,
+       lh.ref_lp_micro AS href_lp_micro,
+       lh.ref_avg_lp10 AS href_avg_lp10
 FROM (
   SELECT doc_id, n_chars, n_tokens,
          {_QUALITY_GATES_SQL} AS quality_score,
@@ -1322,6 +1346,7 @@ JOIN (
 ) n ON q.doc_id = n.doc_id
 JOIN ({_LM_SCORE_SQL}) lm ON q.doc_id = lm.doc_id
 JOIN ({_LM_REF_SQL}) lr ON q.doc_id = lr.doc_id
+JOIN ({_LM_REF_SQL}) lh ON q.doc_id = lh.doc_id
 """,
 )
 
@@ -1648,8 +1673,8 @@ _EMB_MAXCHECK_CACHE: set = set()
 _EMB_OFF = 1_000_000_000_000
 
 
-def _q_embedding_dedup_pipeline(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
+def _q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str,
+                                include_stream: bool = True) -> DataFrame:
     """The text flagship's shape on the EMBEDDING modality, both
     corpus-local and cross-run, union-gated under a ``kind`` tag
     (mirroring ``dedup_incremental``'s text twin):
@@ -1675,47 +1700,15 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
         dedup_clusters,
         embedding_dedup_incremental,
         embedding_near_dup_pairs,
-        write_embedding_signature_table,
     )
 
-    emb = get_tables(spark, sf_dir)["embeddings"]
+    emb, emb_tbl, new = _emb_gate_inputs(spark, sf_dir)
     pairs = embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
     clusters = dedup_clusters(pairs).select(
         F.lit("cluster").alias("kind"),
         F.col("doc_id").alias("vec_id"),
         F.col("cluster_id").alias("n"),
     )
-    key = (spark.sparkContext.applicationId, sf_dir)
-    emb_tbl = _session_table(
-        _EMB_SIG_CACHE, key, "dhs_emb_sigs",
-        lambda tbl, path: write_embedding_signature_table(
-            emb, tbl, planes=8, seed=23, repetitions=1,
-            max_bucket=64, n_buckets=16, path=path))
-    # batch ids must sit ABOVE every seen id (the dedup_incremental
-    # precedent): sf1's embeddings carry SPARSE vec_ids up to 9e7, so
-    # the old +100000/+200000 offsets collided with real ids — the
-    # symmetric incremental/probe legs still hash-matched (engine and
-    # oracle collide identically), but the round-10 stream leg
-    # classifies probe anchors BY ID RANGE and misfired (caught by
-    # the sf1 audit).  1e12 clears any plausible sf; raise loudly if
-    # a future sf outgrows it.  Checked ONCE per (app, sf_dir) — the
-    # preflight is a full aggregation job — and an EMPTY table passes
-    # (max None -> 0: a vacuous pipeline is a valid degenerate input,
-    # round-10 ADVICE).
-    if key not in _EMB_MAXCHECK_CACHE:
-        max_vec = emb.agg(F.max("vec_id")).first()[0] or 0
-        if max_vec >= _EMB_OFF:
-            raise ValueError(
-                f"embedding gate: max vec_id {max_vec} >= offset "
-                f"{_EMB_OFF}; raise _EMB_OFF (and its oracle literals)")
-        _EMB_MAXCHECK_CACHE.add(key)
-    new = emb.select(
-        (F.col("vec_id") + F.lit(_EMB_OFF)).alias("vec_id"),
-        "embedding"
-    ).unionByName(emb.select(
-        (F.col("vec_id") + F.lit(2 * _EMB_OFF)).alias("vec_id"),
-        F.transform("embedding", lambda x: -x).alias("embedding"),
-    ))
     # name-based call: planes/seed/repetitions/dim come from __params
     inc = embedding_dedup_incremental(new, emb_tbl,
                                       threshold=0.3)
@@ -1738,6 +1731,74 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
     # strictly stronger than the pytest harness' stream==batch check
     # (tests/test_streaming.py::
     # test_streaming_embedding_probe_matches_incremental).
+    out = clusters.unionByName(inc.select(
+        F.lit("incremental").alias("kind"), "vec_id",
+        F.col("n_matched_seen").alias("n"),
+    )).unionByName(prb.select(
+        F.lit("probe").alias("kind"), "vec_id",
+        F.col("n_matched_seen").alias("n"),
+    ))
+    # include_stream=False is the BENCH-ONLY variant (round-10 VERDICT
+    # #3): the correctness row always runs all four kinds under one
+    # oracle chain, but the stream replay is ~6-7 s of FIXED streaming
+    # machinery per rep that made the batch-pipeline trend line
+    # non-comparable across rounds — bench.py times the batch legs
+    # here and the replay separately (see BENCH_EXTRAS).
+    if include_stream:
+        out = out.unionByName(
+            _embedding_stream_leg(spark, new, emb_tbl))
+    return out
+
+
+def _emb_gate_inputs(spark: SparkSession, sf_dir: str):
+    """Shared setup for the embedding gate's legs: the seen corpus,
+    its once-per-session persisted signature table, and the synthetic
+    nightly batch (exact re-crawls at +_EMB_OFF + negated editions at
+    +2*_EMB_OFF).
+
+    Batch ids must sit ABOVE every seen id (the dedup_incremental
+    precedent): sf1's embeddings carry SPARSE vec_ids up to 9e7, so
+    the old +100000/+200000 offsets collided with real ids — the
+    symmetric incremental/probe legs still hash-matched (engine and
+    oracle collide identically), but the round-10 stream leg
+    classifies probe anchors BY ID RANGE and misfired (caught by the
+    sf1 audit).  1e12 clears any plausible sf; raise loudly if a
+    future sf outgrows it.  Checked ONCE per (app, sf_dir) — the
+    preflight is a full aggregation job — and an EMPTY table passes
+    (max None -> 0: a vacuous pipeline is a valid degenerate input,
+    round-10 ADVICE)."""
+    from .operators import write_embedding_signature_table
+
+    emb = get_tables(spark, sf_dir)["embeddings"]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    emb_tbl = _session_table(
+        _EMB_SIG_CACHE, key, "dhs_emb_sigs",
+        lambda tbl, path: write_embedding_signature_table(
+            emb, tbl, planes=8, seed=23, repetitions=1,
+            max_bucket=64, n_buckets=16, path=path))
+    if key not in _EMB_MAXCHECK_CACHE:
+        max_vec = emb.agg(F.max("vec_id")).first()[0] or 0
+        if max_vec >= _EMB_OFF:
+            raise ValueError(
+                f"embedding gate: max vec_id {max_vec} >= offset "
+                f"{_EMB_OFF}; raise _EMB_OFF (and its oracle literals)")
+        _EMB_MAXCHECK_CACHE.add(key)
+    new = emb.select(
+        (F.col("vec_id") + F.lit(_EMB_OFF)).alias("vec_id"),
+        "embedding"
+    ).unionByName(emb.select(
+        (F.col("vec_id") + F.lit(2 * _EMB_OFF)).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    ))
+    return emb, emb_tbl, new
+
+
+def _embedding_stream_leg(spark: SparkSession, new: DataFrame,
+                          emb_tbl: str) -> DataFrame:
+    """kind='stream' leg body (see _q_embedding_dedup_pipeline's
+    docstring): the nightly batch replayed as an availableNow file
+    stream against the persisted signature table; per-vector
+    distinct-seen counts."""
     from .streaming import streaming_embedding_candidates
 
     pairs_s = _stream_replay(
@@ -1751,16 +1812,9 @@ def _q_embedding_dedup_pipeline(spark: SparkSession,
     counts = spark.createDataFrame(
         [(v, len(s)) for v, s in got.items()] or [(-1, 0)],
         "vec_id long, n long")
-    stream = (new.select("vec_id").join(counts, "vec_id", "left")
-              .select(F.lit("stream").alias("kind"), "vec_id",
-                      F.coalesce("n", F.lit(0)).alias("n")))
-    return clusters.unionByName(inc.select(
-        F.lit("incremental").alias("kind"), "vec_id",
-        F.col("n_matched_seen").alias("n"),
-    )).unionByName(prb.select(
-        F.lit("probe").alias("kind"), "vec_id",
-        F.col("n_matched_seen").alias("n"),
-    )).unionByName(stream)
+    return (new.select("vec_id").join(counts, "vec_id", "left")
+            .select(F.lit("stream").alias("kind"), "vec_id",
+                    F.coalesce("n", F.lit(0)).alias("n")))
 
 
 def _embedding_dedup_pipeline_oracle() -> str:
@@ -3324,3 +3378,32 @@ ORACLES.update(_ordered_o)
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the minimum end-to-end slice (SURVEY §7.2)."""
     return QUERIES["hist1d_weight"](spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Bench-only variants (round-10 VERDICT #3).  The CORRECTNESS registry
+# above is untouched — one oracle chain over all legs stays the
+# strength — but embedding_dedup_pipeline's kind='stream' leg is a
+# real availableNow writeStream replay (~6-7 s of fixed streaming
+# machinery per rep, not data-dependent) that made the batch-pipeline
+# BENCH trend non-comparable across rounds (r9 4.26 s -> r10 10.29 s
+# was the gated leg, not a regression).  bench.py times the batch
+# legs via BENCH_VARIANTS and the replay separately via BENCH_EXTRAS
+# (reported outside the headline total).
+# ---------------------------------------------------------------------------
+
+def _bench_embedding_stream(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    _, emb_tbl, new = _emb_gate_inputs(spark, sf_dir)
+    return _embedding_stream_leg(spark, new, emb_tbl)
+
+
+BENCH_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_dedup_pipeline":
+        lambda spark, sf_dir: _q_embedding_dedup_pipeline(
+            spark, sf_dir, include_stream=False),
+}
+
+BENCH_EXTRAS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_stream_replay": _bench_embedding_stream,
+}
