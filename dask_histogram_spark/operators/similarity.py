@@ -262,6 +262,99 @@ def _probe_queries(queries: DataFrame, cent_lit, nprobe: int,
     )
 
 
+# Above this many literal doubles (C x dim), the unrolled centroid
+# expression stops being "free narrow map" and becomes a PLAN-SIZE
+# wall: Catalyst analysis + codegen of the argmax tree scale with
+# C x dim, measured at 100k rows / dim 64 as 13 s (C=64) -> 24 s
+# (C=256) -> 96 s (C=1024) of BUILD wall that never touches data
+# (round-11 10M ladder finding).  The Arrow kernels below broadcast
+# the centroid matrix once and replace the tree with one BLAS matmul
+# per batch — the same sims, argmax tie-to-smallest-cid, and
+# degenerate-row rules (zero/short/null vector -> every sim -2.0 ->
+# cid 0) as the Column path, differentially tested.  Float caveat:
+# BLAS sums in a different order than the left-to-right Column fold,
+# so two centroids within ~1 ulp of a tie could assign differently —
+# vanishing for real embeddings, and irrelevant to search results
+# (both sides of the tie are equally near).
+_CENTROID_LITERAL_MAX = 8192
+
+
+def _cent_sims_matrix(vs, C: "np.ndarray", cn: "np.ndarray",
+                      dim: int) -> "np.ndarray":
+    """(batch, C) cosine matrix for a pandas Series of vectors,
+    mirroring _cent_sims' degenerate rules: a null/short/zero vector
+    scores -2.0 against every centroid."""
+    rows = len(vs)
+    sims = np.full((rows, C.shape[0]), -2.0)
+    ok, mats = [], []
+    for i, v in enumerate(vs):
+        if v is not None and len(v) == dim:
+            a = np.asarray(v, dtype=np.float64)
+            if not np.isnan(a).any():
+                ok.append(i)
+                mats.append(a)
+    if mats:
+        X = np.vstack(mats)
+        xn = np.linalg.norm(X, axis=1)
+        denom = xn[:, None] * cn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom > 0, (X @ C.T) / denom, -2.0)
+        sims[np.asarray(ok)] = s
+    return sims
+
+
+def _assign_cid_arrow(df: DataFrame, centroids: np.ndarray,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """Arrow twin of :func:`_assign_cid` for large centroid sets."""
+    import pandas as pd
+
+    C = centroids.astype(np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    dim = C.shape[1]
+    bc = df.sparkSession.sparkContext.broadcast((C, cn))
+
+    @F.pandas_udf("int")
+    def cid_of(vs: pd.Series) -> pd.Series:
+        Cm, cnm = bc.value
+        sims = _cent_sims_matrix(vs, Cm, cnm, dim)
+        # np.argmax takes the FIRST max — ties to the smallest cid,
+        # exactly the Column path's (sim, -cid) struct-max rule
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return df.select(F.col(id_col), F.col(vec_col),
+                     cid_of(F.col(vec_col)).alias("cid"))
+
+
+def _probe_queries_arrow(queries: DataFrame, centroids: np.ndarray,
+                         nprobe: int, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """Arrow twin of :func:`_probe_queries`: per-query nprobe nearest
+    cids (descending sim, ties to the smallest cid — argsort over
+    (-sim, cid) matches the Column array_sort on (-sim, cid))."""
+    import pandas as pd
+
+    C = centroids.astype(np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    dim = C.shape[1]
+    bc = queries.sparkSession.sparkContext.broadcast((C, cn))
+    np_ = min(int(nprobe), C.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def probes_of(vs: pd.Series) -> pd.Series:
+        Cm, cnm = bc.value
+        sims = _cent_sims_matrix(vs, Cm, cnm, dim)
+        # stable sort on -sim: equal sims keep index (= cid) order
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype(np.int32).tolist()
+                          for row in order])
+
+    return (queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        probes_of(F.col(vec_col)).alias("__probes"))
+        .select("query_id", "__qv", F.explode("__probes").alias("cid")))
+
+
 def _score_and_rank(index: DataFrame, q_assigned: DataFrame, k: int,
                     id_col: str, vec_col: str) -> DataFrame:
     scored = (
@@ -298,9 +391,15 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
     :func:`build_ivf_index` / :func:`ivf_topk_indexed`.
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
-    cent_lit = _centroid_literal(centroids)
-    assigned = _assign_cid(df, cent_lit, id_col, vec_col)
-    q_assigned = _probe_queries(queries, cent_lit, nprobe, id_col, vec_col)
+    if centroids.size > _CENTROID_LITERAL_MAX:
+        assigned = _assign_cid_arrow(df, centroids, id_col, vec_col)
+        q_assigned = _probe_queries_arrow(queries, centroids, nprobe,
+                                          id_col, vec_col)
+    else:
+        cent_lit = _centroid_literal(centroids)
+        assigned = _assign_cid(df, cent_lit, id_col, vec_col)
+        q_assigned = _probe_queries(queries, cent_lit, nprobe,
+                                    id_col, vec_col)
     return _score_and_rank(assigned, q_assigned, k, id_col, vec_col)
 
 
@@ -333,7 +432,8 @@ def _quantize_cols(vec_col: str, elem_type: str = "int",
 def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    quantize: bool = False) -> None:
+                    quantize: bool = False,
+                    cluster_output: bool = True) -> None:
     """Materialize the IVF assignment as a parquet table PARTITIONED by
     centroid id — the persisted form of :func:`ivf_topk`'s inline
     assignment.  Pre-pays the (narrow) assignment pass once, and —
@@ -359,9 +459,23 @@ def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
     APPROXIMATE relative to a float index (rank swaps possible among
     near-tied neighbors); recall is gated in
     tests/test_operators.py::test_ivf_quantized_index.
+
+    ``cluster_output=True`` (default) hash-repartitions the
+    assignment on ``cid`` before the partitioned write.  The
+    assignment itself is a narrow map (the search-leg plan contract),
+    but writing it DIRECTLY under ``partitionBy("cid")`` fans every
+    input task across every bucket directory — tasks x C small files
+    (the round-11 10M-vector ladder measured the probe read's wall
+    dominated by listing/opening them).  One exchange on cid at build
+    time lands exactly one file per bucket, which is what the
+    partition-pruned probe read wants at any scale; disable only for
+    a small throwaway index where the shuffle outweighs the listing.
     """
-    cent_lit = _centroid_literal(centroids)
-    assigned = _assign_cid(df, cent_lit, id_col, vec_col)
+    if centroids.size > _CENTROID_LITERAL_MAX:
+        assigned = _assign_cid_arrow(df, centroids, id_col, vec_col)
+    else:
+        assigned = _assign_cid(df, _centroid_literal(centroids),
+                               id_col, vec_col)
     if quantize:
         scale, _ = _quantize_cols(vec_col, elem_type="tinyint")
         # scale materialized in its own projection, then referenced by
@@ -380,6 +494,8 @@ def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
             F.when(~has_null, F.col("scale")).alias("scale"),
             F.when(~has_null, q).alias("qvec"),
             "cid")
+    if cluster_output:
+        assigned = assigned.repartition("cid")
     (
         assigned
         # force STATIC overwrite: under a session-level
@@ -430,8 +546,12 @@ def ivf_topk_indexed(path: str, queries: DataFrame,
     spark = queries.sparkSession
     if centroids is None:
         centroids = load_ivf_centroids(spark, path)
-    cent_lit = _centroid_literal(centroids)
-    q_assigned = _probe_queries(queries, cent_lit, nprobe, id_col, vec_col)
+    if centroids.size > _CENTROID_LITERAL_MAX:
+        q_assigned = _probe_queries_arrow(queries, centroids, nprobe,
+                                          id_col, vec_col)
+    else:
+        q_assigned = _probe_queries(queries, _centroid_literal(centroids),
+                                    nprobe, id_col, vec_col)
     q_rows = q_assigned.collect()
     probe_cids = sorted({r.cid for r in q_rows})
     q_local = spark.createDataFrame(q_rows, q_assigned.schema)

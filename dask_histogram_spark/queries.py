@@ -606,11 +606,18 @@ lspl AS (
 
 
 def _span_ctes(src: str, n: int = _SPAN_N,
-               min_df: int = _SPAN_MIN_DF) -> str:
+               min_df: int = _SPAN_MIN_DF,
+               policy: str = "keep_first") -> str:
     """DuckDB CTE chain replicating operators/spans.py semantics on
     gram STRINGS (the engine groups by window hash; counts, ranks and
     removal sets are hash-function-agnostic).  Parameterized by the
-    source CTE name — no textual surgery (round-6 ADVICE lesson)."""
+    source CTE name — no textual surgery (round-6 ADVICE lesson) —
+    and by ``policy``: 'keep_first' removes df>=min_df windows past
+    their (doc_id, pos)-first occurrence; 'all' (the boilerplate mode
+    the composed-chain leg replays) removes every occurrence."""
+    rm = (f"df >= {min_df} AND rk > 1" if policy == "keep_first"
+          else f"df >= {min_df}")
+    rmk = rm.replace("df >=", "mk.df >=").replace("rk >", "mk.rk >")
     return f"""
 spl AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -647,7 +654,8 @@ spl AS (
 ), removed AS (
   SELECT DISTINCT wd.doc_id, wd.p
   FROM words wd JOIN marked mk
-    ON mk.doc_id = wd.doc_id AND mk.df >= {min_df} AND mk.rk > 1
+    ON mk.doc_id = wd.doc_id
+   AND {rmk}
    AND wd.p BETWEEN mk.pos AND mk.pos + mk.width - 1
 ), clean AS (
   SELECT wd.doc_id,
@@ -1551,28 +1559,426 @@ def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok.select("doc_id", *val_cols, "sink_ok")
 
 
-def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+# ---------------------------------------------------------------------------
+# COMPOSED CORPUS-CHAIN leg (round-10 VERDICT #1): a gate-scale replay
+# of scripts/blowup_corpus_e2e.py's exact-planted-accounting chain —
+# span strip -> exact dedup -> near-dup (LSH -> verify -> clusters) ->
+# LM filter -> contamination -> prepare — folded into the
+# pipeline_corpus_stats row under the kind-leg pattern, so a STAGE-
+# INTERACTION regression (the failure class the 1M/10M capstone proved
+# per-operator rows cannot see) reaches the driver's correctness board.
+#
+# The planted corpus is generated CLOSED-FORM from row ids with md5
+# arithmetic available verbatim in BOTH engines (one SQL text template,
+# only the int->string cast spelling differs), so the DuckDB oracle
+# replays generation AND every stage from the same spec:
+#   * plain doc  = 29 hash-derived words from a 16-word vocabulary +
+#     one doc-unique trailer word 'u<id>' (guarantees exact-distinctness
+#     and kills every window/gram straddle — the scale-dependent
+#     straddle widening the 100k e2e smoke run caught);
+#   * id%13==6  -> GIBBERISH (30 doc-unique words; every bigram a
+#     singleton -> pruned from the min_count=2 LM model -> scored
+#     unseen, ~1.5 decades under plain docs);
+#   * id%5==0   -> 8-word FOOTER appended (df ~ n/5 >> min_df=10; the
+#     three footer-only windows cover all 8 words under policy='all');
+#   * id%7==3   -> verbatim COPY at id+_CHAIN_C_OFF (dies at exact);
+#   * id%11==4  -> NEAR-DUP at id+_CHAIN_N_OFF (text + unique ' q<id>'
+#     word: char-8-gram jaccard ~0.9, detected by the 32-perm/8-band
+#     chain, loser = the higher id);
+#   * id%17==5 (plain-only) -> BENCHMARK doc (contamination flags
+#     exactly the surviving plants at 6-gram overlap 1.0).
+# Engine-side raises assert the planted accounting per stage (budgeted
+# for the documented LSH bucket-cap recall, like the e2e capstone); the
+# hash gate additionally pins every stage's survivor/metric counts to
+# the DuckDB replay.
+# ---------------------------------------------------------------------------
+
+_CHAIN_FOOTER = "ftr0 ftr1 ftr2 ftr3 ftr4 ftr5 ftr6 ftr7"
+_CHAIN_C_OFF = 10_000_000
+_CHAIN_N_OFF = 20_000_000
+_CHAIN_W = 29          # hash-derived words per plain doc (+1 unique)
+_CHAIN_GIB_W = 30
+_CHAIN_SPAN_N = 6
+_CHAIN_SPAN_MIN_DF = 10
+_CHAIN_LM_MICRO = -2_500_000   # avg_lp10 threshold -2.5, in micro-units
+_CHAIN_CONTAM_N = 6
+_CHAIN_CONTAM_T = 0.5
+
+
+def _chain_plain_sql(ids: str) -> str:
+    """Plain-doc text: 29 words 'w'+hex16(md5(id-k)) + unique 'u<id>'.
+    ``ids`` is the engine-appropriate int->string cast of the id."""
+    ws = [f"concat('w', substring(md5(concat({ids}, '-{k}')), 1, 1))"
+          for k in range(_CHAIN_W)]
+    ws.append(f"concat('u', {ids})")
+    return "concat_ws(' ', " + ", ".join(ws) + ")"
+
+
+def _chain_gib_sql(ids: str) -> str:
+    ws = [f"concat('g', {ids}, 'x{k}')" for k in range(_CHAIN_GIB_W)]
+    return "concat_ws(' ', " + ", ".join(ws) + ")"
+
+
+def _chain_text_sql(ids: str) -> str:
+    """The full base-doc CASE (gibberish beats footer beats plain) —
+    one template parsed by BOTH Spark (F.expr) and DuckDB."""
+    return (f"CASE WHEN id % 13 = 6 THEN {_chain_gib_sql(ids)} "
+            f"WHEN id % 5 = 0 THEN concat({_chain_plain_sql(ids)}, "
+            f"' {_CHAIN_FOOTER}') "
+            f"ELSE {_chain_plain_sql(ids)} END")
+
+
+def _chain_layout(n: int) -> dict:
+    """Closed-form planted accounting over base ids 0..n-1."""
+    gib = [i for i in range(n) if i % 13 == 6]
+    gibs = set(gib)
+    footer = [i for i in range(n) if i % 5 == 0 and i not in gibs]
+    fset = set(footer)
+    copies = [i for i in range(n) if i % 7 == 3]
+    nears = [i for i in range(n) if i % 11 == 4]
+    bench = [i for i in range(n)
+             if i % 17 == 5 and i % 11 != 4 and i % 13 != 6]
+    return {
+        "n": n,
+        "n_gib": len(gib),
+        "n_copy": len(copies),
+        "n_near": len(nears),
+        "n_near_gib": sum(1 for i in nears if i in gibs),
+        "n_bench": len(bench),
+        # footer-carrying docs in the FULL corpus: base + copies/nears
+        # whose source carries the footer
+        "n_footer_corpus": (len(footer)
+                            + sum(1 for i in copies if i in fset)
+                            + sum(1 for i in nears if i in fset)),
+        "corpus_n": n + len(copies) + len(nears),
+    }
+
+
+def _chain_leg_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the composed chain at gate scale; return one accounting row
+    per stage, raising on any planted-accounting violation."""
+    from .operators import (
+        contamination_check,
+        dedup_clusters,
+        dedup_exact,
+        jaccard_verify_pairs,
+        lm_score,
+        minhash_lsh_candidates,
+        release_candidates_cache,
+        release_clusters_checkpoint,
+        remove_duplicate_spans,
+    )
+    from .operators.dedup import _release_local_checkpoint
     from .operators.pipeline import corpus_stats, prepare_training_corpus
 
-    return corpus_stats(prepare_training_corpus(_dup_corpus(spark, sf_dir)))
+    n = get_tables(spark, sf_dir)["documents"].count()
+    lay = _chain_layout(n)
+
+    ids = "CAST(id AS STRING)"
+    gtx = spark.range(n).select(
+        F.col("id"), F.expr(_chain_text_sql(ids)).alias("text"))
+    corp = (gtx.select(F.col("id").alias("doc_id"), "text")
+            .unionByName(gtx.where(F.col("id") % 7 == 3).select(
+                (F.col("id") + _CHAIN_C_OFF).alias("doc_id"), "text"))
+            .unionByName(gtx.where(F.col("id") % 11 == 4).select(
+                (F.col("id") + _CHAIN_N_OFF).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" q"),
+                         F.col("id").cast("string")).alias("text")))
+            .localCheckpoint())
+    live = [corp]
+
+    def chk(name, got, want):
+        if got != want:
+            raise AssertionError(
+                f"chain {name}: got {got!r}, want {want!r}")
+
+    def step(frame):
+        out = frame.localCheckpoint()
+        cnt = out.count()
+        while live:
+            _release_local_checkpoint(live.pop())
+        live.append(out)
+        return out, cnt
+
+    rows: list[tuple] = []
+    corp_n = corp.count()
+    chk("input rows", corp_n, lay["corpus_n"])
+    rows.append(("chain", "input", corp_n, None, None, None, None))
+
+    # 1. span strip (boilerplate mode: policy='all', broadcast plan)
+    sp, sp_n = step(remove_duplicate_spans(
+        corp, n=_CHAIN_SPAN_N, min_df=_CHAIN_SPAN_MIN_DF,
+        policy="all", plan="broadcast")
+        .select("doc_id", "n_removed_words",
+                F.col("clean_text").alias("text")))
+    removed = sp.agg(F.sum("n_removed_words")).first()[0]
+    chk("span rows", sp_n, corp_n)
+    chk("span removed words", removed, 8 * lay["n_footer_corpus"])
+    rows.append(("chain", "span", sp_n, int(removed), None, None, None))
+    sp = sp.select("doc_id", "text")
+
+    # 2. exact dedup (hash-keyed winners; copies die)
+    ex, ex_n = step(sp.join(dedup_exact(sp).select("doc_id"), "doc_id"))
+    chk("exact survivors", ex_n, corp_n - lay["n_copy"])
+    rows.append(("chain", "exact", ex_n, corp_n - ex_n, None, None, None))
+
+    # 3. near-dup chain (the flagship configuration)
+    cands = minhash_lsh_candidates(ex, num_perm=32, bands=8,
+                                   hash_fn="fnv1a32", max_bucket=20,
+                                   min_sig_matches=10)
+    pruned = cands.localCheckpoint()
+    release_candidates_cache(cands)
+    verified = jaccard_verify_pairs(pruned, ex, k=8, threshold=0.5,
+                                    persist=True)
+    clusters = dedup_clusters(verified)
+    losers = clusters.where(F.col("cluster_id") != F.col("doc_id")) \
+        .select("doc_id").localCheckpoint()
+    release_candidates_cache(verified)
+    release_clusters_checkpoint(clusters)
+    _release_local_checkpoint(pruned)
+    # exactness contract: planted near ids are the only admissible
+    # losers (any loser below _CHAIN_N_OFF is a FALSE removal);
+    # candidate recall is bounded-and-reported, not assumed perfect
+    # (max_bucket caps drop mega-bucket candidates by design)
+    unplanned = losers.where(F.col("doc_id") < _CHAIN_N_OFF).count()
+    chk("unplanned near-dup removals", unplanned, 0)
+    nd, nd_n = step(ex.join(losers, "doc_id", "left_anti"))
+    _release_local_checkpoint(losers)
+    missed = lay["n_near"] - (ex_n - nd_n)
+    budget = max(2, lay["n_near"] // 200)
+    if not 0 <= missed <= budget:
+        raise AssertionError(
+            f"chain near-dup recall: {missed} planted pairs missed "
+            f"(budget {budget})")
+    rows.append(("chain", "near", nd_n, ex_n - nd_n, None, None, None))
+
+    # 4. LM filter, production shape (self-scored, min_count=2 pruned
+    # model): gibberish bigrams are singletons -> pruned -> unseen;
+    # integer micro-unit threshold keeps the filter bit-equal across
+    # engines (lm_score's lp_micro contract)
+    lmk, lm_n = step(lm_score(nd, min_count=2)
+                     .where(F.col("lp_micro")
+                            >= F.lit(_CHAIN_LM_MICRO) * F.col("n_bigrams"))
+                     .select("doc_id", "text"))
+    dropped = nd_n - lm_n
+    if not (lay["n_gib"] <= dropped <= lay["n_gib"] + missed):
+        raise AssertionError(
+            f"chain lm filter: dropped {dropped}, want n_gib="
+            f"{lay['n_gib']} (+<= {missed} surviving gibberish nears)")
+    rows.append(("chain", "lm", lm_n, dropped, None, None, None))
+
+    # 5. contamination: benchmark = closed-form plain texts of the
+    # bench ids (plain-only by construction, so each survives to here
+    # and matches its corpus twin at 6-gram overlap 1.0)
+    bench = (spark.range(n)
+             .where((F.col("id") % 17 == 5) & (F.col("id") % 11 != 4)
+                    & (F.col("id") % 13 != 6))
+             .select(F.col("id").alias("doc_id"),
+                     F.expr(_chain_plain_sql(ids)).alias("text")))
+    cont = contamination_check(lmk, bench, n=_CHAIN_CONTAM_N,
+                               threshold=_CHAIN_CONTAM_T)
+    cl, cl_n = step(cont.where(F.col("contaminated") == 0)
+                    .select("doc_id").join(lmk, "doc_id"))
+    chk("contamination flagged", lm_n - cl_n, lay["n_bench"])
+    rows.append(("chain", "contam", cl_n, lm_n - cl_n, None, None, None))
+
+    # 6. prepare + stats (every surviving doc passes the e2e gates)
+    fin = corpus_stats(prepare_training_corpus(
+        cl, min_chars=40, max_digit_ratio=0.95, min_tokens=5)).first()
+    chk("prepare kept", fin["n_docs"], cl_n)
+    rows.append(("chain", "final", int(fin["n_docs"]), None,
+                 int(fin["total_tokens"]), int(fin["total_bpe_tokens"]),
+                 int(fin["total_chars"])))
+    while live:
+        _release_local_checkpoint(live.pop())
+    return rows
+
+
+def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_stats over the prepared dup corpus (kind='corpus') + the
+    composed corpus-chain accounting leg (kind='chain', one row per
+    stage — see the block comment above)."""
+    from .operators.pipeline import corpus_stats, prepare_training_corpus
+
+    stats = corpus_stats(prepare_training_corpus(_dup_corpus(spark, sf_dir)))
+    corpus_row = stats.select(
+        F.lit("corpus").alias("kind"), F.lit("all").alias("stage"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("metric"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.col("total_chars").cast("long").alias("total_chars"))
+    chain = spark.createDataFrame(
+        _chain_leg_rows(spark, sf_dir),
+        "kind string, stage string, n_docs long, metric long, "
+        "total_tokens long, total_bpe_tokens long, total_chars long")
+    return corpus_row.unionByName(chain)
 
 
 from .operators.pipeline import prepare_training_corpus_sql as _pipe_sql  # noqa: E402
+
+
+def _chain_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE composed chain from the same
+    closed-form generation template (only the int->string cast
+    spelling differs from the engine's F.expr)."""
+    ids = "CAST(id AS VARCHAR)"
+    nullcols = ("CAST(NULL AS BIGINT) AS total_tokens, "
+                "CAST(NULL AS BIGINT) AS total_bpe_tokens, "
+                "CAST(NULL AS BIGINT) AS total_chars")
+    return f"""
+WITH RECURSIVE
+cbase AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS id
+          FROM documents),
+cgtx AS MATERIALIZED (SELECT id, {_chain_text_sql(ids)} AS text FROM cbase),
+corp AS MATERIALIZED (
+  SELECT id AS doc_id, text FROM cgtx
+  UNION ALL
+  SELECT id + {_CHAIN_C_OFF}, text FROM cgtx WHERE id % 7 = 3
+  UNION ALL
+  SELECT id + {_CHAIN_N_OFF}, text || ' q' || {ids} FROM cgtx
+  WHERE id % 11 = 4
+),
+{_span_ctes('corp', n=_CHAIN_SPAN_N, min_df=_CHAIN_SPAN_MIN_DF,
+            policy='all')},
+spanout AS MATERIALIZED (SELECT doc_id, clean_text AS text, n_removed_words
+            FROM clean),
+exwin AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM spanout GROUP BY text),
+exsur AS MATERIALIZED (SELECT s.doc_id, s.text FROM spanout s
+          JOIN exwin USING (doc_id)),
+cmh AS (SELECT doc_id, {_MH_HS} AS hs FROM exsur),
+cmsig AS MATERIALIZED (SELECT doc_id, {_MH_SIG} AS sig FROM cmh),
+cmbnd AS ({_minhash_band_sql(bands=8, r=4, src='cmsig')}),
+cmbok AS (SELECT band, bucket FROM cmbnd GROUP BY band, bucket
+          HAVING COUNT(*) <= 20),
+cmbsm AS MATERIALIZED (SELECT b.doc_id, b.band, b.bucket FROM cmbnd b
+          JOIN cmbok k ON b.band = k.band AND b.bucket = k.bucket),
+cmp0 AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+         FROM cmbsm a JOIN cmbsm b2
+           ON a.band = b2.band AND a.bucket = b2.bucket
+          AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+cmp AS MATERIALIZED (SELECT p.id_a, p.id_b FROM cmp0 p
+        JOIN cmsig sa ON sa.doc_id = p.id_a
+        JOIN cmsig sb ON sb.doc_id = p.id_b
+        WHERE len(list_filter(range(1, 33),
+                              i -> sa.sig[i] = sb.sig[i])) >= 10),
+cmsh AS MATERIALIZED (SELECT doc_id, list_distinct([substr(text, i, 8)
+           FOR i IN range(1, greatest(len(text) - 7, 1) + 1)]) AS s
+         FROM exsur),
+cmver AS (SELECT p.id_a, p.id_b FROM cmp p
+          JOIN cmsh a ON a.doc_id = p.id_a
+          JOIN cmsh b ON b.doc_id = p.id_b
+          WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                6) >= 0.5),
+cmedge AS (SELECT id_a AS a, id_b AS b FROM cmver
+           UNION SELECT id_b, id_a FROM cmver),
+cmreach(a, b) AS (
+  SELECT a, b FROM cmedge
+  UNION
+  SELECT r.a, e.b FROM cmreach r JOIN cmedge e ON r.b = e.a
+),
+cmlose AS MATERIALIZED (SELECT a AS doc_id FROM cmreach GROUP BY a
+           HAVING LEAST(a, MIN(b)) != a),
+nearsur AS MATERIALIZED (SELECT e.doc_id, e.text FROM exsur e
+            WHERE e.doc_id NOT IN (SELECT doc_id FROM cmlose)),
+clmt AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+           AS tk FROM nearsur),
+clmb AS (SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+         FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+               FROM clmt WHERE len(tk) > 1)),
+clmu AS MATERIALIZED (SELECT token, COUNT(*) AS c1 FROM (
+           SELECT unnest(tk) AS token FROM clmt) GROUP BY token),
+clmv AS (SELECT COUNT(*) AS v FROM clmu),
+clmc AS MATERIALIZED (SELECT a, b, COUNT(*) AS c2 FROM clmb GROUP BY a, b
+         HAVING COUNT(*) >= 2),
+clms AS (
+  SELECT clmb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(FLOOR(log10((COALESCE(clmc.c2, 0) + 1.0)
+                        / (COALESCE(clmu.c1, 0) + 1.0 * clmv.v))
+                        * 1000000) AS BIGINT)) AS BIGINT) AS lp_micro
+  FROM clmb LEFT JOIN clmc ON clmc.a = clmb.a AND clmc.b = clmb.b
+       LEFT JOIN clmu ON clmu.token = clmb.a
+       CROSS JOIN clmv
+  GROUP BY clmb.doc_id
+),
+lmkeep AS MATERIALIZED (SELECT n.doc_id, n.text FROM nearsur n
+           JOIN clms s ON s.doc_id = n.doc_id
+           WHERE s.lp_micro >= {_CHAIN_LM_MICRO} * s.n_bigrams),
+cbch AS MATERIALIZED (SELECT id AS doc_id, {_chain_plain_sql(ids)} AS text
+         FROM cbase
+         WHERE id % 17 = 5 AND id % 11 != 4 AND id % 13 != 6),
+ccg AS MATERIALIZED (SELECT doc_id, list_distinct([
+          array_to_string(toks[i : i + {_CHAIN_CONTAM_N - 1}], ' ')
+          FOR i IN range(1, greatest(len(toks) - {_CHAIN_CONTAM_N - 1},
+                                     1) + 1)]) AS grams
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+')
+                       AS toks FROM lmkeep)),
+cbg AS MATERIALIZED (SELECT DISTINCT unnest(grams) AS gram FROM (
+          SELECT doc_id, list_distinct([
+            array_to_string(toks[i : i + {_CHAIN_CONTAM_N - 1}], ' ')
+            FOR i IN range(1, greatest(len(toks)
+                                       - {_CHAIN_CONTAM_N - 1}, 1)
+                           + 1)]) AS grams
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                         AS toks FROM cbch))),
+chits AS (SELECT t.doc_id, COUNT(*) AS n
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM ccg) t
+          JOIN cbg USING (gram) GROUP BY 1),
+csur AS MATERIALIZED (SELECT l.doc_id, l.text FROM lmkeep l
+         JOIN ccg g ON g.doc_id = l.doc_id
+         LEFT JOIN chits h ON h.doc_id = l.doc_id
+         WHERE ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE)
+               / GREATEST(len(g.grams), 1), 6) < {_CHAIN_CONTAM_T}),
+cfin AS MATERIALIZED ({_pipe_sql(min_chars=40, max_digit_ratio=0.95, min_tokens=5,
+                    table='csur')})
+SELECT 'corpus' AS kind, 'all' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(NULL AS BIGINT) AS metric,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ({_pipe_sql(table=_DUP_SQL)})
+UNION ALL
+SELECT 'chain', 'input', CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS BIGINT), {nullcols} FROM corp
+UNION ALL
+SELECT 'chain', 'span', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_removed_words) AS BIGINT), {nullcols} FROM spanout
+UNION ALL
+SELECT 'chain', 'exact', CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM spanout)
+         - CAST(COUNT(*) AS BIGINT), {nullcols} FROM exsur
+UNION ALL
+SELECT 'chain', 'near', CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exsur)
+         - CAST(COUNT(*) AS BIGINT), {nullcols} FROM nearsur
+UNION ALL
+SELECT 'chain', 'lm', CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nearsur)
+         - CAST(COUNT(*) AS BIGINT), {nullcols} FROM lmkeep
+UNION ALL
+SELECT 'chain', 'contam', CAST(COUNT(*) AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lmkeep)
+         - CAST(COUNT(*) AS BIGINT), {nullcols} FROM csur
+UNION ALL
+SELECT 'chain', 'final', CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS BIGINT),
+       CAST(SUM(n_tokens) AS BIGINT),
+       CAST(SUM(n_bpe_tokens) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT)
+FROM cfin
+"""
+
 
 # sink_ok is the sink round-trip verdict (1 for every row unless the
 # sink lost/duplicated/misplaced/corrupted it — see _q_pipeline)
 _register("pipeline_prepare_corpus", _q_pipeline,
           f"SELECT p.*, 1 AS sink_ok FROM ({_pipe_sql(table=_DUP_SQL)}) p")
-_register(
-    "pipeline_corpus_stats",
-    _q_pipeline_stats,
-    # BIGINT casts: DuckDB SUM(int) is HUGEINT -> float64 in pandas
-    "SELECT COUNT(*) AS n_docs, "
-    "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
-    "CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens, "
-    f"CAST(SUM(n_chars) AS BIGINT) AS total_chars "
-    f"FROM ({_pipe_sql(table=_DUP_SQL)})",
-)
+# (pipeline_corpus_stats is registered AFTER the minhash oracle parts
+# below — _chain_oracle_sql composes _MH_HS/_MH_SIG/_minhash_band_sql)
 
 
 def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1977,6 +2383,10 @@ def _minhash_band_sql(bands: int, r: int, src: str = "s") -> str:
         f"UNNEST([{keys}]) AS bucket FROM {src}"
     )
 
+
+# deferred registration (see the placeholder note at the chain leg):
+# the chain oracle composes the minhash parts defined just above
+_register("pipeline_corpus_stats", _q_pipeline_stats, _chain_oracle_sql())
 
 _MINHASH_CAND_SQL = (
     f"WITH h AS (SELECT doc_id, {_MH_HS} AS hs FROM {_DUP_SQL}), "
