@@ -1153,12 +1153,24 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     pairs = a.join(b, (F.col("__rep") == F.col("__repb"))
                    & (F.col("__sig") == F.col("__sigb"))
                    & (F.col("id_a") < F.col("id_b")))
-    if repetitions > 1:
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    return pairs.select(
+    # cosine-filter BEFORE the cross-rep dedup (round-11 10M ladder
+    # finding): dropDuplicates is a shuffle, and running it first
+    # exchanges EVERY candidate occurrence with BOTH denormalized
+    # vectors attached — at 1M vectors under planes="auto" (6 tables)
+    # that is ~9e7 rows x ~550 B ~ 50 GB of exchange + sort spill,
+    # which overflowed this container's scratch.  The cosine is a
+    # deterministic function of the pair (round(...,6) included), so
+    # filtering first is result-identical while the dedup exchange
+    # carries only the verified survivors as bare id pairs; the cost
+    # is re-scoring a pair once per colliding table — vectorized
+    # arithmetic, orders of magnitude cheaper than the shuffle bytes.
+    pairs = pairs.select(
         "id_a", "id_b",
         F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+    if repetitions > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def auto_ivf_params(n_rows: int, nprobe: int = 8,
