@@ -107,7 +107,10 @@ def near_dup_point(spark: SparkSession, n: int) -> None:
     n_base = n - n_dup
     vecs = synth_vectors(spark, n).persist()
     vecs.count()
-    for tag in ("warm", "steady"):
+    # 10M+: single rep — the job is ~an hour of real work under the
+    # auto-resolved 8-table config, so JVM warmup is noise and a
+    # steady rep doubles the ladder's wall for nothing
+    for tag in (("warm", "steady") if n < 10_000_000 else ("cold",)):
         t0 = time.perf_counter()
         pairs = embedding_near_dup_pairs(vecs, threshold=0.99,
                                          planes="auto")
@@ -217,8 +220,10 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="dhs_emb10m_")
     try:
         for n in points:
-            near_dup_point(spark, n)
+            # ivf first: the cheap decade point lands even if the
+            # (hour-scale at 10M) near-dup chain is cut short
             ivf_point(spark, n, workdir)
+            near_dup_point(spark, n)
     finally:
         import shutil
 
