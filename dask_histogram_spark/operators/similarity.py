@@ -1102,8 +1102,22 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     tables (seeds ``seed, seed+1, ...``) computed in the SAME single
     pass, posexploded to (rep, bucket) band rows — the minhash-banding
     shape — so a pair at cosine c survives with probability
-    1 - (1 - p(c)^planes)^r.  Candidates dedup on (id_a, id_b) before
-    the cosine; ``repetitions=1`` is the plain single-table form.
+    1 - (1 - p(c)^planes)^r.  Verified pairs dedup on (id_a, id_b)
+    AFTER the cosine filter (the exchange carries only survivors —
+    see the inline comment); ``repetitions=1`` is the plain
+    single-table form.
+
+    SCALE NOTE (round-11 10M ladder): the self-join shuffles band
+    rows with their denormalized vectors on both sides — ~2 x n x r
+    x (4 x dim + ~40) bytes of exchange + sort spill.  At 10M x
+    dim-64, the auto-resolved 8 tables need ~48 GB of shuffle
+    scratch; when duplicates are near-exact (cosine >> the design
+    threshold, e.g. re-crawls and format twins), an explicit
+    ``repetitions=2`` holds their recall at ~1 at a quarter of the
+    scratch, and the full-recall-at-threshold configuration belongs
+    on the persisted form (:func:`write_embedding_signature_table` +
+    :func:`embedding_dedup_incremental`), where the table is built
+    once and only the nightly batch shuffles.
 
     ``method`` picks the signature kernel (LSH path only):
     ``"arrow"`` (the ``"auto"`` default) computes all plane dots of

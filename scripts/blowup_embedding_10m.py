@@ -110,10 +110,24 @@ def near_dup_point(spark: SparkSession, n: int) -> None:
     # 10M+: single rep — the job is ~an hour of real work under the
     # auto-resolved 8-table config, so JVM warmup is noise and a
     # steady rep doubles the ladder's wall for nothing
+    # 10M+: auto WIDTH but explicit repetitions=2 (the "storage
+    # budget" guidance in auto_hyperplane_params' docstring).  The
+    # in-query self-join shuffles band rows WITH their denormalized
+    # 64-float vectors on both sides: 2 x n x reps x ~300 B, so the
+    # auto-resolved 8 tables at 10M need ~48 GB of exchange + SMJ
+    # sort spill and overflowed this container's ~80 GB scratch
+    # (measured on this ladder — df hit 97%).  reps=2 fits (~12 GB)
+    # and holds recall ~1 for the planted cosine~1 pairs (per-table
+    # collision p^19 ~ 0.42 applies at the DESIGN cosine 0.99, not at
+    # ~1 where p ~ 1); the production form at full recall targets is
+    # the persisted signature table + incremental probe, whose 10M
+    # auto point (planes=19, reps=8) is the round-7 BASELINE table.
+    reps = None if n < 10_000_000 else 2
     for tag in (("warm", "steady") if n < 10_000_000 else ("cold",)):
         t0 = time.perf_counter()
         pairs = embedding_near_dup_pairs(vecs, threshold=0.99,
-                                         planes="auto")
+                                         planes="auto",
+                                         repetitions=reps)
         clusters = dedup_clusters(pairs, id_a="id_a", id_b="id_b")
         # exactness: a cluster member below n_dup is a planted pair's
         # base (fine); one in [n_dup, n_base) is a FALSE MERGE of two
@@ -222,7 +236,8 @@ def main() -> None:
         for n in points:
             # ivf first: the cheap decade point lands even if the
             # (hour-scale at 10M) near-dup chain is cut short
-            ivf_point(spark, n, workdir)
+            if not os.environ.get("DHS_NEAR_ONLY"):
+                ivf_point(spark, n, workdir)
             near_dup_point(spark, n)
     finally:
         import shutil
