@@ -333,42 +333,82 @@ def pack_sequences_sql(max_tokens: int, id_col: str = "doc_id",
 
 def token_vocabulary(df: DataFrame, text_col: str = "text",
                      min_count: int = 1, top_k: int | None = None,
-                     est_tokens: int | None = None) -> DataFrame:
+                     est_tokens: int | None = None,
+                     est_types: int | None = None) -> DataFrame:
     """(token, count) vocabulary over whitespace-normalized lowercase
     tokens — the tokenizer-training precursor.  explode -> count is one
     shuffle with map-side partial aggregation; ``top_k`` ranks with
     deterministic (count DESC, token ASC) ordering.
 
-    ``est_tokens`` (total token-OCCURRENCE estimate) sizes the
-    vocabulary aggregate's shuffle via the shared sizing module
-    (groups-per-task target + memory-budget floor + actionable
-    over-cap error) — the same 100-TB posture as the span operators'
-    ``est_windows`` and lm_score's ``est_bigrams``.  For a natural-
-    language corpus the distinct-type count is far below occurrences
-    (Heaps' law), so the occurrence estimate is a loose upper bound;
-    it still prevents the reduce-side OOM because the bound is on the
-    map SIZE, not the skew.  Default None keeps session sizing (plans
-    unchanged).
+    ``est_types`` (distinct-TYPE estimate — what the reduce-side hash
+    map actually holds) sizes the vocabulary aggregate's shuffle via
+    the shared sizing module (groups-per-task target + memory-budget
+    floor + actionable over-cap error) — the same 100-TB posture as
+    the span operators' ``est_windows`` and lm_score's
+    ``est_bigrams``.  ``est_tokens`` (total OCCURRENCE estimate) is
+    the loose upper bound accepted when no type estimate exists; for
+    a natural-language corpus types << occurrences (Heaps' law), so
+    prefer ``est_types`` — an occurrence-sized width is safe but can
+    over-widen by orders of magnitude.  Default None keeps session
+    sizing (plans unchanged).
+
+    When the sized width exceeds the session's shuffle partitions,
+    the plan switches to an explicit two-phase aggregate: per-Arrow-
+    batch token counts (the pinned ``_tokenize_texts`` tokenization —
+    bit-identical to the Column split) computed in a narrow
+    ``mapInPandas`` pass, then the widened exchange carries only
+    (token, partial_count) rows and the final sum runs at the sized
+    width.  A bare ``repartition(width, token)`` below the groupBy
+    would instead SATISFY the aggregate's distribution requirement,
+    deleting the map-side partial step so the exchange hauls every
+    raw occurrence — the safety knob making the job drastically
+    slower than the default plan it guards (round-11 ADVICE).
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     src = (df.select(F.explode(toks).alias("token"))
            .where(F.col("token") != ""))
-    if est_tokens:
+    widened = None
+    if est_types or est_tokens:
         from .sizing import agg_partitions, current_shuffle_partitions
 
         spark = df.sparkSession
         need = agg_partitions(
-            spark, int(est_tokens), unit="tokens",
+            spark, int(est_types or est_tokens), unit="token types",
             remedies=("raise min_count and pre-filter rare types per "
                       "shard", "build the vocabulary per corpus shard "
                       "and merge counts"))
         if need > current_shuffle_partitions(spark):
-            src = src.repartition(need, "token")
-    counts = (
-        src.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("count"))
-        .where(F.col("count") >= min_count)
-    )
+            widened = need
+    if widened:
+        def _batch_counts(batches):
+            from collections import Counter
+
+            for pdf in batches:
+                c: Counter = Counter()
+                for tl in _tokenize_texts(pdf[text_col]):
+                    if tl:
+                        c.update(tl)
+                c.pop("", None)
+                if c:
+                    yield pd.DataFrame(
+                        {"token": list(c.keys()),
+                         "__pc": np.fromiter(c.values(), dtype="int64",
+                                             count=len(c))})
+
+        partial = df.select(text_col).mapInPandas(
+            _batch_counts, "token string, __pc long")
+        counts = (
+            partial.repartition(widened, "token")
+            .groupBy("token")
+            .agg(F.sum("__pc").alias("count"))
+            .where(F.col("count") >= min_count)
+        )
+    else:
+        counts = (
+            src.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .where(F.col("count") >= min_count)
+        )
     if top_k is not None:
         # orderBy+limit plans as TakeOrderedAndProject (per-partition
         # partial top-k, then a k-row merge) — a bare row_number window

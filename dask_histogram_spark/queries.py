@@ -1327,7 +1327,13 @@ FROM documents d LEFT JOIN lrs s ON s.doc_id = d.doc_id
 _register(
     "text_quality",
     _q_quality,
+    # lmref is hoisted into ONE materialized CTE joined twice (lr =
+    # engine's string-keyed ref leg, lh = hashed_model leg): inlining
+    # _LM_REF_SQL per join made DuckDB evaluate the most expensive
+    # subchain of the quality oracle twice per gate run (round-11
+    # ADVICE)
     f"""
+WITH lmref AS MATERIALIZED ({_LM_REF_SQL})
 SELECT q.doc_id, q.n_chars, q.n_tokens, q.quality_score, q.keep,
        r.dup_2gram_ratio, r.dup_3gram_ratio, r.top_2gram_ratio,
        n.n_norm_chars, n.norm_text, n.redacted_text, n.changed,
@@ -1353,8 +1359,8 @@ JOIN (
   FROM documents
 ) n ON q.doc_id = n.doc_id
 JOIN ({_LM_SCORE_SQL}) lm ON q.doc_id = lm.doc_id
-JOIN ({_LM_REF_SQL}) lr ON q.doc_id = lr.doc_id
-JOIN ({_LM_REF_SQL}) lh ON q.doc_id = lh.doc_id
+JOIN lmref lr ON q.doc_id = lr.doc_id
+JOIN lmref lh ON q.doc_id = lh.doc_id
 """,
 )
 
@@ -1903,8 +1909,9 @@ clms AS (
   GROUP BY clmb.doc_id
 ),
 lmkeep AS MATERIALIZED (SELECT n.doc_id, n.text FROM nearsur n
-           JOIN clms s ON s.doc_id = n.doc_id
-           WHERE s.lp_micro >= {_CHAIN_LM_MICRO} * s.n_bigrams),
+           LEFT JOIN clms s ON s.doc_id = n.doc_id
+           WHERE COALESCE(s.lp_micro, 0)
+                 >= {_CHAIN_LM_MICRO} * COALESCE(s.n_bigrams, 0)),
 cbch AS MATERIALIZED (SELECT id AS doc_id, {_chain_plain_sql(ids)} AS text
          FROM cbase
          WHERE id % 17 = 5 AND id % 11 != 4 AND id % 13 != 6),

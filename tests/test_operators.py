@@ -718,6 +718,28 @@ def test_token_vocabulary_matches_counter(spark, tables):
     assert dict(zip(got.token, got["count"])) == exp
 
 
+def test_token_vocabulary_widened_path_matches_default(spark, tables):
+    """The over-session-width safety plan (two-phase Arrow partial
+    counts + widened (token, partial_count) exchange) must reproduce
+    the default explode->groupBy result exactly — including the
+    min_count filter and top_k rank ordering."""
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import token_vocabulary
+    from dask_histogram_spark.operators import sizing
+
+    d = tables["documents"]
+    base = token_vocabulary(d, min_count=2, top_k=50).toPandas()
+    # force the widened branch regardless of the local heap: sized
+    # width = 10x the session setting
+    wide = 10 * sizing.current_shuffle_partitions(spark)
+    with patch.object(sizing, "agg_partitions", return_value=wide):
+        got = token_vocabulary(d, min_count=2, top_k=50,
+                               est_types=10**12).toPandas()
+    assert got.sort_values("rank").reset_index(drop=True).equals(
+        base.sort_values("rank").reset_index(drop=True))
+
+
 def test_redact_pii_cross_engine_on_real_pii(spark):
     """The corpus has no PII, so the oracle row alone can't prove the
     patterns fire — check real emails/IPs/phones redact identically in
