@@ -1061,19 +1061,70 @@ def auto_hyperplane_params(n_rows: int, design_cos: float = 0.99,
 
 
 def _resolve_hyperplane_params(df: DataFrame, planes, repetitions,
-                               design_cos: float) -> tuple[int, int]:
+                               design_cos: float,
+                               n_rows: int | None = None) -> tuple[int, int]:
     """Resolve the ``planes="auto"`` sentinel shared by
     :func:`embedding_near_dup_pairs` and
     :func:`write_embedding_signature_table` (one place for the
     sentinel semantics): ``repetitions=None`` means "derive it under
     auto, else 1"; an EXPLICIT integer — including 1 — is always
-    honored, so auto width with a single table stays expressible."""
+    honored, so auto width with a single table stays expressible.
+    ``n_rows`` lets a caller that already counted (e.g. for a shuffle
+    preflight) skip auto's count job."""
     if planes == "auto":
         planes, auto_reps = auto_hyperplane_params(
-            df.count(), design_cos=design_cos)
+            df.count() if n_rows is None else int(n_rows),
+            design_cos=design_cos)
         if repetitions is None:
             repetitions = auto_reps
     return int(planes), int(repetitions) if repetitions is not None else 1
+
+
+# band-row shuffle model for the in-query near-dup self-join: each
+# side exchanges n x repetitions rows carrying the DENORMALIZED
+# vector (elem_bytes x dim) plus ~40 B of id/rep/sig/row framing —
+# the round-11 10M ladder measured ~48 GB at n=1e7, dim=64 float32,
+# r=8, matching this model within ~2%
+_BAND_ROW_OVERHEAD_BYTES = 40
+
+
+def _near_dup_join_preflight(df: DataFrame, vec_col: str, id_col: str,
+                             n_rows: int, repetitions: int,
+                             planes: int, threshold: float) -> None:
+    """Scratch-volume preflight for :func:`embedding_near_dup_pairs`'
+    band self-join (round-11 VERDICT #1): estimate the exchange bytes
+    from (n, dim, element width, repetitions) and raise the sizing
+    module's actionable error BEFORE launching a join that would die
+    mid-job at disk-full — the remedies name the levers this operator
+    actually owns.  One extra ``first()`` job reads a single batch
+    for the dimension; no-op on empty input or unknown budget."""
+    from .sizing import check_shuffle_scratch
+
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        return
+    dim = int(row["d"])
+    elem = df.schema[vec_col].dataType.elementType
+    elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
+    est = (2 * int(n_rows) * int(repetitions)
+           * (elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES))
+    check_shuffle_scratch(
+        df.sparkSession, est,
+        what=(f"embedding_near_dup_pairs' band self-join "
+              f"(n={n_rows:,}, dim={dim}, planes={planes}, "
+              f"repetitions={repetitions})"),
+        remedies=(
+            "pass an explicit repetitions= (near-exact duplicate "
+            "corpora hold ~full recall at repetitions=2, a quarter "
+            "of the auto-table scratch)",
+            "build the persisted signature table instead "
+            "(write_embedding_signature_table(planes='auto') + "
+            "embedding_dedup_incremental) so the corpus shuffles "
+            "once at build time and only each probe batch shuffles "
+            "per run",
+            f"raise threshold= (currently {threshold}) so auto "
+            "derives fewer repetitions for the same recall target",
+        ))
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -1117,7 +1168,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     scratch, and the full-recall-at-threshold configuration belongs
     on the persisted form (:func:`write_embedding_signature_table` +
     :func:`embedding_dedup_incremental`), where the table is built
-    once and only the nightly batch shuffles.
+    once and only the nightly batch shuffles.  This is ENFORCED, not
+    advisory: a scratch-volume preflight models the exchange from
+    (n, dim, element width, r) and raises the actionable remedy list
+    before launching a join the local shuffle volume cannot hold
+    (:func:`~.sizing.check_shuffle_scratch`; budget-unknown cluster
+    mode skips the check).
 
     ``method`` picks the signature kernel (LSH path only):
     ``"arrow"`` (the ``"auto"`` default) computes all plane dots of
@@ -1140,9 +1196,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     auto (1 otherwise); an explicit integer — including 1 — is always
     honored.
     """
-    planes, repetitions = _resolve_hyperplane_params(
-        df, planes, repetitions, design_cos=threshold)
     if exact:
+        planes, repetitions = _resolve_hyperplane_params(
+            df, planes, repetitions, design_cos=threshold)
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -1152,6 +1208,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     6).alias("cos_sim"),
         ).where(F.col("cos_sim") >= threshold)
 
+    # count once, shared by the auto-sizing and the scratch preflight
+    n_rows = df.count()
+    planes, repetitions = _resolve_hyperplane_params(
+        df, planes, repetitions, design_cos=threshold, n_rows=n_rows)
+    _near_dup_join_preflight(df, vec_col, id_col, n_rows, repetitions,
+                             planes, threshold)
     banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
                                    repetitions, method)
     if banded is None:  # empty (or all-null) table: typed empty result

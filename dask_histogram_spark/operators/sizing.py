@@ -27,6 +27,8 @@ __all__ = [
     "MAX_AGG_PARTITIONS",
     "parts_for_memory",
     "agg_partitions",
+    "scratch_budget",
+    "check_shuffle_scratch",
 ]
 
 # safe reduce-side group count per task (round-8 capstone measurement)
@@ -105,6 +107,58 @@ def parts_for_memory(spark, est_groups: int, *,
             f"available ({slots} concurrent tasks). "
             + "; or ".join(fixes) + ".")
     return int(parts)
+
+
+# a shuffle's on-disk footprint runs ~2x its exchange bytes: sorted
+# map-output files plus fetch-side sort/merge spill coexist while the
+# reduce stage drains (round-11 10M embedding ladder: a ~48 GB
+# exchange filled a ~79 GB scratch volume to the 97% kill line)
+SHUFFLE_SCRATCH_SAFETY = 2.0
+
+
+def scratch_budget(spark) -> int:
+    """Free bytes on the shuffle-scratch volume.  local[*]: the first
+    ``spark.local.dir`` entry (else ``java.io.tmpdir``) probed with
+    ``shutil.disk_usage``.  Cluster: 0 — executor-local disks are not
+    visible from the driver, so shuffle-volume preflights are advisory-
+    only off local mode (same unknown-budget contract as
+    :func:`parts_for_memory` returning 0)."""
+    import shutil
+
+    try:
+        sc = spark.sparkContext
+        if not (sc.master or "").startswith("local"):
+            return 0
+        d = (spark.conf.get("spark.local.dir", None)
+             or spark._jvm.java.lang.System.getProperty("java.io.tmpdir"))
+        return int(shutil.disk_usage(str(d).split(",")[0]).free)
+    except Exception:  # pragma: no cover - jvm/fs access denied
+        return 0
+
+
+def check_shuffle_scratch(spark, est_bytes: int, *, what: str,
+                          remedies: tuple[str, ...] = ()) -> None:
+    """Preflight a data-sized shuffle against the scratch volume:
+    raise an actionable RuntimeError when ``~SHUFFLE_SCRATCH_SAFETY x
+    est_bytes`` exceeds the free scratch space — the disk-full twin of
+    :func:`parts_for_memory`'s heap preflight (widening partitions
+    cannot save a shuffle whose TOTAL bytes exceed the volume, so the
+    only fixes are shrinking the exchange or adding disk, and the
+    caller names which levers it owns).  No-op when the budget is
+    unknown (cluster mode / probe failure)."""
+    free = scratch_budget(spark)
+    if not free:
+        return
+    need = SHUFFLE_SCRATCH_SAFETY * int(est_bytes)
+    if need > free:
+        fixes = ("Add shuffle scratch space (spark.local.dir on a "
+                 "larger volume)",) + tuple(remedies)
+        raise RuntimeError(
+            f"shuffle-scratch preflight: {what} would exchange "
+            f"~{est_bytes / 2 ** 30:.1f} GiB (~{need / 2 ** 30:.1f} GiB "
+            f"of scratch with sort spill), but only "
+            f"~{free / 2 ** 30:.1f} GiB is free on the shuffle volume. "
+            + "; or ".join(fixes) + ".")
 
 
 def agg_partitions(spark, est_groups: int, *,

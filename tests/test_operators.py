@@ -456,6 +456,58 @@ def test_embedding_near_dup_auto_planes(spark, tables):
     assert all(exact[k] == v for k, v in pairs.items())
 
 
+def test_shuffle_scratch_preflight_raises_over_budget(spark):
+    """check_shuffle_scratch raises the actionable error when the
+    modeled exchange exceeds the free scratch volume, and no-ops when
+    the budget is unknown (cluster mode contract)."""
+    import pytest
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import sizing
+
+    with patch.object(sizing, "scratch_budget", return_value=10 * 2**30):
+        # 10 GiB free, 20 GiB exchange (x2 safety = 40 GiB) -> raise
+        with pytest.raises(RuntimeError) as e:
+            sizing.check_shuffle_scratch(
+                spark, 20 * 2**30, what="a test shuffle",
+                remedies=("do the thing",))
+        msg = str(e.value)
+        assert "a test shuffle" in msg and "do the thing" in msg
+        assert "GiB" in msg
+        # under budget -> silent
+        sizing.check_shuffle_scratch(spark, 2 * 2**30, what="small")
+    with patch.object(sizing, "scratch_budget", return_value=0):
+        sizing.check_shuffle_scratch(spark, 10**15, what="unknown budget")
+
+
+def test_embedding_near_dup_scratch_preflight(spark, tables):
+    """The in-query band self-join fails FAST with the remedy list
+    (explicit repetitions=, the persisted signature table) when the
+    modeled exchange cannot fit the scratch volume — instead of dying
+    at disk-full mid-join (round-11 10M ladder)."""
+    import pytest
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import embedding_near_dup_pairs
+    from dask_histogram_spark.operators import sizing
+
+    emb = tables["embeddings"]
+    with patch.object(sizing, "scratch_budget", return_value=1024):
+        with pytest.raises(RuntimeError) as e:
+            embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+        msg = str(e.value)
+        assert "repetitions=" in msg
+        assert "write_embedding_signature_table" in msg
+        assert "band self-join" in msg
+        # the exact (oracle) path never launches the band join and
+        # must stay preflight-free
+        embedding_near_dup_pairs(emb.limit(5), threshold=0.3, exact=True)
+        # empty input short-circuits before the preflight probe
+        empty = emb.where("vec_id < 0")
+        assert embedding_near_dup_pairs(empty, threshold=0.3,
+                                        planes=8).count() == 0
+
+
 def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
     """max_df drops ubiquitous shingles; identical docs still score 1.0
     over the pruned shingle universe."""
