@@ -1609,6 +1609,11 @@ _CHAIN_SPAN_MIN_DF = 10
 _CHAIN_LM_MICRO = -2_500_000   # avg_lp10 threshold -2.5, in micro-units
 _CHAIN_CONTAM_N = 6
 _CHAIN_CONTAM_T = 0.5
+# tail stages (round-12): split ratios shared by the engine leg and
+# the oracle's hash_split_sql twin; exact binary-ish doubles are not
+# required — both sides derive identical integer thresholds from the
+# same floats
+_CHAIN_SPLIT = {"train": 0.95, "val": 0.05}
 
 
 def _chain_plain_sql(ids: str) -> str:
@@ -1675,7 +1680,11 @@ def _chain_leg_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
         remove_duplicate_spans,
     )
     from .operators.dedup import _release_local_checkpoint
-    from .operators.pipeline import corpus_stats, prepare_training_corpus
+    from .operators.pipeline import (
+        corpus_stats,
+        pack_sequences,
+        prepare_training_corpus,
+    )
 
     n = get_tables(spark, sf_dir)["documents"].count()
     lay = _chain_layout(n)
@@ -1788,13 +1797,91 @@ def _chain_leg_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
     chk("contamination flagged", lm_n - cl_n, lay["n_bench"])
     rows.append(("chain", "contam", cl_n, lm_n - cl_n, None, None, None))
 
-    # 6. prepare + stats (every surviving doc passes the e2e gates)
-    fin = corpus_stats(prepare_training_corpus(
-        cl, min_chars=40, max_digit_ratio=0.95, min_tokens=5)).first()
+    # 6. prepare + stats (every surviving doc passes the e2e gates);
+    # the per-doc frame stays checkpointed for the tail's pack join
+    prep = prepare_training_corpus(
+        cl, min_chars=40, max_digit_ratio=0.95,
+        min_tokens=5).localCheckpoint()
+    fin = corpus_stats(prep).first()
     chk("prepare kept", fin["n_docs"], cl_n)
     rows.append(("chain", "final", int(fin["n_docs"]), None,
                  int(fin["total_tokens"]), int(fin["total_bpe_tokens"]),
                  int(fin["total_chars"])))
+
+    # 7. quota/mix + deterministic split (round-11 VERDICT #2: the
+    # tail stages the e2e capstone chains were script-only — their
+    # stage INTERACTIONS now reach the correctness board).  Four
+    # pseudo-sources carved from the id, exact top-q-by-hash cap at
+    # 80% of the smallest source (integer 4*min//5 so Python and
+    # DuckDB agree exactly), then the zero-shuffle hash split.
+    from .operators import hash_split, quota_sample
+
+    src = cl.withColumn(
+        "source",
+        F.concat(F.lit("s"), F.pmod(F.col("doc_id"),
+                                    F.lit(4)).cast("string")))
+    per = {r["source"]: r["n"] for r in
+           src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    q = max(1, (4 * min(per.values())) // 5)
+    mixed, mx_n = step(hash_split(
+        quota_sample(src, q, group_col="source", seed=13,
+                     validate=False),
+        _CHAIN_SPLIT))
+    chk("quota kept", mx_n, sum(min(q, v) for v in per.values()))
+    kept = {r["source"]: r["n"] for r in
+            mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    for s in sorted(per):
+        chk(f"quota {s} kept", kept.get(s, 0), min(q, per[s]))
+        rows.append(("chain", f"quota_{s}", kept.get(s, 0),
+                     per[s] - kept.get(s, 0), None, None, None))
+    for s, n_s in sorted(
+            (r["split"], r["n"]) for r in
+            mixed.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+            .collect()):
+        rows.append(("chain", f"split_{s}", n_s, None, None, None, None))
+
+    # 8. pack: fixed 512-token budget per split group over the REAL
+    # BPE-style token counts from prepare; a sequence may overshoot
+    # only by its straddling doc (pack_sequences' quota contract)
+    pk, pk_n = step(pack_sequences(
+        mixed.join(prep.select("doc_id", "n_bpe_tokens"), "doc_id"),
+        max_tokens=512, tokens_col="n_bpe_tokens", group_col="split")
+        .select("doc_id", "source", "split", "n_bpe_tokens", "seq_id"))
+    _release_local_checkpoint(prep)
+    chk("pack rows", pk_n, mx_n)
+    max_doc = pk.agg(F.max("n_bpe_tokens")).first()[0]
+    worst = (pk.groupBy("split", "seq_id")
+             .agg(F.sum("n_bpe_tokens").alias("t"))
+             .agg(F.max("t")).first()[0])
+    if worst >= 512 + max_doc:
+        raise AssertionError(
+            f"chain pack budget: {worst} >= 512+{max_doc}")
+    n_seq = pk.select("split", "seq_id").distinct().count()
+    tot_bpe = pk.agg(F.sum("n_bpe_tokens")).first()[0]
+    rows.append(("chain", "pack", pk_n, n_seq, int(tot_bpe),
+                 None, None))
+
+    # 9. sink: sharded write + manifest == read-back reconciliation
+    # (metric is the 0/1 sink_ok verdict; the chks raise on any lost
+    # or duplicated row before the board ever sees a green 1)
+    import shutil
+    import tempfile
+
+    from .sources import write_training_shards
+
+    d = tempfile.mkdtemp(prefix="dhs_chain_sink_")
+    try:
+        out = os.path.join(d, "shards")
+        man = write_training_shards(pk, out, n_shards=8)
+        chk("chain sink manifest rows", man["total_rows"], pk_n)
+        chk("chain sink readback rows",
+            spark.read.parquet(out).count(), pk_n)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    rows.append(("chain", "sink", pk_n, 1, None, None, None))
+
     while live:
         _release_local_checkpoint(live.pop())
     return rows
@@ -1821,7 +1908,10 @@ def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_row.unionByName(chain)
 
 
+from .operators.pipeline import hash_split_sql as _split_sql  # noqa: E402
+from .operators.pipeline import pack_sequences_sql as _pack_sql  # noqa: E402
 from .operators.pipeline import prepare_training_corpus_sql as _pipe_sql  # noqa: E402
+from .operators.pipeline import quota_rank_sql as _quota_sql  # noqa: E402
 
 
 def _chain_oracle_sql() -> str:
@@ -1940,7 +2030,26 @@ csur AS MATERIALIZED (SELECT l.doc_id, l.text FROM lmkeep l
          WHERE ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE)
                / GREATEST(len(g.grams), 1), 6) < {_CHAIN_CONTAM_T}),
 cfin AS MATERIALIZED ({_pipe_sql(min_chars=40, max_digit_ratio=0.95, min_tokens=5,
-                    table='csur')})
+                    table='csur')}),
+csrc AS (SELECT doc_id, text,
+         's' || CAST((doc_id % 4 + 4) % 4 AS VARCHAR) AS source
+         FROM csur),
+cper AS MATERIALIZED (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM csrc GROUP BY source),
+cqv AS MATERIALIZED (SELECT GREATEST(1, (4 * MIN(n)) // 5) AS q
+        FROM cper),
+cqr AS (SELECT doc_id, text, source,
+        {_quota_sql('source', seed=13)} AS qr FROM csrc),
+cquota AS MATERIALIZED (SELECT doc_id, text, source FROM cqr, cqv
+          WHERE qr <= q),
+cqc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS kept FROM cquota
+        GROUP BY source),
+cmix AS MATERIALIZED (SELECT doc_id, text, source,
+        {_split_sql(_CHAIN_SPLIT)} FROM cquota),
+cpk AS MATERIALIZED (
+  SELECT doc_id, source, split, n_bpe_tokens,
+         {_pack_sql(512, group_col='split', tokens_col='n_bpe_tokens')}
+  FROM cmix JOIN cfin USING (doc_id))
 SELECT 'corpus' AS kind, 'all' AS stage,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(NULL AS BIGINT) AS metric,
@@ -1977,6 +2086,20 @@ SELECT 'chain', 'final', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(n_bpe_tokens) AS BIGINT),
        CAST(SUM(n_chars) AS BIGINT)
 FROM cfin
+UNION ALL
+SELECT 'chain', 'quota_' || source, kept, n - kept, {nullcols}
+FROM cqc JOIN cper USING (source)
+UNION ALL
+SELECT 'chain', 'split_' || split, CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS BIGINT), {nullcols} FROM cmix GROUP BY split
+UNION ALL
+SELECT 'chain', 'pack', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT (split, seq_id)) AS BIGINT),
+       CAST(SUM(n_bpe_tokens) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cpk
+UNION ALL
+SELECT 'chain', 'sink', CAST(COUNT(*) AS BIGINT),
+       CAST(1 AS BIGINT), {nullcols} FROM cpk
 """
 
 
