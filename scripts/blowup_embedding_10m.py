@@ -224,6 +224,66 @@ def ivf_point(spark: SparkSession, n: int, workdir: str) -> None:
           f"scratch={scratch_gib():.1f}GiB", flush=True)
 
 
+def persisted_point(spark: SparkSession, n: int, workdir: str) -> None:
+    """The PRODUCTION near-dup configuration at decade scale (round-11
+    VERDICT #5): the full-recall planes="auto" tables live on the
+    PERSISTED path (write once, probe batches) — the in-query
+    self-join's scratch preflight sends users here at 10M+.  Build
+    the signature table over the base corpus (auto width AND auto
+    repetitions, design_cos at the dup threshold), probe a planted
+    dup batch + a fresh control batch, record build/probe walls,
+    table rows, scratch, recall and false positives."""
+    from dask_histogram_spark.operators import (
+        embedding_dedup_incremental,
+        write_embedding_signature_table,
+    )
+
+    n_dup = int(n * DUP_RATE)
+    n_base = n - n_dup
+    vecs = synth_vectors(spark, n).persist()
+    vecs.count()
+    base = vecs.where(F.col("vec_id") < n_base)
+    table = f"emb_sig_persist_{n}"
+    t0 = time.perf_counter()
+    write_embedding_signature_table(
+        base, table, planes="auto", design_cos=0.99,
+        path=os.path.join(workdir, table))
+    t_build = time.perf_counter() - t0
+    rows = spark.table(table).count()
+    p = spark.table(f"{table}__params").first()
+    print(f"persisted {n:>10,}: build {t_build:7.1f}s  "
+          f"table {rows:,} rows (planes={p.planes}, reps="
+          f"{p.repetitions})  scratch={scratch_gib():.1f}GiB",
+          flush=True)
+
+    # probe batch: 100k planted dups (their base twin is seen at
+    # cosine ~1 -> n_matched >= 1 is a hit) + 100k FRESH vectors (ids
+    # >= 3n, new hash stream -> isotropic, no cosine-0.99 neighbor
+    # exists -> any match is a false positive)
+    probe_n = min(100_000, n_dup)
+    dups = vecs.where(F.col("vec_id") >= n_base).limit(probe_n)
+    fresh = synth_vectors(spark, probe_n, dup_rate=0.0).select(
+        (F.col("vec_id") + 3 * n).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"))
+    t0 = time.perf_counter()
+    got = embedding_dedup_incremental(
+        dups.unionByName(fresh), table, threshold=0.99).persist()
+    hits = got.where((F.col("vec_id") >= n_base)
+                     & (F.col("vec_id") < 2 * n)
+                     & (F.col("n_matched_seen") >= 1)).count()
+    fps = got.where((F.col("vec_id") >= 3 * n)
+                    & (F.col("n_matched_seen") >= 1)).count()
+    t_probe = time.perf_counter() - t0
+    got.unpersist()
+    vecs.unpersist()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__params")
+    print(f"persisted {n:>10,}: probe {2 * probe_n:,} "
+          f"{t_probe:6.1f}s  planted-recall {hits}/{probe_n} "
+          f"({hits / probe_n:.6f})  false-pos {fps}  "
+          f"scratch={scratch_gib():.1f}GiB", flush=True)
+
+
 def main() -> None:
     points = [int(x) for x in sys.argv[1:]] or [1_000_000, 10_000_000]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -234,6 +294,9 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="dhs_emb10m_")
     try:
         for n in points:
+            if os.environ.get("DHS_PERSISTED_ONLY"):
+                persisted_point(spark, n, workdir)
+                continue
             # ivf first: the cheap decade point lands even if the
             # (hour-scale at 10M) near-dup chain is cut short
             if not os.environ.get("DHS_NEAR_ONLY"):
