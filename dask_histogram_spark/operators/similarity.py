@@ -1266,7 +1266,20 @@ def auto_ivf_params(n_rows: int, nprobe: int = 8,
     clamped to [min_centroids, max_centroids].  (fit_centroids'
     sample cap bounds the build side independently.)  Returns the
     clamped C and the nprobe passed in, so call sites can unpack one
-    pair like the twins."""
+    pair like the twins.
+
+    Clustered-corpus recall guidance (measured, round-12 ladder —
+    BASELINE "IVF recall ladder on a CLUSTERED corpus"): on a
+    mixture corpus with G natural clusters the sqrt rule packs ~C/G
+    centroids into each cluster, and a query's true top-k spread
+    over most of its OWN cluster's centroids — so recall@k at FIXED
+    nprobe declines as C grows (np8: 1.000 at C=894/100k rows ->
+    .881 at C=2828/1M), and holding recall while C scales with
+    sqrt(n) requires nprobe ~ C/G (np16 restored 1.000 at 1M).
+    Isotropic data is the measured worst case (recall floor .22-.51
+    @np8 at 10M), clustered the production expectation — sweep
+    nprobe on a ground-truth subset per corpus, as the library's
+    overlap tests do."""
     from math import sqrt
 
     c = round(sqrt(max(int(n_rows), 1) * max(int(nprobe), 1)))
