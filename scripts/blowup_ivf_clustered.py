@@ -91,7 +91,12 @@ def point(spark: SparkSession, n: int, workdir: str) -> None:
 
     c_auto, _ = auto_ivf_params(n, nprobe=8)
     t0 = time.perf_counter()
-    cents = fit_centroids(vecs, n_centroids=c_auto, sample_fraction=0.5,
+    # 4x oversample of the 100k row cap: a fixed large fraction at
+    # 10M+ would sample millions of vectors only for the limit to
+    # discard them (measured: the 0.5 fraction's sample-collect ran
+    # minutes at 10M before the fit even started)
+    cents = fit_centroids(vecs, n_centroids=c_auto,
+                          sample_fraction=min(0.5, 400_000 / n),
                           iterations=10)
     t_fit = time.perf_counter() - t0
 
