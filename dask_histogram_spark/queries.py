@@ -1860,8 +1860,8 @@ def _chain_leg_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
             f"chain pack budget: {worst} >= 512+{max_doc}")
     n_seq = pk.select("split", "seq_id").distinct().count()
     tot_bpe = pk.agg(F.sum("n_bpe_tokens")).first()[0]
-    rows.append(("chain", "pack", pk_n, n_seq, int(tot_bpe),
-                 None, None))
+    rows.append(("chain", "pack", pk_n, n_seq, None, int(tot_bpe),
+                 None))
 
     # 9. sink: sharded write + manifest == read-back reconciliation
     # (metric is the 0/1 sink_ok verdict; the chks raise on any lost
@@ -2095,8 +2095,8 @@ SELECT 'chain', 'split_' || split, CAST(COUNT(*) AS BIGINT),
 UNION ALL
 SELECT 'chain', 'pack', CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(DISTINCT (split, seq_id)) AS BIGINT),
-       CAST(SUM(n_bpe_tokens) AS BIGINT),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cpk
+       CAST(NULL AS BIGINT),
+       CAST(SUM(n_bpe_tokens) AS BIGINT), CAST(NULL AS BIGINT) FROM cpk
 UNION ALL
 SELECT 'chain', 'sink', CAST(COUNT(*) AS BIGINT),
        CAST(1 AS BIGINT), {nullcols} FROM cpk
