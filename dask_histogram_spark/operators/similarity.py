@@ -1287,7 +1287,7 @@ def auto_ivf_params(n_rows: int, nprobe: int = 8,
 
 
 def fit_centroids(df: DataFrame, n_centroids: int = 64,
-                  vec_col: str = "embedding", sample_fraction: float = 0.1,
+                  vec_col: str = "embedding", sample_fraction=0.1,
                   iterations: int = 10, seed: int = 11,
                   max_sample_rows: int = 100_000) -> np.ndarray:
     """Driver-side mini-batch k-means over a sample — produces the
@@ -1301,10 +1301,22 @@ def fit_centroids(df: DataFrame, n_centroids: int = 64,
     assignment runs distributed inside ``ivf_topk``.  Deterministic for
     a given seed and input layout (the seeded sample is row-stable; the
     limit takes its first ``max_sample_rows`` survivors).
-    """
+
+    ``sample_fraction="auto"`` sizes the fraction from the corpus (one
+    count job): ``min(1, 4 * max_sample_rows / n)`` — a 4x oversample
+    of the row cap so the limit stays saturated while the sample
+    COMPUTES only ~4 x max_sample_rows vectors.  A fixed fraction at
+    decade scale wastes the difference: 0.5 at 10M rows materialized
+    5M vectors (minutes of synth + scan) only for the cap to discard
+    98% of them (round-12 clustered ladder).  A fixed fraction stays
+    right when the caller knows n, or for layout-pinned
+    oracle-reproducible runs."""
+    if sample_fraction == "auto":
+        n = df.count()
+        sample_fraction = min(1.0, 4.0 * max_sample_rows / max(n, 1))
     sample = (
         df.select(vec_col)
-        .sample(fraction=min(1.0, sample_fraction), seed=seed)
+        .sample(fraction=min(1.0, float(sample_fraction)), seed=seed)
         .limit(int(max_sample_rows))
         .collect()
     )

@@ -1032,6 +1032,15 @@ def test_fit_centroids_sample_cap(spark, tables):
     with pytest.raises(ValueError, match="sample"):
         fit_centroids(emb, n_centroids=64, sample_fraction=1.0,
                       max_sample_rows=10)
+    # "auto" sizes the fraction as min(1, 4*cap/n) — byte-identical to
+    # passing that fraction explicitly (same seed, same sample)
+    n = emb.count()
+    C3 = fit_centroids(emb, n_centroids=4, sample_fraction="auto",
+                       seed=5, max_sample_rows=100)
+    C4 = fit_centroids(emb, n_centroids=4,
+                       sample_fraction=min(1.0, 4.0 * 100 / n),
+                       seed=5, max_sample_rows=100)
+    np.testing.assert_array_equal(C3, C4)
 
 
 def test_pack_sequences_warns_without_group(spark):

@@ -301,6 +301,32 @@ def test_histograms_partial_aggregate_before_exchange(plans):
         assert "HashAggregate" in plan[first_exchange:], name
 
 
+def test_token_vocabulary_widened_exchange_carries_partial_counts(spark):
+    """The over-width safety plan must pre-aggregate per Arrow batch so
+    the widened token exchange carries (token, partial_count) rows: the
+    plan shows the Python map (ArrowEvalPython/MapInPandas) BELOW the
+    token repartition, and NO explode anywhere — a bare
+    repartition-below-groupBy would satisfy the aggregate's
+    distribution and haul every raw occurrence (round-11 ADVICE)."""
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import sizing, token_vocabulary
+    from dask_histogram_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    wide = 10 * sizing.current_shuffle_partitions(spark)
+    with patch.object(sizing, "agg_partitions", return_value=wide):
+        df = token_vocabulary(d, min_count=2, est_types=10**12)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "Generate explode" not in plan and "Explode" not in plan
+    exch = plan.find("Exchange hashpartitioning(token")
+    assert exch != -1, plan[:800]
+    below = plan[exch:]
+    assert ("MapInPandas" in below) or ("ArrowEval" in below) or (
+        "mapInPandas" in below), below[:800]
+
+
 def test_dedup_pipeline_registry_entry_executes_fused_candidates(
         spark, monkeypatch):
     """The registry's dedup_pipeline row must actually route through the
