@@ -373,7 +373,12 @@ def token_vocabulary(df: DataFrame, text_col: str = "text",
 
         spark = df.sparkSession
         need = agg_partitions(
-            spark, int(est_types or est_tokens), unit="token types",
+            spark, int(est_types or est_tokens),
+            # the error message must name what the number IS: an
+            # occurrence bound mislabeled as types would misstate the
+            # problem by orders of magnitude (round-12 review)
+            unit="token types" if est_types else "tokens (occurrence "
+            "upper bound — pass est_types for type-accurate sizing)",
             remedies=("raise min_count and pre-filter rare types per "
                       "shard", "build the vocabulary per corpus shard "
                       "and merge counts"))

@@ -1100,7 +1100,13 @@ def _near_dup_join_preflight(df: DataFrame, vec_col: str, id_col: str,
     for the dimension; no-op on empty input or unknown budget."""
     from .sizing import check_shuffle_scratch
 
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    # dimension probe over NON-NULL vectors only: null vectors are
+    # in-contract for the banded path (excluded there), so a corpus
+    # whose FIRST row happens to be null must not silently bypass the
+    # guard (round-12 review); a None here therefore means the whole
+    # table is null/empty and no join will launch at all
+    row = (df.where(F.col(vec_col).isNotNull())
+           .select(F.size(F.col(vec_col)).alias("d")).first())
     if row is None or row["d"] is None:
         return
     dim = int(row["d"])
@@ -1208,12 +1214,20 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     6).alias("cos_sim"),
         ).where(F.col("cos_sim") >= threshold)
 
-    # count once, shared by the auto-sizing and the scratch preflight
-    n_rows = df.count()
+    # count once, shared by the auto-sizing and the scratch preflight —
+    # but ONLY when something consumes it: with explicit planes and an
+    # unknown scratch budget (cluster mode) the preflight is a no-op
+    # by contract and the plan must stay lazy with zero eager jobs,
+    # exactly as before the guard existed (round-12 review)
+    from .sizing import scratch_budget
+
+    budget_known = scratch_budget(df.sparkSession) is not None
+    n_rows = df.count() if (planes == "auto" or budget_known) else None
     planes, repetitions = _resolve_hyperplane_params(
         df, planes, repetitions, design_cos=threshold, n_rows=n_rows)
-    _near_dup_join_preflight(df, vec_col, id_col, n_rows, repetitions,
-                             planes, threshold)
+    if budget_known:
+        _near_dup_join_preflight(df, vec_col, id_col, n_rows,
+                                 repetitions, planes, threshold)
     banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
                                    repetitions, method)
     if banded is None:  # empty (or all-null) table: typed empty result
@@ -1287,7 +1301,8 @@ def auto_ivf_params(n_rows: int, nprobe: int = 8,
 
 
 def fit_centroids(df: DataFrame, n_centroids: int = 64,
-                  vec_col: str = "embedding", sample_fraction=0.1,
+                  vec_col: str = "embedding",
+                  sample_fraction: float | str = 0.1,
                   iterations: int = 10, seed: int = 11,
                   max_sample_rows: int = 100_000) -> np.ndarray:
     """Driver-side mini-batch k-means over a sample — produces the

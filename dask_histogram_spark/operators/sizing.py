@@ -116,24 +116,27 @@ def parts_for_memory(spark, est_groups: int, *,
 SHUFFLE_SCRATCH_SAFETY = 2.0
 
 
-def scratch_budget(spark) -> int:
-    """Free bytes on the shuffle-scratch volume.  local[*]: the first
-    ``spark.local.dir`` entry (else ``java.io.tmpdir``) probed with
-    ``shutil.disk_usage``.  Cluster: 0 — executor-local disks are not
-    visible from the driver, so shuffle-volume preflights are advisory-
-    only off local mode (same unknown-budget contract as
-    :func:`parts_for_memory` returning 0)."""
+def scratch_budget(spark):
+    """Free bytes on the shuffle-scratch volume, or ``None`` when the
+    budget is UNKNOWN.  local[*]: the first ``spark.local.dir`` entry
+    (else ``java.io.tmpdir``) probed with ``shutil.disk_usage``.
+    Cluster: None — executor-local disks are not visible from the
+    driver, so shuffle-volume preflights are advisory-only off local
+    mode.  A literal 0 is a REAL answer (the volume is full), distinct
+    from unknown — conflating them would make the one state where any
+    shuffle is guaranteed to die the one the preflight waves through
+    (round-12 review)."""
     import shutil
 
     try:
         sc = spark.sparkContext
         if not (sc.master or "").startswith("local"):
-            return 0
+            return None
         d = (spark.conf.get("spark.local.dir", None)
              or spark._jvm.java.lang.System.getProperty("java.io.tmpdir"))
         return int(shutil.disk_usage(str(d).split(",")[0]).free)
     except Exception:  # pragma: no cover - jvm/fs access denied
-        return 0
+        return None
 
 
 def check_shuffle_scratch(spark, est_bytes: int, *, what: str,
@@ -145,9 +148,10 @@ def check_shuffle_scratch(spark, est_bytes: int, *, what: str,
     cannot save a shuffle whose TOTAL bytes exceed the volume, so the
     only fixes are shrinking the exchange or adding disk, and the
     caller names which levers it owns).  No-op when the budget is
-    unknown (cluster mode / probe failure)."""
+    unknown (cluster mode / probe failure); a known-zero budget
+    raises like any other over-budget case."""
     free = scratch_budget(spark)
-    if not free:
+    if free is None:
         return
     need = SHUFFLE_SCRATCH_SAFETY * int(est_bytes)
     if need > free:

@@ -476,8 +476,13 @@ def test_shuffle_scratch_preflight_raises_over_budget(spark):
         assert "GiB" in msg
         # under budget -> silent
         sizing.check_shuffle_scratch(spark, 2 * 2**30, what="small")
-    with patch.object(sizing, "scratch_budget", return_value=0):
+    # unknown budget (None, cluster mode) -> no-op; a KNOWN-zero
+    # budget (volume full) must raise, not pass as unknown
+    with patch.object(sizing, "scratch_budget", return_value=None):
         sizing.check_shuffle_scratch(spark, 10**15, what="unknown budget")
+    with patch.object(sizing, "scratch_budget", return_value=0):
+        with pytest.raises(RuntimeError):
+            sizing.check_shuffle_scratch(spark, 1, what="full volume")
 
 
 def test_embedding_near_dup_scratch_preflight(spark, tables):
@@ -506,6 +511,22 @@ def test_embedding_near_dup_scratch_preflight(spark, tables):
         empty = emb.where("vec_id < 0")
         assert embedding_near_dup_pairs(empty, threshold=0.3,
                                         planes=8).count() == 0
+        # a NULL first vector must NOT bypass the guard: the dim probe
+        # reads the first NON-null vector (round-12 review)
+        base = emb.select("vec_id", "embedding")
+        nullfirst = (base.limit(3).select(
+            (F.col("vec_id") - 10).alias("vec_id"),
+            F.lit(None).cast(base.schema["embedding"].dataType)
+            .alias("embedding")).unionByName(base))
+        with pytest.raises(RuntimeError, match="band self-join"):
+            embedding_near_dup_pairs(nullfirst, threshold=0.3, planes=8)
+    # unknown budget (cluster contract) + explicit planes: no eager
+    # full-scan count() may run at build time (the one-row first()
+    # dim probe inside the banded kernel is pre-existing and bounded)
+    with patch.object(sizing, "scratch_budget", return_value=None), \
+            patch.object(type(emb), "count",
+                         side_effect=AssertionError("eager count")):
+        embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
 
 
 def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
