@@ -823,8 +823,18 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     otherwise); an explicit integer — including 1, to bound the
     rep x dim denormalized vector storage — is always honored."""
     spark = df.sparkSession
+    from .sizing import check_shuffle_scratch, scratch_budget
+
+    # the build exchange is the single-sided twin of the in-query
+    # self-join's (n x reps band rows carrying the denormalized
+    # vector cross the bucketing shuffle once) — preflight it with
+    # the same model BEFORE dropping the sidecar, so an over-budget
+    # rebuild fails fast without invalidating the existing table
+    budget_known = scratch_budget(spark) is not None
+    n_rows = (df.count() if (planes == "auto" or budget_known)
+              else None)
     planes, repetitions = _resolve_hyperplane_params(
-        df, planes, repetitions, design_cos=design_cos)
+        df, planes, repetitions, design_cos=design_cos, n_rows=n_rows)
     # probe BEFORE dropping the sidecar: an empty/all-null rebuild
     # input must fail without invalidating the existing (still valid)
     # table; the sidecar-less crash window is reserved for failures of
@@ -834,6 +844,22 @@ def write_embedding_signature_table(df: DataFrame, table: str,
         raise ValueError(
             "cannot build a signature table from an empty/all-null corpus")
     dim = len(head[0])
+    if budget_known:
+        elem = df.schema[vec_col].dataType.elementType
+        elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
+        check_shuffle_scratch(
+            spark,
+            int(n_rows) * int(repetitions)
+            * (elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES),
+            what=(f"write_embedding_signature_table's bucketing "
+                  f"shuffle (n={n_rows:,}, dim={dim}, "
+                  f"planes={planes}, repetitions={repetitions})"),
+            remedies=(
+                "pass an explicit repetitions= to bound the stored "
+                "tables (probes= on the incremental reader restores "
+                "recall query-side at half the rows — see "
+                "auto_hyperplane_params' storage note)",
+            ))
     spark.sql(f"DROP TABLE IF EXISTS {table}__params")
     # spread the Python signature kernel across the cluster — the
     # corpus often arrives in a handful of scan partitions (same

@@ -527,6 +527,20 @@ def test_embedding_near_dup_scratch_preflight(spark, tables):
             patch.object(type(emb), "count",
                          side_effect=AssertionError("eager count")):
         embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+    # the persisted writer's bucketing shuffle carries the same band
+    # rows once — same fail-fast, and the existing table's sidecar
+    # must survive the refused rebuild
+    from dask_histogram_spark.operators import (
+        write_embedding_signature_table,
+    )
+
+    with patch.object(sizing, "scratch_budget", return_value=1024):
+        with pytest.raises(RuntimeError, match="bucketing shuffle"):
+            write_embedding_signature_table(
+                emb, "preflight_refused_tbl", planes=8)
+    # the refusal happened BEFORE the sidecar drop: no half-built
+    # table may exist
+    assert not spark.catalog.tableExists("preflight_refused_tbl__params")
 
 
 def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
