@@ -827,33 +827,55 @@ def write_embedding_signature_table(df: DataFrame, table: str,
 
     # the build exchange is the single-sided twin of the in-query
     # self-join's (n x reps band rows carrying the denormalized
-    # vector cross the bucketing shuffle once) — preflight it with
+    # vector cross the bucketing shuffle once, PLUS the pre-band
+    # repartition that spreads the raw corpus — its n vector-sized
+    # shuffle files coexist with the bucketing shuffle's on the same
+    # volume, so the true footprint is n x (reps + 1) rows; at
+    # repetitions=1, the remedy the error itself suggests, omitting it
+    # would halve the estimate — round-12 ADVICE) — preflight it with
     # the same model BEFORE dropping the sidecar, so an over-budget
-    # rebuild fails fast without invalidating the existing table
+    # rebuild fails fast without invalidating the existing table.
+    # One agg job covers the row count AND the dimension/empty probe
+    # over NON-null vectors (the banded path excludes nulls, so
+    # counting them would spuriously refuse a mostly-null corpus near
+    # the budget line — round-12 ADVICE).
     budget_known = scratch_budget(spark) is not None
-    n_rows = (df.count() if (planes == "auto" or budget_known)
-              else None)
+    n_rows = dim = None
+    if planes == "auto" or budget_known:
+        probe = df.agg(
+            F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
+            .alias("n"),
+            F.first(F.size(F.col(vec_col)), ignorenulls=True)
+            .alias("d")).first()
+        n_rows, dim = int(probe["n"]), probe["d"]
     planes, repetitions = _resolve_hyperplane_params(
         df, planes, repetitions, design_cos=design_cos, n_rows=n_rows)
-    # probe BEFORE dropping the sidecar: an empty/all-null rebuild
-    # input must fail without invalidating the existing (still valid)
-    # table; the sidecar-less crash window is reserved for failures of
-    # the data write itself
-    head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
-    if head is None:
-        raise ValueError(
-            "cannot build a signature table from an empty/all-null corpus")
-    dim = len(head[0])
+    if dim is None:
+        # probe BEFORE dropping the sidecar: an empty/all-null rebuild
+        # input must fail without invalidating the existing (still
+        # valid) table; the sidecar-less crash window is reserved for
+        # failures of the data write itself.  (Reached either because
+        # no agg probe ran — explicit planes, unknown budget — or
+        # because the probe saw only nulls, in which case this raises.)
+        head = (df.where(F.col(vec_col).isNotNull())
+                .select(vec_col).first())
+        if head is None:
+            raise ValueError(
+                "cannot build a signature table from an empty/all-null "
+                "corpus")
+        dim = len(head[0])
+    dim = int(dim)
     if budget_known:
         elem = df.schema[vec_col].dataType.elementType
         elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
         check_shuffle_scratch(
             spark,
-            int(n_rows) * int(repetitions)
+            int(n_rows) * (int(repetitions) + 1)
             * (elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES),
-            what=(f"write_embedding_signature_table's bucketing "
-                  f"shuffle (n={n_rows:,}, dim={dim}, "
-                  f"planes={planes}, repetitions={repetitions})"),
+            what=(f"write_embedding_signature_table's build shuffles "
+                  f"(pre-band repartition + bucketing; n={n_rows:,}, "
+                  f"dim={dim}, planes={planes}, "
+                  f"repetitions={repetitions})"),
             remedies=(
                 "pass an explicit repetitions= to bound the stored "
                 "tables (probes= on the incremental reader restores "
@@ -1115,27 +1137,25 @@ _BAND_ROW_OVERHEAD_BYTES = 40
 
 
 def _near_dup_join_preflight(df: DataFrame, vec_col: str, id_col: str,
-                             n_rows: int, repetitions: int,
+                             n_rows: int, dim: int | None,
+                             repetitions: int,
                              planes: int, threshold: float) -> None:
     """Scratch-volume preflight for :func:`embedding_near_dup_pairs`'
     band self-join (round-11 VERDICT #1): estimate the exchange bytes
     from (n, dim, element width, repetitions) and raise the sizing
     module's actionable error BEFORE launching a join that would die
     mid-job at disk-full — the remedies name the levers this operator
-    actually owns.  One extra ``first()`` job reads a single batch
-    for the dimension; no-op on empty input or unknown budget."""
+    actually owns.  ``n_rows`` counts NON-null vectors only (null
+    vectors are in-contract and excluded from the banded join, so
+    counting them would spuriously refuse a mostly-null corpus near
+    the budget line — round-12 ADVICE) and ``dim`` comes from the same
+    agg job the caller runs anyway; no-op on empty/all-null input or
+    unknown budget."""
     from .sizing import check_shuffle_scratch
 
-    # dimension probe over NON-NULL vectors only: null vectors are
-    # in-contract for the banded path (excluded there), so a corpus
-    # whose FIRST row happens to be null must not silently bypass the
-    # guard (round-12 review); a None here therefore means the whole
-    # table is null/empty and no join will launch at all
-    row = (df.where(F.col(vec_col).isNotNull())
-           .select(F.size(F.col(vec_col)).alias("d")).first())
-    if row is None or row["d"] is None:
-        return
-    dim = int(row["d"])
+    if not n_rows or dim is None:
+        return  # empty/all-null: no band join will launch at all
+    dim = int(dim)
     elem = df.schema[vec_col].dataType.elementType
     elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
     est = (2 * int(n_rows) * int(repetitions)
@@ -1240,19 +1260,31 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     6).alias("cos_sim"),
         ).where(F.col("cos_sim") >= threshold)
 
-    # count once, shared by the auto-sizing and the scratch preflight —
-    # but ONLY when something consumes it: with explicit planes and an
-    # unknown scratch budget (cluster mode) the preflight is a no-op
-    # by contract and the plan must stay lazy with zero eager jobs,
-    # exactly as before the guard existed (round-12 review)
+    # ONE probe job, shared by the auto-sizing and the scratch
+    # preflight (non-null row count + vector dimension in a single
+    # agg) — and ONLY when something consumes it: with explicit planes
+    # and an unknown scratch budget (cluster mode) the preflight is a
+    # no-op by contract and the plan must stay lazy with zero eager
+    # jobs, exactly as before the guard existed (round-12 review).
+    # The probe re-executes the upstream DAG once; a caller composing
+    # this over an expensive uncached upstream at scale should
+    # .persist() the input first (the probe then reads cached blocks
+    # and the banded pass below reuses them).
     from .sizing import scratch_budget
 
     budget_known = scratch_budget(df.sparkSession) is not None
-    n_rows = df.count() if (planes == "auto" or budget_known) else None
+    n_rows = dim = None
+    if planes == "auto" or budget_known:
+        probe = df.agg(
+            F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
+            .alias("n"),
+            F.first(F.size(F.col(vec_col)), ignorenulls=True)
+            .alias("d")).first()
+        n_rows, dim = int(probe["n"]), probe["d"]
     planes, repetitions = _resolve_hyperplane_params(
         df, planes, repetitions, design_cos=threshold, n_rows=n_rows)
     if budget_known:
-        _near_dup_join_preflight(df, vec_col, id_col, n_rows,
+        _near_dup_join_preflight(df, vec_col, id_col, n_rows, dim,
                                  repetitions, planes, threshold)
     banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
                                    repetitions, method)

@@ -118,21 +118,25 @@ SHUFFLE_SCRATCH_SAFETY = 2.0
 
 def scratch_budget(spark):
     """Free bytes on the shuffle-scratch volume, or ``None`` when the
-    budget is UNKNOWN.  local[*]: the first ``spark.local.dir`` entry
-    (else ``java.io.tmpdir``) probed with ``shutil.disk_usage``.
-    Cluster: None — executor-local disks are not visible from the
-    driver, so shuffle-volume preflights are advisory-only off local
-    mode.  A literal 0 is a REAL answer (the volume is full), distinct
-    from unknown — conflating them would make the one state where any
-    shuffle is guaranteed to die the one the preflight waves through
-    (round-12 review)."""
+    budget is UNKNOWN.  local[*]: the first entry of Spark's own
+    local-dir resolution order — ``SPARK_LOCAL_DIRS`` env (which
+    OVERRIDES the conf when set, see Utils.getConfiguredLocalDirs),
+    else ``spark.local.dir``, else ``java.io.tmpdir`` — probed with
+    ``shutil.disk_usage``.  Cluster: None — executor-local disks are
+    not visible from the driver, so shuffle-volume preflights are
+    advisory-only off local mode.  A literal 0 is a REAL answer (the
+    volume is full), distinct from unknown — conflating them would
+    make the one state where any shuffle is guaranteed to die the one
+    the preflight waves through (round-12 review)."""
+    import os
     import shutil
 
     try:
         sc = spark.sparkContext
         if not (sc.master or "").startswith("local"):
             return None
-        d = (spark.conf.get("spark.local.dir", None)
+        d = (os.environ.get("SPARK_LOCAL_DIRS", None)
+             or spark.conf.get("spark.local.dir", None)
              or spark._jvm.java.lang.System.getProperty("java.io.tmpdir"))
         return int(shutil.disk_usage(str(d).split(",")[0]).free)
     except Exception:  # pragma: no cover - jvm/fs access denied

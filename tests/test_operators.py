@@ -535,12 +535,82 @@ def test_embedding_near_dup_scratch_preflight(spark, tables):
     )
 
     with patch.object(sizing, "scratch_budget", return_value=1024):
-        with pytest.raises(RuntimeError, match="bucketing shuffle"):
+        with pytest.raises(RuntimeError, match="pre-band repartition"):
             write_embedding_signature_table(
                 emb, "preflight_refused_tbl", planes=8)
     # the refusal happened BEFORE the sidecar drop: no half-built
     # table may exist
     assert not spark.catalog.tableExists("preflight_refused_tbl__params")
+
+
+def test_near_dup_preflight_counts_nonnull_and_models_writer_repartition(
+        spark, tables):
+    """Two round-12 ADVICE closes pinned in one place: (a) the in-query
+    preflight's row count EXCLUDES null vectors (the banded join
+    excludes them, so an overwhelmingly-null corpus must not be
+    spuriously refused near the budget line), and (b) the writer's
+    estimate includes the pre-band repartition exchange — n x (reps+1)
+    rows, not n x reps — so a near-limit build can't pass preflight
+    then die when both shuffles' files coexist."""
+    import pytest
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import (
+        embedding_near_dup_pairs, sizing,
+        write_embedding_signature_table)
+    from dask_histogram_spark.operators.similarity import (
+        _BAND_ROW_OVERHEAD_BYTES)
+
+    from pyspark.sql import types as T
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    n = emb.count()
+    dim = len(emb.first()["embedding"])
+    elem = emb.schema["embedding"].dataType.elementType
+    elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
+    row_bytes = elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES
+
+    # (a) pad the corpus with 100x null vectors; budget sized so the
+    # non-null exchange fits (2*n*1*row < budget/2) but the padded
+    # total-count estimate would NOT (2*101n*row > budget/2)
+    nulls = (spark.range(100 * n)
+             .select((F.col("id") + 10_000_000).alias("vec_id"),
+                     F.lit(None).cast(emb.schema["embedding"].dataType)
+                     .alias("embedding")))
+    padded = emb.unionByName(nulls)
+    budget = int(2 * 2 * n * row_bytes * 1.5)  # fits non-null, not 101x
+    with patch.object(sizing, "scratch_budget", return_value=budget):
+        embedding_near_dup_pairs(padded, threshold=0.999, planes=8,
+                                 repetitions=1).count()  # must not raise
+
+    # (b) writer model is n x (reps+1): a budget that admits n x reps
+    # but not n x (reps+1) (with the 2x sort-spill safety) must refuse
+    reps = 2
+    budget = int(2 * n * (reps + 0.5) * row_bytes)
+    with patch.object(sizing, "scratch_budget", return_value=budget):
+        with pytest.raises(RuntimeError, match="pre-band repartition"):
+            write_embedding_signature_table(
+                emb, "preflight_repart_tbl", planes=8, repetitions=reps)
+    assert not spark.catalog.tableExists("preflight_repart_tbl__params")
+
+
+def test_scratch_budget_honors_spark_local_dirs(spark, tmp_path):
+    """SPARK_LOCAL_DIRS overrides spark.local.dir in Spark's own
+    local-dir resolution — the preflight must probe the same volume
+    Spark will actually spill to (round-12 ADVICE)."""
+    import os
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators.sizing import scratch_budget
+
+    with patch.dict(os.environ,
+                    {"SPARK_LOCAL_DIRS": f"{tmp_path},/nonexistent"}):
+        got = scratch_budget(spark)
+    import shutil
+
+    want = shutil.disk_usage(str(tmp_path)).free
+    # same volume (free space may drift a little between the probes)
+    assert got is not None and abs(got - want) < 256 * 2**20
 
 
 def test_ngram_jaccard_max_df_stopword_cut(spark, tables):
