@@ -504,6 +504,57 @@ def minhash_banded(df: DataFrame, text_col: str = "text",
     return _band_explode(sigs, id_col, num_perm, bands, hash_fn)
 
 
+# band-row shuffle model for the text-side LSH paths (the minhash twin
+# of similarity._BAND_ROW_OVERHEAD_BYTES): each band row carries the
+# 8-byte doc id + 4-byte band index + the bucket key (8-byte xxhash64,
+# or the raw ~11-chars-per-component value string under fnv1a32) +
+# ~40 B of tungsten/file framing; a persisted-table build additionally
+# denormalizes the full num_perm x 8 B signature into every band row
+_TEXT_ROW_OVERHEAD_BYTES = 40
+
+
+def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
+                         bands: int, hash_fn: str, *, join_sides: int,
+                         carry_sig: bool, sig_gate: bool, what: str,
+                         remedies: tuple[str, ...]) -> None:
+    """Scratch-volume preflight for the text-side band shuffles
+    (round-12 VERDICT: the embedding twins got this guard first) —
+    model the deterministic exchanges from one probe agg (row count,
+    non-null-text count, total text bytes) and raise the sizing
+    module's actionable error BEFORE launching a shuffle the local
+    scratch volume cannot hold.  Modeled: the pre-fold repartition
+    (every row's text crosses once), ``join_sides`` x the band-row
+    exchange (n_docs x bands rows; x2 for a self-join's two aliased
+    sides, x1 for the fused single-shuffle plan and the bucketed
+    write), and the ``min_sig_matches`` gate's two signature
+    shipments.  NOT modeled (data-dependent): the candidate-pair
+    exchange, whose blowup ``max_bucket`` bounds — the remedies name
+    it.  Callers only invoke this when the scratch budget is known
+    (local mode), preserving the zero-eager-jobs laziness contract on
+    clusters."""
+    from .sizing import check_shuffle_scratch
+
+    probe = df.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.col(text_col)).alias("n_txt"),
+        F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0))
+        .alias("chars")).first()
+    n_all, n_txt = int(probe["n_all"]), int(probe["n_txt"])
+    chars = int(probe["chars"])
+    if not n_txt:
+        return  # empty/all-null: no band shuffle will launch at all
+    r = num_perm // bands
+    bucket_bytes = 8 if hash_fn != "fnv1a32" else 11 * r
+    band_row = ((8 * num_perm if carry_sig else 0) + bucket_bytes
+                + 12 + _TEXT_ROW_OVERHEAD_BYTES)
+    est = chars + n_all * _TEXT_ROW_OVERHEAD_BYTES  # pre-fold spread
+    est += join_sides * n_txt * bands * band_row
+    if sig_gate:
+        est += 2 * n_txt * (8 * num_perm + _TEXT_ROW_OVERHEAD_BYTES)
+    check_shuffle_scratch(df.sparkSession, est, what=what,
+                          remedies=remedies)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
@@ -581,6 +632,36 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     [(1, 2, 4)]
     >>> release_candidates_cache(cands)
     """
+    # Scratch preflight BEFORE any shuffle launches (the text twin of
+    # embedding_near_dup_pairs' guard): at 1-10 B docs the band
+    # exchange is multi-TB and a volume it cannot fit kills the job at
+    # 97% disk mid-join — fail fast with the levers instead.  Only
+    # when the budget is KNOWN (local mode): on a cluster the plan
+    # stays lazy with zero eager jobs, exactly as before the guard.
+    from .sizing import scratch_budget
+
+    if scratch_budget(df.sparkSession) is not None:
+        eff_strategy = strategy if strategy != "auto" else (
+            "fused" if max_bucket is not None else "semijoin")
+        _text_band_preflight(
+            df, text_col, num_perm, bands, hash_fn,
+            join_sides=1 if eff_strategy == "fused" else 2,
+            carry_sig=False, sig_gate=min_sig_matches is not None,
+            what=(f"minhash_lsh_candidates' band shuffle "
+                  f"(num_perm={num_perm}, bands={bands}, "
+                  f"strategy={eff_strategy!r})"),
+            remedies=(
+                "reduce bands= (fewer band rows per document at the "
+                "same num_perm trades recall for exchange bytes — see "
+                "auto_minhash_params)",
+                "set max_bucket= (bounds the data-dependent "
+                "candidate-pair exchange this estimate cannot see, "
+                "and enables the one-shuffle fused plan)",
+                "build the persisted signature table instead "
+                "(write_signature_table + dedup_incremental_lsh) so "
+                "the corpus shuffles once at build time and only each "
+                "probe batch shuffles per run",
+            ))
     # Repartition BEFORE the signature fold: the corpus often arrives in
     # a handful of scan partitions (one parquet file = one partition at
     # small SF) and the fold is the expensive stage — without the spread
@@ -743,6 +824,30 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     footgun-closing pattern as ``build_ivf_index``'s centroid
     sidecar).
     """
+    # Scratch preflight BEFORE the sidecar drop (the text twin of
+    # write_embedding_signature_table's guard): the build exchanges
+    # the pre-fold text spread plus n x bands band rows each carrying
+    # the denormalized num_perm x 8 B signature — at 1-10 B docs a
+    # multi-TB shuffle.  Refusing here leaves the existing (still
+    # valid) table and its sidecar untouched.  Known budget only
+    # (local mode): the cluster build stays lazy until the write.
+    from .sizing import scratch_budget
+
+    if scratch_budget(df.sparkSession) is not None:
+        _text_band_preflight(
+            df, text_col, num_perm, bands, hash_fn,
+            join_sides=1, carry_sig=True, sig_gate=False,
+            what=(f"write_signature_table's build shuffles (pre-fold "
+                  f"repartition + bucketing; num_perm={num_perm}, "
+                  f"bands={bands})"),
+            remedies=(
+                "reduce bands= and/or num_perm= (band rows denormalize "
+                "the full signature, so bytes scale with bands x "
+                "num_perm — see auto_minhash_params for the recall "
+                "trade)",
+                "shard the corpus and build/probe per shard (each "
+                "build shuffles only its shard)",
+            ))
     # Loud-by-construction rebuild protocol: the params sidecar is
     # DROPPED before the data write and recreated after it.  A rebuild
     # killed anywhere in between leaves a table WITHOUT a sidecar, so

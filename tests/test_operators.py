@@ -594,6 +594,55 @@ def test_near_dup_preflight_counts_nonnull_and_models_writer_repartition(
     assert not spark.catalog.tableExists("preflight_repart_tbl__params")
 
 
+def test_text_band_shuffle_scratch_preflight(spark, tables):
+    """The text-side LSH band shuffles fail FAST with the remedy list
+    when the modeled exchange cannot fit the scratch volume — the
+    minhash twins of the embedding guard (round-12 VERDICT #2):
+    minhash_lsh_candidates' band self-join and write_signature_table's
+    bucketed build, which at 1-10 B docs exchange multi-TB of band
+    rows."""
+    import pytest
+    from unittest.mock import patch
+
+    from pyspark.sql import DataFrame
+
+    from dask_histogram_spark.operators import (
+        minhash_lsh_candidates, sizing, write_signature_table)
+
+    docs = tables["documents"].select("doc_id", "text")
+    with patch.object(sizing, "scratch_budget", return_value=1024):
+        with pytest.raises(RuntimeError) as e:
+            minhash_lsh_candidates(docs, num_perm=16, bands=4)
+        msg = str(e.value)
+        assert "band shuffle" in msg
+        assert "max_bucket" in msg and "bands=" in msg
+        assert "write_signature_table" in msg
+        # empty/all-null text short-circuits: no shuffle will launch,
+        # so the guard must not refuse
+        empty = docs.where("doc_id < 0")
+        minhash_lsh_candidates(empty, num_perm=16, bands=4,
+                               persist=False)
+        allnull = docs.select("doc_id",
+                              F.lit(None).cast("string").alias("text"))
+        minhash_lsh_candidates(allnull, num_perm=16, bands=4,
+                               persist=False)
+        # the writer refuses BEFORE the sidecar drop: an existing
+        # table must survive an over-budget rebuild attempt
+        with pytest.raises(RuntimeError, match="pre-fold repartition"):
+            write_signature_table(docs, "txt_preflight_refused_tbl",
+                                  num_perm=16, bands=4)
+    assert not spark.catalog.tableExists("txt_preflight_refused_tbl__params")
+    # unknown budget (cluster contract) + persist=False: zero eager
+    # jobs at plan-construction time — the probe agg must not run
+    with patch.object(sizing, "scratch_budget", return_value=None), \
+            patch.object(DataFrame, "first",
+                         side_effect=AssertionError("eager first")), \
+            patch.object(DataFrame, "count",
+                         side_effect=AssertionError("eager count")):
+        minhash_lsh_candidates(docs, num_perm=16, bands=4,
+                               persist=False)
+
+
 def test_scratch_budget_honors_spark_local_dirs(spark, tmp_path):
     """SPARK_LOCAL_DIRS overrides spark.local.dir in Spark's own
     local-dir resolution — the preflight must probe the same volume
