@@ -26,7 +26,7 @@ __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "quantize_embeddings", "quantized_cosine_expr",
            "write_embedding_signature_table", "embedding_dedup_incremental",
            "load_embedding_signature_table", "auto_hyperplane_params",
-           "auto_ivf_params"]
+           "auto_ivf_params", "calibrate_nprobe"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1411,6 +1411,124 @@ def fit_centroids(df: DataFrame, n_centroids: int = 64,
                 c = members.mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
     return C
+
+
+def calibrate_nprobe(df: DataFrame, queries: DataFrame,
+                     centroids: np.ndarray | None = None, *,
+                     index_path: str | None = None,
+                     k: int = 10, target_recall: float = 0.95,
+                     max_queries: int = 256,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     q_vec_col: str | None = None,
+                     q_id_col: str | None = None,
+                     seed: int = 29, start_nprobe: int = 1,
+                     bf_method: str = "arrow") -> tuple[int, float]:
+    """Measure-and-return the smallest ``nprobe`` (doubling sweep)
+    whose recall@k against brute-force ground truth meets
+    ``target_recall`` — the engine lever for the measured rule that
+    was previously docstring-only guidance (:func:`auto_ivf_params`:
+    on clustered corpora recall at FIXED nprobe falls as C/G grows,
+    so nprobe must be re-derived per corpus; round-12 ladder,
+    BASELINE "IVF recall ladder on a CLUSTERED corpus").
+
+    Protocol (the same one the ladder scripts hand-ran): take a
+    deterministic pseudo-random sample of ≤ ``max_queries`` queries
+    (seeded hash order — no count job), compute exact ground truth
+    with :func:`brute_force_topk` (ONE pass over the corpus; the
+    query side broadcasts, the big side never shuffles), then sweep
+    nprobe = start, 2·start, ... up to C, measuring
+    recall@k = |ivf ∩ truth| / |truth| with a distributed join —
+    nothing data-sized is collected.  Returns ``(nprobe, recall)``
+    for the first rung meeting the target, else ``(C, recall at C)``
+    (probing every centroid IS the exhaustive search, so recall < 1
+    there means ties at rank k flipped — the caller sees the honest
+    number either way).
+
+    Sweep cost is engineered to be re-run cheaply per corpus:
+
+    * ``index_path`` given (the 10M+ production form): each rung is
+      an :func:`ivf_topk_indexed` search — a partition-pruned read of
+      ~nprobe/C of the files, so the whole sweep reads about one
+      corpus's worth of bytes across all rungs combined.
+    * inline ``centroids``: the corpus→centroid assignment (the
+      expensive narrow pass) runs ONCE and is cached
+      (MEMORY_AND_DISK); each rung re-probes only the ≤max_queries
+      query rows driver-side and re-joins against the cached
+      assignment.  The cache is released before returning.
+
+    ``df`` is always the EXACT corpus (ground truth must not be
+    quantized); pass ``index_path`` alongside it to sweep a
+    quantized index against float truth — the returned recall then
+    prices the quantization too.
+    """
+    if (centroids is None) == (index_path is None):
+        raise ValueError(
+            "pass exactly one of centroids= (inline sweep) or "
+            "index_path= (persisted-index sweep)")
+    q_vec_col = q_vec_col or vec_col
+    q_id_col = q_id_col or id_col
+    spark = df.sparkSession
+    if index_path is not None:
+        centroids = load_ivf_centroids(spark, index_path)
+    n_cent = int(centroids.shape[0])
+
+    from pyspark import StorageLevel
+
+    q_sample = (queries
+                .orderBy(F.xxhash64(F.col(q_id_col), F.lit(seed)))
+                .limit(int(max_queries))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    truth = (brute_force_topk(df, q_sample, k, vec_col, id_col,
+                              q_vec_col, q_id_col, method=bf_method)
+             .select("query_id", "neighbor_id")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    assigned = None
+    try:
+        denom = truth.count()
+        if not denom:
+            raise ValueError(
+                "no ground-truth rows: empty query sample or corpus")
+        if index_path is None:
+            # pre-pay the corpus assignment once for every rung
+            if centroids.size > _CENTROID_LITERAL_MAX:
+                assigned = _assign_cid_arrow(df, centroids, id_col,
+                                             vec_col)
+            else:
+                assigned = _assign_cid(df, _centroid_literal(centroids),
+                                       id_col, vec_col)
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        nprobe = max(1, int(start_nprobe))
+        while True:
+            nprobe = min(nprobe, n_cent)
+            if index_path is not None:
+                # ivf_topk_indexed reads the query side under the
+                # INDEX's column names — normalize in case they differ
+                q_norm = q_sample.select(
+                    F.col(q_id_col).alias(id_col),
+                    F.col(q_vec_col).alias(vec_col))
+                got = ivf_topk_indexed(index_path, q_norm, centroids,
+                                       k, nprobe, vec_col, id_col)
+            else:
+                if centroids.size > _CENTROID_LITERAL_MAX:
+                    q_assigned = _probe_queries_arrow(
+                        q_sample, centroids, nprobe, q_id_col, q_vec_col)
+                else:
+                    q_assigned = _probe_queries(
+                        q_sample, _centroid_literal(centroids), nprobe,
+                        q_id_col, q_vec_col)
+                got = _score_and_rank(assigned, q_assigned, k, id_col,
+                                      vec_col)
+            hits = (got.select("query_id", "neighbor_id")
+                    .join(truth, ["query_id", "neighbor_id"]).count())
+            recall = hits / denom
+            if recall >= target_recall or nprobe >= n_cent:
+                return nprobe, recall
+            nprobe *= 2
+    finally:
+        truth.unpersist()
+        q_sample.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",

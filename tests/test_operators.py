@@ -594,6 +594,81 @@ def test_near_dup_preflight_counts_nonnull_and_models_writer_repartition(
     assert not spark.catalog.tableExists("preflight_repart_tbl__params")
 
 
+def test_calibrate_nprobe_differential(spark, tmp_path):
+    """calibrate_nprobe codifies the round-12 ladder protocol as an
+    engine lever (round-12 VERDICT #3): on a clustered
+    mixture-of-Gaussians corpus it must (a) report a recall that
+    EQUALS an independent brute-force-vs-ivf computation at the
+    returned rung, (b) return the identical (nprobe, recall) through
+    the inline and persisted-index paths, and (c) terminate at
+    nprobe=C with the honest number when the target is unreachable."""
+    import numpy as np
+
+    from dask_histogram_spark.operators import (
+        brute_force_topk, build_ivf_index, calibrate_nprobe,
+        fit_centroids, ivf_topk)
+
+    rng = np.random.default_rng(7)
+    G, dim, per = 8, 16, 250
+    centers = rng.normal(size=(G, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    corpus = np.repeat(centers, per, axis=0) + 0.15 * rng.normal(
+        size=(G * per, dim))
+    rows = [(int(i), [float(x) for x in corpus[i]])
+            for i in range(len(corpus))]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qn = rng.normal(size=(40, dim)) * 0.15 + centers[
+        rng.integers(0, G, size=40)]
+    qs = spark.createDataFrame(
+        [(int(100_000 + i), [float(x) for x in qn[i]])
+         for i in range(len(qn))],
+        "vec_id long, embedding array<double>")
+
+    cents = fit_centroids(vecs, n_centroids=32, sample_fraction=1.0,
+                          seed=3)
+    k, target = 10, 0.95
+    np_got, recall = calibrate_nprobe(
+        vecs, qs, cents, k=k, target_recall=target, max_queries=40,
+        seed=5)
+    assert recall >= target
+    assert 1 <= np_got <= 32
+
+    # (a) independent recall computation at the returned rung
+    truth = set(map(tuple, brute_force_topk(vecs, qs, k=k)
+                    .select("query_id", "neighbor_id").collect()))
+    got = set(map(tuple, ivf_topk(vecs, qs, cents, k=k, nprobe=np_got)
+                  .select("query_id", "neighbor_id").collect()))
+    assert len(truth & got) / len(truth) == pytest.approx(recall)
+    # the sweep's doubling rung below must MISS the target (else the
+    # helper should have returned it) — guards against off-by-one
+    if np_got > 1:
+        below = set(map(tuple,
+                        ivf_topk(vecs, qs, cents, k=k,
+                                 nprobe=np_got // 2)
+                        .select("query_id", "neighbor_id").collect()))
+        assert len(truth & below) / len(truth) < target
+
+    # (b) persisted-index path returns the identical calibration
+    path = str(tmp_path / "calib_ivf")
+    build_ivf_index(vecs, cents, path)
+    np_idx, recall_idx = calibrate_nprobe(
+        vecs, qs, index_path=path, k=k, target_recall=target,
+        max_queries=40, seed=5)
+    assert (np_idx, recall_idx) == (np_got, pytest.approx(recall))
+
+    # (c) unreachable target terminates at C with the honest recall
+    np_cap, recall_cap = calibrate_nprobe(
+        vecs, qs, cents, k=k, target_recall=1.01, max_queries=40,
+        seed=5)
+    assert np_cap == 32 and recall_cap <= 1.0
+
+    # exactly one of centroids/index_path
+    with pytest.raises(ValueError, match="exactly one"):
+        calibrate_nprobe(vecs, qs, cents, index_path=path)
+    with pytest.raises(ValueError, match="exactly one"):
+        calibrate_nprobe(vecs, qs)
+
+
 def test_text_band_shuffle_scratch_preflight(spark, tables):
     """The text-side LSH band shuffles fail FAST with the remedy list
     when the modeled exchange cannot fit the scratch volume — the
