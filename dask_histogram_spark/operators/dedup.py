@@ -511,6 +511,11 @@ def minhash_banded(df: DataFrame, text_col: str = "text",
 # ~40 B of tungsten/file framing; a persisted-table build additionally
 # denormalizes the full num_perm x 8 B signature into every band row
 _TEXT_ROW_OVERHEAD_BYTES = 40
+# text-statistics sample for the preflight probe (see
+# _text_band_preflight's docstring): enough rows for a few-percent
+# average-length estimate under the 2x sort-spill safety factor,
+# while reading ~2% of a production corpus instead of all of it
+_PROBE_SAMPLE_FRACTION = 0.02
 
 
 def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
@@ -531,18 +536,49 @@ def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
     exchange, whose blowup ``max_bucket`` bounds — the remedies name
     it.  Callers only invoke this when the scratch budget is known
     (local mode), preserving the zero-eager-jobs laziness contract on
-    clusters."""
+    clusters.
+
+    Probe cost is sized for the guard's OWN target scale: ONE job in
+    ONE pass over the (possibly derived, uncached) input computes the
+    exact row count plus text statistics (null fraction, total
+    bytes) on a ~2% row sample — the text expression sits under a
+    ``when(sampled, ...)`` so unsampled rows never materialize it,
+    and the sample flag is a projected ``rand()`` column Catalyst
+    will not duplicate (nondeterministic), so flag and stats agree
+    row-for-row.  At the 1-10 B-doc scale the band model protects, a
+    full ``sum(length(text))`` pass would itself be an extra corpus
+    read.  A sample landing under 100 rows falls back to the exact
+    (trivially cheap on such a corpus) agg, so small inputs stay
+    deterministic.  Like the embedding twin: callers composing over
+    an expensive uncached upstream should ``persist()`` it first —
+    the probe re-executes the upstream plan once."""
     from .sizing import check_shuffle_scratch
 
-    probe = df.agg(
+    smp = df.withColumn("__smp",
+                        F.rand(13) < F.lit(_PROBE_SAMPLE_FRACTION))
+    sampled_txt = F.when(F.col("__smp"), F.col(text_col))
+    s = smp.agg(
         F.count(F.lit(1)).alias("n_all"),
-        F.count(F.col(text_col)).alias("n_txt"),
-        F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0))
-        .alias("chars")).first()
-    n_all, n_txt = int(probe["n_all"]), int(probe["n_txt"])
-    chars = int(probe["chars"])
+        F.sum(F.col("__smp").cast("long")).alias("s_all"),
+        F.count(sampled_txt).alias("s_txt"),
+        F.coalesce(F.sum(F.length(sampled_txt)), F.lit(0))
+        .alias("s_chars")).first()
+    n_all = int(s["n_all"])
+    if not n_all:
+        return  # empty: no band shuffle will launch at all
+    s_all, s_txt, s_chars = (int(s["s_all"] or 0), int(s["s_txt"]),
+                             int(s["s_chars"]))
+    if s_all < 100:
+        # micro corpus (or pathological sample): exact probe
+        e = df.agg(
+            F.count(F.col(text_col)).alias("s_txt"),
+            F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0))
+            .alias("s_chars")).first()
+        s_all, s_txt, s_chars = n_all, int(e["s_txt"]), int(e["s_chars"])
+    n_txt = n_all * s_txt // max(s_all, 1)
+    chars = n_all * s_chars // max(s_all, 1)
     if not n_txt:
-        return  # empty/all-null: no band shuffle will launch at all
+        return  # all-null text: no band shuffle will launch at all
     r = num_perm // bands
     bucket_bytes = 8 if hash_fn != "fnv1a32" else 11 * r
     band_row = ((8 * num_perm if carry_sig else 0) + bucket_bytes
