@@ -61,15 +61,15 @@ class PeakSampler(threading.Thread):
         super().__init__(daemon=True)
         self.base = base_kib
         self.peak = 0
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             self.peak = max(self.peak, scratch_kib() - self.base)
-            self._stop.wait(0.5)
+            self._halt.wait(0.5)
 
     def stop(self) -> float:
-        self._stop.set()
+        self._halt.set()
         self.join()
         self.peak = max(self.peak, scratch_kib() - self.base)
         return self.peak / 2 ** 20  # GiB
@@ -122,11 +122,11 @@ def main() -> None:
                                      repetitions=reps)
     n_pairs = pairs.count()
     wall = time.perf_counter() - t0
-    peak = sampler.stop()
     n_dup = int(n * DUP_RATE)
     print(f"wall {wall:.1f}s  pairs={n_pairs:,} (planted {n_dup:,}; "
           f"recall {min(n_pairs, n_dup) / n_dup:.4f} lower-bound)",
           flush=True)
+    peak = sampler.stop()
     print(f"PEAK scratch {peak:.2f} GiB / exchange "
           f"{exchange / 2**30:.2f} GiB = ratio "
           f"{peak / (exchange / 2**30):.2f}  "
