@@ -1,11 +1,15 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes clearly marked below) — but everything
-Spark-side is real and tested: the schema contract, the
-``mapInPandas`` batch shape, partition sizing, and the metadata
+The container has no image/audio codec LIBRARIES, so the default
+decode kernels are STUBBED (deterministic fakes clearly marked below)
+— but everything Spark-side is real and tested: the schema contract,
+the ``mapInPandas`` batch shape, partition sizing, and the metadata
 extraction path.  Swapping a real decoder in changes only the body of
-``_fake_decode_rgb`` / ``_fake_waveform``.
+``_fake_decode_rgb`` / ``_fake_waveform``.  One REAL codec is wired
+through the seam: :func:`wav_decoder` (RIFF/WAVE PCM via the stdlib
+``wave`` module — no external library needed), contract-tested
+against the stdlib encoder's round-trip.  Images stay stubbed until
+the environment ships a codec.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ __all__ = [
     "image_meta_schema",
     "decode_image_features",
     "sample_audio_frames",
+    "wav_decoder",
 ]
 
 image_meta_schema = T.StructType(
@@ -168,6 +173,49 @@ def _fake_waveform(payload: bytes, n: int = 16000) -> np.ndarray:
     seed = _payload_seed(payload)
     v = (seed + 37 * np.arange(n, dtype=np.int64)) % 2001 - 1000
     return (v / 1024.0).astype(np.float32)
+
+
+def wav_decoder(payload: bytes) -> np.ndarray:
+    """REAL audio decoder for RIFF/WAVE PCM payloads — the first real
+    codec wired through the multimodal decoder seam (the standing
+    "container has no codecs" item covered image/audio LIBRARIES; WAV
+    needs none: the stdlib ``wave`` module parses the container and
+    numpy converts the PCM).  Use as
+    ``sample_audio_frames(df, decoder=wav_decoder)`` over a binary
+    column holding .wav file bytes.
+
+    Returns a mono float32 waveform in [-1, 1): int16/int32 PCM
+    normalized by 2^(bits-1), uint8 PCM centered at 128; multi-channel
+    clips are averaged to mono (the usual feature-extraction
+    convention).  Picklable (module-level), so it ships to executors
+    inside the ``mapInPandas`` closure like any seam decoder.
+    Contract-tested against waveforms ROUND-TRIPPED through the
+    stdlib ``wave`` writer — the authoritative encoder, so the test
+    is not self-referential (tests/test_multimodal.py).  Images
+    remain stubbed: the container has no PNG/JPEG codec and stdlib
+    has no authoritative image encoder to test a hand-rolled parser
+    against."""
+    import io
+    import wave as _wave
+
+    if payload is None:
+        raise ValueError("null payload")
+    with _wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        a = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        a = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif sw == 1:
+        a = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+    if nch > 1:
+        a = a.reshape(-1, nch).mean(axis=1, dtype=np.float64).astype(
+            np.float32)
+    return a
 
 
 def sample_audio_frames(df: DataFrame, id_col: str = "doc_id",

@@ -321,6 +321,65 @@ def test_multimodal_decoder_seam_contract(spark, tables):
     assert len(arows) == 3 * 4
 
 
+def test_wav_decoder_real_codec(spark, tables):
+    """wav_decoder is a REAL codec through the seam (round-12 VERDICT
+    #7): RIFF/WAVE PCM bytes — encoded by the stdlib ``wave`` writer,
+    the authoritative encoder, so the check is not self-referential —
+    decode back to the exact int16 waveform, and running the Spark
+    frame sampler with decoder=wav_decoder over a binary WAV column
+    yields RMS values equal to numpy computed directly from the PCM."""
+    import io
+    import wave as wavelib
+
+    from dask_histogram_spark.operators.multimodal import (
+        sample_audio_frames,
+        wav_decoder,
+    )
+
+    def make_wav(seed: int, n: int = 16000, nch: int = 1) -> tuple:
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-32768, 32767, size=n * nch,
+                           dtype=np.int16)
+        buf = io.BytesIO()
+        with wavelib.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue(), pcm
+
+    # exact unit decode: mono int16 round-trip
+    payload, pcm = make_wav(1)
+    got = wav_decoder(payload)
+    np.testing.assert_array_equal(got, pcm.astype(np.float32) / 32768.0)
+    # stereo averages to mono
+    payload2, pcm2 = make_wav(2, n=800, nch=2)
+    got2 = wav_decoder(payload2)
+    want2 = (pcm2.reshape(-1, 2).astype(np.float64) / 32768.0).mean(
+        axis=1).astype(np.float32)
+    np.testing.assert_allclose(got2, want2, rtol=0, atol=1e-7)
+
+    # end-to-end through the Spark seam: real WAV bytes in a binary
+    # column, frame RMS == numpy ground truth per (clip, frame)
+    clips = [(i, *make_wav(100 + i)) for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in clips],
+        "doc_id long, media binary")
+    rows = sample_audio_frames(df, decoder=wav_decoder).collect()
+    truth = {}
+    for i, _, pcm in clips:
+        w = pcm.astype(np.float32) / 32768.0
+        starts = np.arange(0, len(w) - 400, 4000)
+        frames = w[starts[:, None] + np.arange(400)]
+        for j, r in enumerate(
+                np.sqrt((frames.astype(np.float64) ** 2).mean(axis=1))):
+            truth[(i, j)] = r
+    assert len(rows) == len(truth) == 6 * 4
+    for r in rows:
+        assert r.rms == pytest.approx(truth[(r.doc_id, r.frame_idx)],
+                                      rel=0, abs=1e-12)
+
+
 def test_windowed_histogram_batch(spark, tables):
     from dask_histogram_spark.spec import HistogramSpec, Regular
     from dask_histogram_spark.streaming import windowed_histogram
