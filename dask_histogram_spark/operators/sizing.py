@@ -111,8 +111,12 @@ def parts_for_memory(spark, est_groups: int, *,
 
 # a shuffle's on-disk footprint runs ~2x its exchange bytes: sorted
 # map-output files plus fetch-side sort/merge spill coexist while the
-# reduce stage drains (round-11 10M embedding ladder: a ~48 GB
-# exchange filled a ~79 GB scratch volume to the 97% kill line)
+# reduce stage drains.  Two measured points (BASELINE): the round-11
+# 10M embedding ladder (~48 GB exchange filled a ~79 GB volume to the
+# 97% kill line, ratio >= ~1.6 at death) and the round-13 peak-sampled
+# corroboration at a different operating point (2M x dim128 x reps4:
+# peak 14.63 GiB / 8.23 GiB modeled exchange = 1.78,
+# scripts/blowup_scratch_safety.py)
 SHUFFLE_SCRATCH_SAFETY = 2.0
 
 
