@@ -561,7 +561,7 @@ def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
         F.count(F.lit(1)).alias("n_all"),
         F.sum(F.col("__smp").cast("long")).alias("s_all"),
         F.count(sampled_txt).alias("s_txt"),
-        F.coalesce(F.sum(F.length(sampled_txt)), F.lit(0))
+        F.coalesce(F.sum(F.octet_length(sampled_txt)), F.lit(0))
         .alias("s_chars")).first()
     n_all = int(s["n_all"])
     if not n_all:
@@ -572,7 +572,7 @@ def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
         # micro corpus (or pathological sample): exact probe
         e = df.agg(
             F.count(F.col(text_col)).alias("s_txt"),
-            F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0))
+            F.coalesce(F.sum(F.octet_length(F.col(text_col))), F.lit(0))
             .alias("s_chars")).first()
         s_all, s_txt, s_chars = n_all, int(e["s_txt"]), int(e["s_chars"])
     n_txt = n_all * s_txt // max(s_all, 1)
@@ -668,6 +668,17 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     [(1, 2, 4)]
     >>> release_candidates_cache(cands)
     """
+    # Resolve and validate the strategy BEFORE any eager work: an
+    # invalid call must raise its ValueError without first running
+    # probe jobs (or a misleading scratch refusal) — round-13 review.
+    if strategy == "auto":
+        strategy = "fused" if max_bucket is not None else "semijoin"
+    if strategy not in ("fused", "semijoin"):
+        raise ValueError(f"unknown candidate strategy: {strategy!r}")
+    if strategy == "fused" and max_bucket is None:
+        raise ValueError(
+            "strategy='fused' requires max_bucket (an uncapped bucket "
+            "would collect unboundedly — use strategy='semijoin')")
     # Scratch preflight BEFORE any shuffle launches (the text twin of
     # embedding_near_dup_pairs' guard): at 1-10 B docs the band
     # exchange is multi-TB and a volume it cannot fit kills the job at
@@ -677,15 +688,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     from .sizing import scratch_budget
 
     if scratch_budget(df.sparkSession) is not None:
-        eff_strategy = strategy if strategy != "auto" else (
-            "fused" if max_bucket is not None else "semijoin")
         _text_band_preflight(
             df, text_col, num_perm, bands, hash_fn,
-            join_sides=1 if eff_strategy == "fused" else 2,
+            join_sides=1 if strategy == "fused" else 2,
             carry_sig=False, sig_gate=min_sig_matches is not None,
             what=(f"minhash_lsh_candidates' band shuffle "
                   f"(num_perm={num_perm}, bands={bands}, "
-                  f"strategy={eff_strategy!r})"),
+                  f"strategy={strategy!r})"),
             remedies=(
                 "reduce bands= (fewer band rows per document at the "
                 "same num_perm trades recall for exchange bytes — see "
@@ -719,13 +728,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         # the query-local analog of writing the signature table once.
         sigs.count()
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn)
-    if strategy == "auto":
-        strategy = "fused" if max_bucket is not None else "semijoin"
+    # strategy resolved/validated up top, before the eager preflight
     if strategy == "fused":
-        if max_bucket is None:
-            raise ValueError(
-                "strategy='fused' requires max_bucket (an uncapped bucket "
-                "would collect unboundedly — use strategy='semijoin')")
         # ONE shuffle: bucket membership arrays, capped by size, then a
         # narrow C(n,2) combination explode (<= C(max_bucket, 2) pairs
         # per bucket row).  Buckets of one doc emit nothing and are
@@ -792,8 +796,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             )
             .agg(F.count(F.lit(1)).alias("n_bands"))
         )
-    else:
-        raise ValueError(f"unknown candidate strategy: {strategy!r}")
+    else:  # pragma: no cover - validated up top
+        raise AssertionError(f"unreachable strategy: {strategy!r}")
     if min_sig_matches is not None:
         sa = sigs.select(F.col(id_col).alias("id_a"),
                          F.col("sig").alias("__sa"))

@@ -845,7 +845,11 @@ def write_embedding_signature_table(df: DataFrame, table: str,
         probe = df.agg(
             F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
             .alias("n"),
-            F.first(F.size(F.col(vec_col)), ignorenulls=True)
+            # size() under a null-guard: without ANSI mode,
+            # size(NULL) is -1 (not NULL), which would let a leading
+            # null vector win the first() and poison the dim
+            F.first(F.when(F.col(vec_col).isNotNull(),
+                           F.size(F.col(vec_col))), ignorenulls=True)
             .alias("d")).first()
         n_rows, dim = int(probe["n"]), probe["d"]
     planes, repetitions = _resolve_hyperplane_params(
@@ -1278,7 +1282,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         probe = df.agg(
             F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
             .alias("n"),
-            F.first(F.size(F.col(vec_col)), ignorenulls=True)
+            # size() under a null-guard: without ANSI mode,
+            # size(NULL) is -1 (not NULL), which would let a leading
+            # null vector win the first() and poison the dim
+            F.first(F.when(F.col(vec_col).isNotNull(),
+                           F.size(F.col(vec_col))), ignorenulls=True)
             .alias("d")).first()
         n_rows, dim = int(probe["n"]), probe["d"]
     planes, repetitions = _resolve_hyperplane_params(
@@ -1287,7 +1295,8 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         _near_dup_join_preflight(df, vec_col, id_col, n_rows, dim,
                                  repetitions, planes, threshold)
     banded, _ = _hyperplane_banded(df, vec_col, id_col, planes, seed,
-                                   repetitions, method)
+                                   repetitions, method,
+                                   dim=None if dim is None else int(dim))
     if banded is None:  # empty (or all-null) table: typed empty result
         return _empty_pairs(df, id_col)
 

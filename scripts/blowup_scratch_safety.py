@@ -42,15 +42,27 @@ from dask_histogram_spark.session import get_spark  # noqa: E402
 DUP_RATE = 0.10
 
 
+def _scratch_roots() -> list[str]:
+    """Spark's local-dir resolution order (the same one
+    sizing.scratch_budget probes): SPARK_LOCAL_DIRS env overrides
+    spark.local.dir, else java.io.tmpdir — measuring /tmp while Spark
+    spills elsewhere would record a bogus ~0 peak (round-13 review)."""
+    dirs = os.environ.get("SPARK_LOCAL_DIRS") or "/tmp"
+    return [d for d in dirs.split(",") if d]
+
+
 def scratch_kib() -> int:
     total = 0
-    for d in glob.glob("/tmp/spark-*") + glob.glob("/tmp/blockmgr-*"):
-        try:
-            out = subprocess.run(["du", "-sk", d], capture_output=True,
-                                 text=True, timeout=120)
-            total += int(out.stdout.split()[0])
-        except Exception:
-            pass
+    for root in _scratch_roots():
+        for d in (glob.glob(os.path.join(root, "spark-*"))
+                  + glob.glob(os.path.join(root, "blockmgr-*"))):
+            try:
+                out = subprocess.run(["du", "-sk", d],
+                                     capture_output=True,
+                                     text=True, timeout=120)
+                total += int(out.stdout.split()[0])
+            except Exception:
+                pass
     return total
 
 
