@@ -1031,6 +1031,24 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
     if isinstance(seen_banded, str):
         seen_banded, (num_perm, bands, shingle_k, seed, hash_fn) = (
             load_signature_table(new_df.sparkSession, seen_banded))
+    # Batch-side scratch preflight (the seen side is bucketed and never
+    # exchanges, but a "nightly batch" can itself be huge): the batch's
+    # band rows carry the denormalized signature for the agreement
+    # gate — the same shape as the writer's build shuffle.  Known
+    # budget only; lazy on clusters.
+    from .sizing import scratch_budget
+
+    if scratch_budget(new_df.sparkSession) is not None:
+        _text_band_preflight(
+            new_df, text_col, num_perm, bands, hash_fn,
+            join_sides=1, carry_sig=True, sig_gate=False,
+            what=(f"dedup_incremental_lsh's batch band shuffle "
+                  f"(num_perm={num_perm}, bands={bands})"),
+            remedies=(
+                "shard the probe batch and run the incremental gate "
+                "per shard (each run shuffles only its shard; the "
+                "seen table is read co-located either way)",
+            ))
     nparts = max(new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
     sigs = minhash_signatures(new_df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn, method)

@@ -1002,6 +1002,39 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
         seen_banded, (planes, seed, repetitions, dim) = (
             load_embedding_signature_table(
                 new_df.sparkSession, seen_banded))
+    # Batch-side scratch preflight (the seen table is bucketed and
+    # never exchanges, but a nightly batch can itself be huge): the
+    # batch exchanges its pre-band repartition plus reps x (1+probes)
+    # vector-carrying band rows per vector.  Known budget only; lazy
+    # on clusters.
+    from .sizing import check_shuffle_scratch, scratch_budget
+
+    if scratch_budget(new_df.sparkSession) is not None:
+        probe_row = new_df.agg(
+            F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
+            .alias("n"),
+            F.first(F.when(F.col(vec_col).isNotNull(),
+                           F.size(F.col(vec_col))), ignorenulls=True)
+            .alias("d")).first()
+        n_batch, bdim = int(probe_row["n"]), probe_row["d"]
+        if n_batch and bdim is not None:
+            elem = new_df.schema[vec_col].dataType.elementType
+            elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
+            rows_per_vec = int(repetitions) * (1 + int(probes)) + 1
+            check_shuffle_scratch(
+                new_df.sparkSession,
+                n_batch * rows_per_vec
+                * (elem_bytes * int(bdim) + _BAND_ROW_OVERHEAD_BYTES),
+                what=(f"embedding_dedup_incremental's batch band "
+                      f"shuffle (n_batch={n_batch:,}, dim={int(bdim)}, "
+                      f"repetitions={repetitions}, probes={probes})"),
+                remedies=(
+                    "shard the probe batch and run the incremental "
+                    "gate per shard (the seen table is read "
+                    "co-located either way)",
+                    "reduce probes= (each probe multiplies the "
+                    "batch-side band rows)",
+                ))
     # spread the batch before the Python signature kernel (the text
     # twin's repartition rationale: a nightly batch often lands as a
     # file or two, capping the Arrow kernel at 1-2 tasks)

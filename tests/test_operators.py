@@ -777,6 +777,74 @@ def test_text_band_shuffle_scratch_preflight(spark, tables):
                                persist=False)
 
 
+def test_text_preflight_counts_utf8_octets(spark):
+    """The text-shuffle model must size text in UTF-8 OCTETS, not
+    characters (round-13 review): a CJK corpus is ~3 bytes/char, and a
+    char-based estimate would silently pass a shuffle that dies at
+    disk-full.  Budget sits between the (wrong) char-model and the
+    (correct) byte-model estimates — the guard must refuse."""
+    import pytest
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import (
+        minhash_lsh_candidates, sizing)
+    from dask_histogram_spark.operators.dedup import (
+        _TEXT_ROW_OVERHEAD_BYTES)
+
+    n, chars = 500, 500
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("あ" * chars).alias("text"))  # 3 bytes/char in UTF-8
+    band_row = 8 + 12 + _TEXT_ROW_OVERHEAD_BYTES  # xxhash64 bucket
+    fixed = n * _TEXT_ROW_OVERHEAD_BYTES + 2 * n * 4 * band_row
+    est_chars = n * chars + fixed        # the pre-fix (wrong) model
+    est_bytes = n * chars * 3 + fixed    # correct octet model
+    budget = int(2 * (est_chars + est_bytes) / 2)  # between the two x2
+    with patch.object(sizing, "scratch_budget", return_value=budget):
+        with pytest.raises(RuntimeError, match="band shuffle"):
+            minhash_lsh_candidates(docs, num_perm=16, bands=4,
+                                   persist=False)
+
+
+def test_incremental_batch_side_scratch_preflight(spark, tables,
+                                                  tmp_path):
+    """The incremental readers' BATCH sides are the last band shuffles
+    to get the guard (the seen tables are bucketed and never exchange,
+    but a nightly batch can itself be huge): both readers must refuse
+    an over-budget batch with the shard-the-batch remedy, and still
+    run clean under a real budget."""
+    import pytest
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import (
+        dedup_incremental_lsh,
+        embedding_dedup_incremental,
+        sizing,
+        write_embedding_signature_table,
+        write_signature_table,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    # build the seen tables OUTSIDE the tiny-budget patch
+    write_signature_table(docs, "inc_guard_txt", num_perm=16, bands=4,
+                          path=str(tmp_path / "t1"))
+    write_embedding_signature_table(emb, "inc_guard_emb", planes=8,
+                                    path=str(tmp_path / "t2"))
+    with patch.object(sizing, "scratch_budget", return_value=1024):
+        with pytest.raises(RuntimeError, match="batch band shuffle"):
+            dedup_incremental_lsh(docs, "inc_guard_txt")
+        with pytest.raises(RuntimeError, match="batch band shuffle"):
+            embedding_dedup_incremental(emb, "inc_guard_emb")
+    # real budget: both run end-to-end (every doc/vec is its own seen
+    # twin -> n_matched_seen >= 1 everywhere)
+    assert (dedup_incremental_lsh(docs, "inc_guard_txt")
+            .where("n_matched_seen >= 1").count() == docs.count())
+    assert (embedding_dedup_incremental(emb, "inc_guard_emb",
+                                        threshold=0.999)
+            .where("n_matched_seen >= 1").count() == emb.count())
+
+
 def test_scratch_budget_honors_spark_local_dirs(spark, tmp_path):
     """SPARK_LOCAL_DIRS overrides spark.local.dir in Spark's own
     local-dir resolution — the preflight must probe the same volume
