@@ -94,10 +94,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_pressure_avg10() -> float | None:
+    """Linux PSI cpu 'some avg10' — host-contention context baked into
+    the bench artifact, so a noisy total carries its own evidence
+    (bench totals on this host swing 35-57 s on identical code; the
+    round-12/13 BASELINE drift notes).  None off-Linux/PSI-less."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            line = f.readline()
+        return float(line.split("avg10=")[1].split()[0])
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    pressure_start = _cpu_pressure_avg10()
     spark = get_spark("dhs-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -157,6 +171,10 @@ def main() -> None:
                 "reps": reps,
                 "sf": sf,
                 "cpus": cpus,
+                "host": {"cpu_pressure_avg10_start": pressure_start,
+                         "cpu_pressure_avg10_end": _cpu_pressure_avg10(),
+                         "load_avg_end": None if not hasattr(os, "getloadavg")
+                         else round(os.getloadavg()[0], 2)},
             }
         )
     )
