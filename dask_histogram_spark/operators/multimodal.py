@@ -208,6 +208,15 @@ def wav_decoder(payload: bytes) -> np.ndarray:
         a = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
     elif sw == 4:
         a = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif sw == 3:
+        # 24-bit PCM (no 3-byte numpy dtype): widen each little-endian
+        # triplet to int32 with a zero low byte, then arithmetic-shift
+        # the sign down — value lands in [-2^23, 2^23)
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        widened = (b[:, 0].astype(np.int32) << 8
+                   | b[:, 1].astype(np.int32) << 16
+                   | b[:, 2].astype(np.int32) << 24) >> 8
+        a = widened.astype(np.float32) / 8388608.0
     elif sw == 1:
         a = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
     else:

@@ -358,6 +358,21 @@ def test_wav_decoder_real_codec(spark, tables):
     want2 = (pcm2.reshape(-1, 2).astype(np.float64) / 32768.0).mean(
         axis=1).astype(np.float32)
     np.testing.assert_allclose(got2, want2, rtol=0, atol=1e-7)
+    # 24-bit PCM (no 3-byte numpy dtype — the sign-extension path),
+    # again via the authoritative stdlib encoder
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-(2**23), 2**23 - 1, size=1000, dtype=np.int32)
+    raw24 = b"".join(int(v).to_bytes(3, "little", signed=True)
+                     for v in vals)
+    buf = io.BytesIO()
+    with wavelib.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(raw24)
+    got3 = wav_decoder(buf.getvalue())
+    np.testing.assert_array_equal(
+        got3, (vals.astype(np.float64) / 8388608.0).astype(np.float32))
 
     # end-to-end through the Spark seam: real WAV bytes in a binary
     # column, frame RMS == numpy ground truth per (clip, frame)
