@@ -516,6 +516,13 @@ _TEXT_ROW_OVERHEAD_BYTES = 40
 # average-length estimate under the 2x sort-spill safety factor,
 # while reading ~2% of a production corpus instead of all of it
 _PROBE_SAMPLE_FRACTION = 0.02
+# below this many SAMPLED rows the probe re-runs as an exact agg: a
+# sample this small both carries high relative error and implies a
+# corpus (~ rows / fraction ~ 250k docs) small enough that the exact
+# sum(octet_length) is no more expensive than the sampled one — and a
+# heavy-tailed length distribution can hide rare giant documents from
+# a few-hundred-row sample entirely (round-13 ADVICE)
+_PROBE_EXACT_FALLBACK_ROWS = 5000
 
 
 def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
@@ -547,9 +554,12 @@ def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
     will not duplicate (nondeterministic), so flag and stats agree
     row-for-row.  At the 1-10 B-doc scale the band model protects, a
     full ``sum(length(text))`` pass would itself be an extra corpus
-    read.  A sample landing under 100 rows falls back to the exact
-    (trivially cheap on such a corpus) agg, so small inputs stay
-    deterministic.  Like the embedding twin: callers composing over
+    read.  A sample landing under ``_PROBE_EXACT_FALLBACK_ROWS``
+    (5000 — corpora under ~250k docs at the 2% fraction) falls back
+    to the exact (cheap at that size) agg, so small and mid-size
+    inputs stay deterministic and a heavy-tailed length distribution
+    cannot hide rare giant documents from a thin sample (round-13
+    ADVICE).  Like the embedding twin: callers composing over
     an expensive uncached upstream should ``persist()`` it first —
     the probe re-executes the upstream plan once."""
     from .sizing import check_shuffle_scratch
@@ -568,8 +578,12 @@ def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
         return  # empty: no band shuffle will launch at all
     s_all, s_txt, s_chars = (int(s["s_all"] or 0), int(s["s_txt"]),
                              int(s["s_chars"]))
-    if s_all < 100:
-        # micro corpus (or pathological sample): exact probe
+    if s_all < _PROBE_EXACT_FALLBACK_ROWS:
+        # small/mid corpus (or pathological sample): exact probe.  A
+        # few-hundred-row sample can miss rare giant documents in a
+        # heavy-tailed length distribution and understate total bytes
+        # (round-13 ADVICE), and below ~250k docs (5000 sampled rows
+        # at 2%) the exact agg is as cheap as the sampled one.
         e = df.agg(
             F.count(F.col(text_col)).alias("s_txt"),
             F.coalesce(F.sum(F.octet_length(F.col(text_col))), F.lit(0))

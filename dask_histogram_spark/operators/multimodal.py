@@ -191,10 +191,8 @@ def wav_decoder(payload: bytes) -> np.ndarray:
     inside the ``mapInPandas`` closure like any seam decoder.
     Contract-tested against waveforms ROUND-TRIPPED through the
     stdlib ``wave`` writer — the authoritative encoder, so the test
-    is not self-referential (tests/test_multimodal.py).  Images
-    remain stubbed: the container has no PNG/JPEG codec and stdlib
-    has no authoritative image encoder to test a hand-rolled parser
-    against."""
+    is not self-referential
+    (tests/test_operators.py::test_wav_decoder_real_codec)."""
     import io
     import wave as _wave
 

@@ -840,18 +840,25 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     # counting them would spuriously refuse a mostly-null corpus near
     # the budget line — round-12 ADVICE).
     budget_known = scratch_budget(spark) is not None
-    n_rows = dim = None
+    n_rows = n_total = dim = None
     if planes == "auto" or budget_known:
         probe = df.agg(
             F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
             .alias("n"),
+            # total rows too (same job): the pre-band repartition
+            # exchanges EVERY row — null-vector rows carry no vector
+            # bytes but still ~40 B of framing each, so a mostly-null
+            # corpus would otherwise underestimate that term
+            # (round-13 ADVICE; the text twin models this via n_all)
+            F.count(F.lit(1)).alias("n_all"),
             # size() under a null-guard: without ANSI mode,
             # size(NULL) is -1 (not NULL), which would let a leading
             # null vector win the first() and poison the dim
             F.first(F.when(F.col(vec_col).isNotNull(),
                            F.size(F.col(vec_col))), ignorenulls=True)
             .alias("d")).first()
-        n_rows, dim = int(probe["n"]), probe["d"]
+        n_rows, n_total, dim = (int(probe["n"]), int(probe["n_all"]),
+                                probe["d"])
     planes, repetitions = _resolve_hyperplane_params(
         df, planes, repetitions, design_cos=design_cos, n_rows=n_rows)
     if dim is None:
@@ -875,7 +882,10 @@ def write_embedding_signature_table(df: DataFrame, table: str,
         check_shuffle_scratch(
             spark,
             int(n_rows) * (int(repetitions) + 1)
-            * (elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES),
+            * (elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES)
+            # null-vector rows cross the pre-band repartition too
+            # (framing bytes only; the banded exchange excludes them)
+            + (int(n_total) - int(n_rows)) * _BAND_ROW_OVERHEAD_BYTES,
             what=(f"write_embedding_signature_table's build shuffles "
                   f"(pre-band repartition + bucketing; n={n_rows:,}, "
                   f"dim={dim}, planes={planes}, "
@@ -1013,10 +1023,15 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
         probe_row = new_df.agg(
             F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
             .alias("n"),
+            # total rows in the same job: null-vector rows still cross
+            # the pre-band repartition (~40 B framing each) — round-13
+            # ADVICE, matching the text twin's n_all model
+            F.count(F.lit(1)).alias("n_all"),
             F.first(F.when(F.col(vec_col).isNotNull(),
                            F.size(F.col(vec_col))), ignorenulls=True)
             .alias("d")).first()
-        n_batch, bdim = int(probe_row["n"]), probe_row["d"]
+        n_batch, n_all, bdim = (int(probe_row["n"]),
+                                int(probe_row["n_all"]), probe_row["d"])
         if n_batch and bdim is not None:
             elem = new_df.schema[vec_col].dataType.elementType
             elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
@@ -1024,7 +1039,8 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
             check_shuffle_scratch(
                 new_df.sparkSession,
                 n_batch * rows_per_vec
-                * (elem_bytes * int(bdim) + _BAND_ROW_OVERHEAD_BYTES),
+                * (elem_bytes * int(bdim) + _BAND_ROW_OVERHEAD_BYTES)
+                + (n_all - n_batch) * _BAND_ROW_OVERHEAD_BYTES,
                 what=(f"embedding_dedup_incremental's batch band "
                       f"shuffle (n_batch={n_batch:,}, dim={int(bdim)}, "
                       f"repetitions={repetitions}, probes={probes})"),

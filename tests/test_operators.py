@@ -860,6 +860,94 @@ def test_incremental_batch_side_scratch_preflight(spark, tables,
             .where("n_matched_seen >= 1").count() == emb.count())
 
 
+def test_embedding_preflights_count_null_row_repartition(spark, tables,
+                                                         tmp_path):
+    """Round-13 ADVICE: the writer/incremental embedding preflights'
+    pre-band repartition term must charge NULL-vector rows their ~40 B
+    of row framing — the repartition exchanges every row, not just the
+    banded (non-null) ones — so a mostly-null corpus near the budget
+    line is refused rather than dying mid-shuffle.  Budget sits
+    between the null-blind model and the corrected one."""
+    import pytest
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import (
+        embedding_dedup_incremental, sizing,
+        write_embedding_signature_table)
+    from dask_histogram_spark.operators.similarity import (
+        _BAND_ROW_OVERHEAD_BYTES)
+    from pyspark.sql import types as T
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    n = emb.count()
+    dim = len(emb.first()["embedding"])
+    elem = emb.schema["embedding"].dataType.elementType
+    elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
+    row_bytes = elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES
+    nn = 200_000  # null pad whose framing bytes dominate the model
+    nulls = (spark.range(nn)
+             .select((F.col("id") + 10_000_000).alias("vec_id"),
+                     F.lit(None).cast(emb.schema["embedding"].dataType)
+                     .alias("embedding")))
+    padded = emb.unionByName(nulls)
+
+    # writer, reps=1: null-blind model = n*(1+1)*row_bytes; corrected
+    # adds nn*overhead.  Budget (with the 2x safety) between the two.
+    reps = 1
+    nonnull_est = n * (reps + 1) * row_bytes
+    null_term = nn * _BAND_ROW_OVERHEAD_BYTES
+    budget = int(2 * (nonnull_est + null_term / 2))
+    with patch.object(sizing, "scratch_budget", return_value=budget):
+        with pytest.raises(RuntimeError, match="pre-band repartition"):
+            write_embedding_signature_table(
+                padded, "null_repart_tbl", planes=8, repetitions=reps)
+    assert not spark.catalog.tableExists("null_repart_tbl__params")
+
+    # incremental reader, batch side: same correction.  Seen table is
+    # built OUTSIDE the tiny-budget patch from the non-null corpus.
+    write_embedding_signature_table(emb, "null_repart_seen", planes=8,
+                                    repetitions=1,
+                                    path=str(tmp_path / "seen"))
+    rows_per_vec = 1 * (1 + 0) + 1  # reps=1, probes=0, + repartition
+    nonnull_est = n * rows_per_vec * row_bytes
+    budget = int(2 * (nonnull_est + null_term / 2))
+    with patch.object(sizing, "scratch_budget", return_value=budget):
+        with pytest.raises(RuntimeError, match="batch band shuffle"):
+            embedding_dedup_incremental(padded, "null_repart_seen")
+
+
+def test_text_preflight_exact_fallback_catches_heavy_tail(spark):
+    """Round-13 ADVICE: a 2% sample of a mid-size corpus (a few hundred
+    sampled rows) can miss a rare giant document entirely and pass an
+    over-budget band shuffle.  The exact-agg fallback now covers all
+    corpora whose sample lands under _PROBE_EXACT_FALLBACK_ROWS (5000
+    sampled rows ~ 250k docs), so the one 10 MB document in 20k
+    ten-byte docs is ALWAYS counted and the guard must refuse a budget
+    only the giant-blind estimate would fit."""
+    import pytest
+    from unittest.mock import patch
+
+    from dask_histogram_spark.operators import (
+        minhash_lsh_candidates, sizing)
+    from dask_histogram_spark.operators.dedup import (
+        _TEXT_ROW_OVERHEAD_BYTES)
+
+    n, giant = 20_000, 10_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.expr(f"repeat('x', {giant})"))
+        .otherwise(F.lit("abcdefghij")).alias("text"))
+    band_row = 8 + 12 + _TEXT_ROW_OVERHEAD_BYTES  # xxhash64 bucket
+    fixed = n * _TEXT_ROW_OVERHEAD_BYTES + 2 * n * 4 * band_row
+    est_blind = n * 10 + fixed          # sample that missed the giant
+    est_exact = giant + n * 10 + fixed  # what the exact agg sees
+    budget = int(2 * (est_blind + est_exact) / 2)  # between the two x2
+    with patch.object(sizing, "scratch_budget", return_value=budget):
+        with pytest.raises(RuntimeError, match="band shuffle"):
+            minhash_lsh_candidates(docs, num_perm=16, bands=4,
+                                   persist=False)
+
+
 def test_scratch_budget_honors_spark_local_dirs(spark, tmp_path):
     """SPARK_LOCAL_DIRS overrides spark.local.dir in Spark's own
     local-dir resolution — the preflight must probe the same volume
