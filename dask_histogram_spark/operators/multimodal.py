@@ -5,11 +5,15 @@ decode kernels are STUBBED (deterministic fakes clearly marked below)
 — but everything Spark-side is real and tested: the schema contract,
 the ``mapInPandas`` batch shape, partition sizing, and the metadata
 extraction path.  Swapping a real decoder in changes only the body of
-``_fake_decode_rgb`` / ``_fake_waveform``.  One REAL codec is wired
+``_fake_decode_rgb`` / ``_fake_waveform``.  TWO REAL codecs are wired
 through the seam: :func:`wav_decoder` (RIFF/WAVE PCM via the stdlib
 ``wave`` module — no external library needed), contract-tested
-against the stdlib encoder's round-trip.  Images stay stubbed until
-the environment ships a codec.
+against the stdlib encoder's round-trip, and :func:`png_decoder`
+(critical-chunk PNG via stdlib ``zlib`` + ``struct`` — the container
+ships no image codec LIBRARY, but inflate + unfilter need none),
+tested against hand-built spec-literal golden fixtures plus a
+pure-numpy re-encoder round-trip and gated end-to-end in the
+``multimodal_png_decode`` driver row.
 """
 
 from __future__ import annotations
@@ -28,6 +32,10 @@ __all__ = [
     "decode_image_features",
     "sample_audio_frames",
     "wav_decoder",
+    "png_decoder",
+    "png_encoder",
+    "png_seam_decoder",
+    "encode_fake_png_media",
 ]
 
 image_meta_schema = T.StructType(
@@ -223,6 +231,290 @@ def wav_decoder(payload: bytes) -> np.ndarray:
         a = a.reshape(-1, nch).mean(axis=1, dtype=np.float64).astype(
             np.float32)
     return a
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> raw channel count at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, public W3C REC-PNG): nearest of
+    left/up/up-left to the linear estimate a + b - c, ties in that
+    order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decoder(payload: bytes, width: int | None = None,
+                height: int | None = None) -> np.ndarray:
+    """REAL image decoder for critical-chunk PNG — the second real
+    codec through the multimodal decoder seam (the "container has no
+    codecs" caveat covered LIBRARIES; baseline PNG needs none: stdlib
+    ``zlib`` inflates the IDAT stream, ``struct`` walks the chunk
+    container, numpy unfilters the scanlines).  Use as
+    ``decode_image_features(df, decoder=png_seam_decoder)`` over a
+    binary column holding .png file bytes.
+
+    Supported (the baseline-PNG subset a training-data lake actually
+    stores): bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); all five filter types; multiple IDAT
+    chunks; per-chunk CRC verification.  Raises ``ValueError`` on a
+    bad signature/CRC/length and ``NotImplementedError`` on Adam7
+    interlace or non-8 bit depths — fail loud, never a garbage image.
+    Output is always (height, width, 3) uint8: gray replicates, alpha
+    drops (the feature extractors downstream are RGB-mean based).
+
+    Scale note: unfiltering is vectorized for filters 0 (None),
+    1 (Sub — per-lane uint64 cumsum mod 256), and 2 (Up — row add);
+    filters 3/4 (Average/Paeth) carry a true sequential dependency and
+    fall back to a per-byte loop, so encoders feeding a 100 TB decode
+    stage should emit filters 0-2 (as :func:`png_encoder` does by
+    default) — same posture as columnar formats preferring
+    light-weight encodings on the hot read path.
+
+    ``width``/``height``, when given (the decoder-seam signature
+    passes the metadata struct's values), are VALIDATED against IHDR
+    rather than trusted — a lakehouse metadata column can drift from
+    the payload bytes, and a silent mismatch would poison every
+    downstream feature.
+
+    Tested against hand-built spec-literal golden fixtures (byte
+    layout written out chunk-by-chunk from the public W3C PNG spec in
+    the test itself, CRCs from ``zlib.crc32`` — an implementation
+    independent of :func:`png_encoder`) and a full
+    encoder->decoder round-trip over every color type x filter
+    (tests/test_operators.py::test_png_decoder_golden_fixtures,
+    ::test_png_roundtrip_all_filters)."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        end = pos + 8 + ln
+        if end + 4 > len(data):
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        chunk = data[pos + 8:end]
+        (crc,) = struct.unpack(">I", data[end:end + 4])
+        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos = end + 4
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            if len(chunk) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        # ancillary chunks (tEXt, tIME, gAMA, ...) are skipped
+    if ihdr is None:
+        raise ValueError("PNG has no IHDR chunk")
+    w, h, depth, ctype, comp, filt_method, interlace = ihdr
+    if comp or filt_method:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported "
+                                  "(baseline 8-bit only)")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"IDAT stream is {len(raw)} bytes, expected "
+            f"{h * (stride + 1)} for {w}x{h}x{ch}@8")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = lines[:, 0]
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = lines[y, 1:]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:
+            # Sub: rec[x] = line[x] + rec[x-ch].  Lane x mod ch is an
+            # independent prefix sum — cumsum in uint64 (no wraparound
+            # up to 2^56 pixels/row) then mod 256: fully vectorized.
+            rec = (line.reshape(w, ch).cumsum(axis=0, dtype=np.uint64)
+                   % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:
+            rec = line + prev  # uint8 add wraps mod 256 natively
+        elif f == 3:
+            # Average: sequential in x (the left term is already
+            # reconstructed output) — per-byte loop; see docstring
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 2:
+        rgb = px
+    elif ctype == 3:
+        rgb = plte[px[:, :, 0]]
+    elif ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # 6: RGBA
+        rgb = px[:, :, :3]
+    if width is not None and int(width) != w:
+        raise ValueError(f"metadata width {width} != IHDR width {w}")
+    if height is not None and int(height) != h:
+        raise ValueError(f"metadata height {height} != IHDR height {h}")
+    return np.ascontiguousarray(rgb)
+
+
+def png_seam_decoder(payload: bytes, width: int, height: int) -> np.ndarray:
+    """:func:`png_decoder` in the :func:`decode_image_features` seam
+    signature ``(payload, width, height) -> (h, w, 3) uint8`` —
+    module-level so it pickles into the ``mapInPandas`` closure; the
+    metadata dims are validated against IHDR (see png_decoder)."""
+    return png_decoder(payload, width, height)
+
+
+def png_encoder(img: np.ndarray, color_type: int | None = None,
+                filter_type: int = 0, level: int = 6) -> bytes:
+    """Pure numpy + stdlib-zlib PNG RE-ENCODER — the round-trip twin
+    that tests :func:`png_decoder` (the WAV posture used the stdlib
+    ``wave`` writer as the authoritative encoder; stdlib has no image
+    encoder, so the decoder's authority comes from hand-built
+    spec-literal golden fixtures and this independent forward
+    implementation of the same public spec).  Also the producer for
+    the ``multimodal_png_decode`` driver row, where encode->decode
+    must reproduce the closed-form arithmetic image bit-exactly.
+
+    ``img``: uint8, (h, w) gray, (h, w, 1), (h, w, 2) gray+alpha,
+    (h, w, 3) RGB, or (h, w, 4) RGBA; ``color_type`` inferred from the
+    channel count unless given.  This encoder emits color types
+    0/2/4/6; palette (type 3) fixtures are hand-built in the tests,
+    which is where an index+PLTE image's bytes are spelled out anyway.
+    ``filter_type``: 0-4, applied to every scanline (per-row adaptive
+    filtering is an encoder size optimization, irrelevant to a
+    correctness twin).  Filters 0-2 are vectorized; 3-4 loop (test
+    sizes only)."""
+    import struct
+    import zlib
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    inferred = {1: 0, 2: 4, 3: 2, 4: 6}
+    if ch not in inferred:
+        raise ValueError(f"unsupported channel count {ch}")
+    ctype = inferred[ch] if color_type is None else int(color_type)
+    if _PNG_CHANNELS.get(ctype) != ch:
+        raise ValueError(f"color type {ctype} wants "
+                         f"{_PNG_CHANNELS.get(ctype)} channels, got {ch}")
+    flat = a.reshape(h, w * ch)
+    if filter_type == 0:
+        filtered = flat
+    elif filter_type == 1:
+        left = np.zeros_like(flat)
+        left[:, ch:] = flat[:, :-ch]
+        filtered = flat - left
+    elif filter_type == 2:
+        up = np.zeros_like(flat)
+        up[1:] = flat[:-1]
+        filtered = flat - up
+    elif filter_type in (3, 4):
+        filtered = np.empty_like(flat)
+        prev = np.zeros(w * ch, np.int32)
+        for y in range(h):
+            row = flat[y].astype(np.int32)
+            for x in range(w * ch):
+                left = int(row[x - ch]) if x >= ch else 0
+                if filter_type == 3:
+                    pred = (left + int(prev[x])) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pred = _paeth(left, int(prev[x]), c)
+                filtered[y, x] = (int(row[x]) - pred) & 0xFF
+            prev = row
+    else:
+        raise ValueError(f"bad filter type {filter_type}")
+    raw = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), filtered], axis=1
+    ).tobytes()
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, level))
+            + chunk(b"IEND", b""))
+
+
+def encode_fake_png_media(df: DataFrame, id_col: str = "doc_id",
+                          level: int = 1) -> DataFrame:
+    """Replace the opaque fake payload with REAL PNG bytes of the same
+    arithmetic image (``_fake_decode_rgb`` of the original payload) —
+    the producer half of the PNG gate: downstream
+    ``decode_image_features(..., decoder=png_seam_decoder)`` must
+    recover the closed-form image exactly, so the decoded features
+    keep the fake path's DuckDB oracle.  Filter 0 + low zlib level:
+    the point is the codec contract, not compression ratio, and
+    filter 0 keeps the 100 TB-path decode fully vectorized."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", image_meta_schema),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs, metas = [], [], []
+            for did, payload, meta in zip(
+                pdf[id_col].to_numpy(), pdf["media"].to_numpy(),
+                pdf["media_meta"].to_numpy(),
+            ):
+                img = _fake_decode_rgb(payload, meta["width"],
+                                       meta["height"])
+                ids.append(did)
+                blobs.append(png_encoder(img, level=level))
+                metas.append({"width": int(meta["width"]),
+                              "height": int(meta["height"]),
+                              "format": "image/png"})
+            yield pd.DataFrame(
+                {id_col: ids, "media": blobs, "media_meta": metas},
+                columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, "media", "media_meta").mapInPandas(
+        batches, schema=out_schema)
 
 
 def sample_audio_frames(df: DataFrame, id_col: str = "doc_id",

@@ -3199,17 +3199,39 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-decomposable quad features, dyadic-exact frame RMS — see
     operators/multimodal.py), so the decoded path has a full DuckDB
     twin; the element-wise mapInPandas-plumbing gate additionally
-    lives in tests/test_operators.py::test_multimodal_numpy_twin."""
+    lives in tests/test_operators.py::test_multimodal_numpy_twin.
+
+    Round 14 adds the REAL-CODEC image leg (``leg='png'``, round-13
+    VERDICT #5): the arithmetic image is encoded to genuine PNG bytes
+    (``encode_fake_png_media`` — independent numpy forward encoder,
+    stdlib zlib) and decoded back through the seam with the
+    critical-chunk ``png_decoder`` (stdlib zlib + struct, spec-literal
+    golden fixtures in tests/test_operators.py).  The round-trip must
+    be pixel-exact, so the png leg's features share the stub leg's
+    closed-form oracle — a single flipped bit anywhere in the chunk
+    walk, CRC check, inflate, unfilter, or feature math
+    hash-mismatches this row.  The image twin of the WAV gate."""
     from .operators.multimodal import (
         attach_fake_media,
         decode_image_features,
+        encode_fake_png_media,
+        png_seam_decoder,
         sample_audio_frames,
     )
 
     # deterministic doc subset (a bare limit(50) has no stable SQL twin)
     d = get_tables(spark, sf_dir)["documents"].where(F.col("doc_id") < 50)
     media = attach_fake_media(d)
-    feats = decode_image_features(media)
+    # real-codec leg on a nested subset: 40 docs x <=512x384 PNGs
+    # bounds the encode+decode pass at any sf (doc_id filters are
+    # sf-independent)
+    png_media = encode_fake_png_media(media.where(F.col("doc_id") < 40))
+    feats = (
+        decode_image_features(media).withColumn("leg", F.lit("stub"))
+        .unionByName(
+            decode_image_features(png_media, decoder=png_seam_decoder)
+            .withColumn("leg", F.lit("png")))
+    )
     audio = (
         sample_audio_frames(media)
         .groupBy("doc_id")
@@ -3222,7 +3244,7 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver gate's canonicalizer lexsorts rows and cannot hash an
     # array<float> cell.
     return feats.select(
-        "doc_id", "width", "height",
+        "doc_id", "leg", "width", "height",
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
@@ -3283,7 +3305,7 @@ WITH docs AS (
          ROUND(AVG(rms), 6) AS mean_rms
   FROM rms GROUP BY doc_id
 )
-SELECT d.doc_id, d.width, d.height,
+SELECT d.doc_id, l.leg, d.width, d.height,
        ROUND(CAST(d.seed % 200 + 7 AS DOUBLE), 6) AS mean_r,
        ROUND(CAST((d.seed + 11) % 200 + 7 AS DOUBLE), 6) AS mean_g,
        ROUND(CAST((d.seed + 22) % 200 + 7 AS DOUBLE), 6) AS mean_b,
@@ -3291,6 +3313,11 @@ SELECT d.doc_id, d.width, d.height,
 FROM docs d
 JOIN feats f ON f.doc_id = d.doc_id
 JOIN audio a ON a.doc_id = d.doc_id
+-- the png real-codec leg must land on the SAME closed form: the
+-- round-trip is pixel-exact, so its rows are the stub rows for the
+-- doc_id < 40 subset re-labeled
+CROSS JOIN (SELECT UNNEST(['stub', 'png']) AS leg) l
+WHERE l.leg = 'stub' OR d.doc_id < 40
 """,
 )
 
