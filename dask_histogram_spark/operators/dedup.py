@@ -562,33 +562,47 @@ def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
     ADVICE).  Like the embedding twin: callers composing over
     an expensive uncached upstream should ``persist()`` it first —
     the probe re-executes the upstream plan once."""
-    from .sizing import check_shuffle_scratch
+    from .sizing import check_shuffle_scratch, memoized_probe
 
-    smp = df.withColumn("__smp",
-                        F.rand(13) < F.lit(_PROBE_SAMPLE_FRACTION))
-    sampled_txt = F.when(F.col("__smp"), F.col(text_col))
-    s = smp.agg(
-        F.count(F.lit(1)).alias("n_all"),
-        F.sum(F.col("__smp").cast("long")).alias("s_all"),
-        F.count(sampled_txt).alias("s_txt"),
-        F.coalesce(F.sum(F.octet_length(sampled_txt)), F.lit(0))
-        .alias("s_chars")).first()
-    n_all = int(s["n_all"])
+    def _probe() -> tuple[int, int, int, int]:
+        smp = df.withColumn("__smp",
+                            F.rand(13) < F.lit(_PROBE_SAMPLE_FRACTION))
+        sampled_txt = F.when(F.col("__smp"), F.col(text_col))
+        s = smp.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.col("__smp").cast("long")).alias("s_all"),
+            F.count(sampled_txt).alias("s_txt"),
+            F.coalesce(F.sum(F.octet_length(sampled_txt)), F.lit(0))
+            .alias("s_chars")).first()
+        n_all = int(s["n_all"])
+        if not n_all:
+            return 0, 0, 0, 0
+        s_all, s_txt, s_chars = (int(s["s_all"] or 0), int(s["s_txt"]),
+                                 int(s["s_chars"]))
+        if s_all < _PROBE_EXACT_FALLBACK_ROWS:
+            # small/mid corpus (or pathological sample): exact probe.
+            # A few-hundred-row sample can miss rare giant documents
+            # in a heavy-tailed length distribution and understate
+            # total bytes (round-13 ADVICE), and below ~250k docs
+            # (5000 sampled rows at 2%) the exact agg is as cheap as
+            # the sampled one.
+            e = df.agg(
+                F.count(F.col(text_col)).alias("s_txt"),
+                F.coalesce(F.sum(F.octet_length(F.col(text_col))),
+                           F.lit(0)).alias("s_chars")).first()
+            s_all, s_txt, s_chars = (n_all, int(e["s_txt"]),
+                                     int(e["s_chars"]))
+        return n_all, s_all, s_txt, s_chars
+
+    # memoized per (session, semantic plan, column): chained pipelines
+    # pass one corpus through several guarded operators, and each probe
+    # re-executes the uncached upstream — one probe per distinct input
+    # per session is enough (round-13 VERDICT #4; statistics drift is
+    # within the guards' 2x safety factor)
+    n_all, s_all, s_txt, s_chars = memoized_probe(
+        df, ("text_band", text_col), _probe)
     if not n_all:
         return  # empty: no band shuffle will launch at all
-    s_all, s_txt, s_chars = (int(s["s_all"] or 0), int(s["s_txt"]),
-                             int(s["s_chars"]))
-    if s_all < _PROBE_EXACT_FALLBACK_ROWS:
-        # small/mid corpus (or pathological sample): exact probe.  A
-        # few-hundred-row sample can miss rare giant documents in a
-        # heavy-tailed length distribution and understate total bytes
-        # (round-13 ADVICE), and below ~250k docs (5000 sampled rows
-        # at 2%) the exact agg is as cheap as the sampled one.
-        e = df.agg(
-            F.count(F.col(text_col)).alias("s_txt"),
-            F.coalesce(F.sum(F.octet_length(F.col(text_col))), F.lit(0))
-            .alias("s_chars")).first()
-        s_all, s_txt, s_chars = n_all, int(e["s_txt"]), int(e["s_chars"])
     n_txt = n_all * s_txt // max(s_all, 1)
     chars = n_all * s_chars // max(s_all, 1)
     if not n_txt:

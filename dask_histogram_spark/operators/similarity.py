@@ -842,23 +842,11 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     budget_known = scratch_budget(spark) is not None
     n_rows = n_total = dim = None
     if planes == "auto" or budget_known:
-        probe = df.agg(
-            F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
-            .alias("n"),
-            # total rows too (same job): the pre-band repartition
-            # exchanges EVERY row — null-vector rows carry no vector
-            # bytes but still ~40 B of framing each, so a mostly-null
-            # corpus would otherwise underestimate that term
-            # (round-13 ADVICE; the text twin models this via n_all)
-            F.count(F.lit(1)).alias("n_all"),
-            # size() under a null-guard: without ANSI mode,
-            # size(NULL) is -1 (not NULL), which would let a leading
-            # null vector win the first() and poison the dim
-            F.first(F.when(F.col(vec_col).isNotNull(),
-                           F.size(F.col(vec_col))), ignorenulls=True)
-            .alias("d")).first()
-        n_rows, n_total, dim = (int(probe["n"]), int(probe["n_all"]),
-                                probe["d"])
+        # one memoized probe job: non-null count (band rows), total
+        # count (the pre-band repartition exchanges EVERY row — null
+        # rows still carry ~40 B of framing each, round-13 ADVICE),
+        # and the vector dimension
+        n_rows, n_total, dim = _embedding_probe(df, vec_col)
     planes, repetitions = _resolve_hyperplane_params(
         df, planes, repetitions, design_cos=design_cos, n_rows=n_rows)
     if dim is None:
@@ -1020,18 +1008,9 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     from .sizing import check_shuffle_scratch, scratch_budget
 
     if scratch_budget(new_df.sparkSession) is not None:
-        probe_row = new_df.agg(
-            F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
-            .alias("n"),
-            # total rows in the same job: null-vector rows still cross
-            # the pre-band repartition (~40 B framing each) — round-13
-            # ADVICE, matching the text twin's n_all model
-            F.count(F.lit(1)).alias("n_all"),
-            F.first(F.when(F.col(vec_col).isNotNull(),
-                           F.size(F.col(vec_col))), ignorenulls=True)
-            .alias("d")).first()
-        n_batch, n_all, bdim = (int(probe_row["n"]),
-                                int(probe_row["n_all"]), probe_row["d"])
+        # one memoized probe job (non-null count, total count for the
+        # null rows' repartition framing — round-13 ADVICE — and dim)
+        n_batch, n_all, bdim = _embedding_probe(new_df, vec_col)
         if n_batch and bdim is not None:
             elem = new_df.schema[vec_col].dataType.elementType
             elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
@@ -1181,6 +1160,35 @@ def _resolve_hyperplane_params(df: DataFrame, planes, repetitions,
     return int(planes), int(repetitions) if repetitions is not None else 1
 
 
+def _embedding_probe(df: DataFrame, vec_col: str):
+    """ONE probe job shared by every embedding guard/auto-sizer over
+    the same input: (non-null vector count, total row count, vector
+    dimension) in a single agg — and MEMOIZED per (session, semantic
+    plan, column) via :func:`~.sizing.memoized_probe` (round-13
+    VERDICT #4), so a pipeline that near-dups, builds a signature
+    table, and runs the incremental gate over one corpus probes it
+    once instead of three times.  The null-guard on size(): without
+    ANSI mode, size(NULL) is -1 (not NULL), which would let a leading
+    null vector win the first() and poison the dim."""
+    from .sizing import memoized_probe
+
+    def _compute():
+        p = df.agg(
+            F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
+            .alias("n"),
+            # total rows too: null-vector rows carry no vector bytes
+            # but still cross any pre-band repartition at ~40 B of
+            # framing each (round-13 ADVICE)
+            F.count(F.lit(1)).alias("n_all"),
+            F.first(F.when(F.col(vec_col).isNotNull(),
+                           F.size(F.col(vec_col))), ignorenulls=True)
+            .alias("d")).first()
+        return (int(p["n"]), int(p["n_all"]),
+                None if p["d"] is None else int(p["d"]))
+
+    return memoized_probe(df, ("embedding", vec_col), _compute)
+
+
 # band-row shuffle model for the in-query near-dup self-join: each
 # side exchanges n x repetitions rows carrying the DENORMALIZED
 # vector (elem_bytes x dim) plus ~40 B of id/rep/sig/row framing —
@@ -1319,25 +1327,18 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # and an unknown scratch budget (cluster mode) the preflight is a
     # no-op by contract and the plan must stay lazy with zero eager
     # jobs, exactly as before the guard existed (round-12 review).
-    # The probe re-executes the upstream DAG once; a caller composing
-    # this over an expensive uncached upstream at scale should
-    # .persist() the input first (the probe then reads cached blocks
-    # and the banded pass below reuses them).
+    # The probe re-executes the upstream DAG once — then memoizes per
+    # (session, semantic plan), so chained guarded operators over the
+    # same input probe it once (round-13 VERDICT #4); a caller
+    # composing this over an expensive uncached upstream at scale
+    # should still .persist() the input first (the first probe then
+    # reads cached blocks and the banded pass below reuses them).
     from .sizing import scratch_budget
 
     budget_known = scratch_budget(df.sparkSession) is not None
     n_rows = dim = None
     if planes == "auto" or budget_known:
-        probe = df.agg(
-            F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
-            .alias("n"),
-            # size() under a null-guard: without ANSI mode,
-            # size(NULL) is -1 (not NULL), which would let a leading
-            # null vector win the first() and poison the dim
-            F.first(F.when(F.col(vec_col).isNotNull(),
-                           F.size(F.col(vec_col))), ignorenulls=True)
-            .alias("d")).first()
-        n_rows, dim = int(probe["n"]), probe["d"]
+        n_rows, _, dim = _embedding_probe(df, vec_col)
     planes, repetitions = _resolve_hyperplane_params(
         df, planes, repetitions, design_cos=threshold, n_rows=n_rows)
     if budget_known:

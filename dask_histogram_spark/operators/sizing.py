@@ -29,6 +29,8 @@ __all__ = [
     "agg_partitions",
     "scratch_budget",
     "check_shuffle_scratch",
+    "memoized_probe",
+    "clear_probe_memo",
 ]
 
 # safe reduce-side group count per task (round-8 capstone measurement)
@@ -171,6 +173,67 @@ def check_shuffle_scratch(spark, est_bytes: int, *, what: str,
             f"of scratch with sort spill), but only "
             f"~{free / 2 ** 30:.1f} GiB is free on the shuffle volume. "
             + "; or ".join(fixes) + ".")
+
+
+# ---------------------------------------------------------------------------
+# Guard-probe memo (round-13 VERDICT #4)
+#
+# Every scratch/sizing guard runs one eager probe job over its input
+# (row count + byte statistics), and each probe re-executes the
+# possibly-uncached upstream plan once.  In a chained pipeline the same
+# input flows through several guarded operators, so the probes compound
+# (~4 s isolated in the sf1 chain audit; grows with chain depth).  The
+# memo caches probe RESULTS per (session, semantically-equal plan,
+# probe kind) so one distinct input is probed at most once per session.
+#
+# Identity: DataFrame.semanticHash() — Catalyst's canonicalized-plan
+# hash, stable across re-built but semantically identical plans
+# (expression IDs normalized) and computed driver-side with no job.
+# The schema string rides along to make hash collisions across
+# different-shaped inputs harmless.  STALENESS is in-contract: the memo
+# is session-scoped and keyed by the PLAN, so a parquet path whose
+# files are rewritten mid-session would serve stale statistics — the
+# guards carry a 2x safety factor and name their remedies, and
+# :func:`clear_probe_memo` resets the cache after an in-place data
+# rewrite.  Insertion-ordered dict doubles as FIFO eviction.
+# ---------------------------------------------------------------------------
+
+_PROBE_MEMO: dict[tuple, tuple] = {}
+_PROBE_MEMO_MAX = 256
+# incremented on every MISS (actual probe job) — lets tests assert
+# "<= 1 probe per distinct input" without spying on Spark internals
+PROBE_COMPUTE_COUNT = 0
+
+
+def memoized_probe(df, kind: tuple, compute):
+    """Return ``compute()`` for ``df``, memoized per (session,
+    semantic plan, ``kind``) for the life of the session.  ``kind``
+    distinguishes probe shapes over the same input (e.g. the text
+    probe's (text_col,) vs the embedding probe's (vec_col,)).
+    Falls back to an unmemoized ``compute()`` when the semantic hash
+    is unavailable (never turns a working guard off)."""
+    global PROBE_COMPUTE_COUNT
+    try:
+        key = (id(df.sparkSession), df.semanticHash(),
+               str(df.schema), tuple(kind))
+    except Exception:  # pragma: no cover - analysis-time failure
+        PROBE_COMPUTE_COUNT += 1
+        return compute()
+    hit = _PROBE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    PROBE_COMPUTE_COUNT += 1
+    val = compute()
+    if len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
+        _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
+    _PROBE_MEMO[key] = val
+    return val
+
+
+def clear_probe_memo() -> None:
+    """Drop every memoized probe result — call after rewriting data
+    in place under a path a guarded operator already probed."""
+    _PROBE_MEMO.clear()
 
 
 def agg_partitions(spark, est_groups: int, *,

@@ -170,26 +170,39 @@ def estimate_windows(df: DataFrame, n: int = 6,
     unbiased per-row mean — no second text scan to count non-nulls,
     no floored-1 overcount); the sample is SEEDED so the derived
     partition count — and hence the physical plan — is
-    rerun-stable."""
+    rerun-stable.
+
+    Memoized per (session, semantic plan, parameters) like every
+    guard probe (round-13 VERDICT #4): a chained pipeline running
+    word+line+paragraph legs over one corpus pays the metadata count
+    and sampled scan once per distinct (input, granularity, n)."""
+    from .sizing import memoized_probe
+
     _check_granularity(granularity)
-    total = df.count()  # metadata-weight for columnar sources
-    if total == 0:
-        return 0
-    toks = _COL_TOKS[granularity](text_col)
-    # a doc with >= 1 token has max(m - n + 1, 1) windows (degenerate
-    # short-doc form); NULL text and 0-token docs (all-blank under
-    # line/paragraph granularity) have none
-    per_doc = F.when(
-        F.col(text_col).isNotNull() & (F.size(toks) > 0),
-        F.greatest(F.size(toks) - n + 1, F.lit(1))).otherwise(F.lit(0))
-    s = (df.sample(fraction=min(1.0, max(sample_fraction,
-                                         1000 / total)), seed=17)
-         .agg(F.sum(per_doc).alias("w"),
-              F.count(F.lit(1)).alias("d"))
-         .first())
-    if not s["d"]:
-        return total  # degenerate sample: assume >= 1 window/doc
-    return int(total * ((s["w"] or 0) / s["d"]))
+
+    def _probe() -> int:
+        total = df.count()  # metadata-weight for columnar sources
+        if total == 0:
+            return 0
+        toks = _COL_TOKS[granularity](text_col)
+        # a doc with >= 1 token has max(m - n + 1, 1) windows
+        # (degenerate short-doc form); NULL text and 0-token docs
+        # (all-blank under line/paragraph granularity) have none
+        per_doc = F.when(
+            F.col(text_col).isNotNull() & (F.size(toks) > 0),
+            F.greatest(F.size(toks) - n + 1, F.lit(1))).otherwise(F.lit(0))
+        s = (df.sample(fraction=min(1.0, max(sample_fraction,
+                                             1000 / total)), seed=17)
+             .agg(F.sum(per_doc).alias("w"),
+                  F.count(F.lit(1)).alias("d"))
+             .first())
+        if not s["d"]:
+            return total  # degenerate sample: assume >= 1 window/doc
+        return int(total * ((s["w"] or 0) / s["d"]))
+
+    return memoized_probe(
+        df, ("span_windows", granularity, n, text_col, sample_fraction),
+        _probe)
 
 
 def _toks_col(text_col: str) -> Column:

@@ -976,7 +976,10 @@ def test_text_band_shuffle_scratch_preflight(spark, tables):
                                   num_perm=16, bands=4)
     assert not spark.catalog.tableExists("txt_preflight_refused_tbl__params")
     # unknown budget (cluster contract) + persist=False: zero eager
-    # jobs at plan-construction time — the probe agg must not run
+    # jobs at plan-construction time — the probe agg must not run.
+    # Clear the probe memo first: a memo HIT would skip the patched
+    # first()/count() and mask a wrongly-invoked probe.
+    sizing.clear_probe_memo()
     with patch.object(sizing, "scratch_budget", return_value=None), \
             patch.object(DataFrame, "first",
                          side_effect=AssertionError("eager first")), \
@@ -1052,6 +1055,68 @@ def test_incremental_batch_side_scratch_preflight(spark, tables,
     assert (embedding_dedup_incremental(emb, "inc_guard_emb",
                                         threshold=0.999)
             .where("n_matched_seen >= 1").count() == emb.count())
+
+
+def test_guard_probes_memoized_per_input(spark, tables, tmp_path):
+    """Round-13 VERDICT #4: guard probes re-execute their (possibly
+    uncached) upstream once per guarded CALL, compounding in chained
+    pipelines — they must memoize per (session, semantic plan, probe
+    kind) so one distinct input is probed at most once per session.
+    PROBE_COMPUTE_COUNT counts memo MISSES (actual probe jobs)."""
+    from dask_histogram_spark.operators import (
+        embedding_near_dup_pairs,
+        minhash_lsh_candidates,
+        sizing,
+        write_embedding_signature_table,
+    )
+    from dask_histogram_spark.operators.spans import estimate_windows
+
+    sizing.clear_probe_memo()
+    docs = tables["documents"].select("doc_id", "text")
+    emb = tables["embeddings"].select("vec_id", "embedding")
+
+    base = sizing.PROBE_COMPUTE_COUNT
+    minhash_lsh_candidates(docs, num_perm=16, bands=4,
+                           persist=False).count()
+    assert sizing.PROBE_COMPUTE_COUNT == base + 1
+    # same input, different banding params: the text probe's stats
+    # (row count, byte total) are param-independent -> memo hit
+    minhash_lsh_candidates(docs, num_perm=32, bands=8,
+                           persist=False).count()
+    assert sizing.PROBE_COMPUTE_COUNT == base + 1
+    # a semantically DIFFERENT input must probe fresh
+    minhash_lsh_candidates(docs.where("doc_id < 100"), num_perm=16,
+                           bands=4, persist=False).count()
+    assert sizing.PROBE_COMPUTE_COUNT == base + 2
+
+    # embedding family: near-dup, table build, and incremental gate
+    # over one corpus share ONE probe (the helper returns the same
+    # (n, n_all, dim) triple to all three guards)
+    base = sizing.PROBE_COMPUTE_COUNT
+    embedding_near_dup_pairs(emb, threshold=0.999, planes=8,
+                             repetitions=1).count()
+    assert sizing.PROBE_COMPUTE_COUNT == base + 1
+    write_embedding_signature_table(emb, "memo_probe_tbl", planes=8,
+                                    repetitions=1,
+                                    path=str(tmp_path / "t"))
+    assert sizing.PROBE_COMPUTE_COUNT == base + 1
+
+    # spans estimator: same (input, granularity, n) memoizes; a new
+    # granularity is a different probe kind and runs fresh
+    base = sizing.PROBE_COMPUTE_COUNT
+    a = estimate_windows(docs, n=6)
+    b = estimate_windows(docs, n=6)
+    assert a == b and sizing.PROBE_COMPUTE_COUNT == base + 1
+    estimate_windows(docs, n=6, granularity="line")
+    assert sizing.PROBE_COMPUTE_COUNT == base + 2
+
+    # rebuilding the SAME plan from scratch still hits (semanticHash
+    # normalizes expression ids across re-built plans)
+    docs2 = tables["documents"].select("doc_id", "text")
+    base = sizing.PROBE_COMPUTE_COUNT
+    estimate_windows(docs2, n=6)
+    assert sizing.PROBE_COMPUTE_COUNT == base
+    sizing.clear_probe_memo()
 
 
 def test_embedding_preflights_count_null_row_repartition(spark, tables,
