@@ -3327,10 +3327,11 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible even with the pixel decoder stubbed:
     ``attach_fake_media``'s payload is the sha2-256 hex digest of the
     id and the meta struct is plain arithmetic on it, so DuckDB
-    recomputes the identical payload (``sha256``) and fields.  This is
+    recomputes the identical payload (``sha256``) and fields.  It was
     the multimodal family's first hash-matched oracle row; the
-    decoded-pixel/audio features remain rows-only + numpy-twin
-    (``multimodal_features`` above)."""
+    decoded-pixel/audio features row (``multimodal_features`` above)
+    has since gained its own closed-form oracle, including the
+    round-14 real-PNG leg."""
     from .operators.multimodal import attach_fake_media
 
     d = get_tables(spark, sf_dir)["documents"].select("doc_id")

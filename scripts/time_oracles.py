@@ -14,6 +14,16 @@ Prints ONE JSON line {"paired": {name: {engine, oracle, ratio}}, ...}
 and a ready-to-paste markdown table on stderr.  Run on an idle host
 (check /proc/pressure/cpu first) — the round's BASELINE table records
 the output verbatim.
+
+DISK-HEAVY rows (round-13 VERDICT #2): similarity_ivf_topk builds and
+reads two on-disk indexes per rep, and its in-table ratio smeared 1.5x
+(29.1x vs 19.45x isolated) when it ran late in a ~1,300-stage session
+— BOTH sides' spreads inflated by accumulated session/disk state, so
+the committed table needed an out-of-band correction footnote.  Rows
+in ISOLATE_ROWS now run in their OWN fresh subprocess session (this
+script re-invokes itself with the single row; disable with
+SPARK_GRAFT_PAIR_ISOLATE=""), and the in-session remainder keeps the
+bench order.  The merged artifact marks isolated rows.
 """
 
 from __future__ import annotations
@@ -37,11 +47,45 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 REPS = int(os.environ.get("SPARK_GRAFT_PAIR_REPS", "5"))
+# rows that build/read on-disk artifacts every rep — isolated in a
+# fresh subprocess session by default (see module docstring)
+ISOLATE_ROWS = tuple(
+    r for r in os.environ.get("SPARK_GRAFT_PAIR_ISOLATE",
+                              "similarity_ivf_topk").split(",") if r)
+# internal marker: set in the child so the isolated row runs in-session
+_CHILD_ENV = "_SPARK_GRAFT_PAIR_CHILD"
+
+
+def _run_isolated(sf_dir: str, name: str) -> dict:
+    """Re-invoke this script in a fresh subprocess for one row; return
+    its parsed per-row pairing dict."""
+    import subprocess
+
+    env = dict(os.environ, **{_CHILD_ENV: "1"})
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), sf_dir, name],
+        capture_output=True, text=True, env=env, check=True)
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    row = payload["paired"][name]
+    row["isolated"] = True
+    return row
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or [q for q in BENCH_QUERIES if q in ORACLES]
+    child = bool(os.environ.get(_CHILD_ENV))
+    isolated: dict[str, dict] = {}
+    if not child:
+        for name in [n for n in names if n in ISOLATE_ROWS]:
+            print(f"[isolating {name} in a fresh session]",
+                  file=sys.stderr)
+            isolated[name] = _run_isolated(sf_dir, name)
+            print(f"{name}: engine {isolated[name]['engine']:.3f}s "
+                  f"oracle {isolated[name]['oracle']:.3f}s "
+                  f"ratio {isolated[name]['ratio']:.2f}x (isolated)",
+                  file=sys.stderr)
+        names = [n for n in names if n not in ISOLATE_ROWS]
 
     con = duckdb.connect()
     for t in TABLES:
@@ -84,15 +128,18 @@ def main() -> None:
         print(f"{name}: engine {e:.3f}s oracle {o:.3f}s "
               f"ratio {e / o:.2f}x", file=sys.stderr)
 
+    paired.update(isolated)
     print("\n| query | engine (s) | oracle (s) | ratio |",
           file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
     for name, p in paired.items():
+        iso = " (isolated)" if p.get("isolated") else ""
         print(f"| {name} | {p['engine']:.2f} | {p['oracle']:.2f} | "
-              f"{p['ratio']:.2f}x |", file=sys.stderr)
+              f"{p['ratio']:.2f}x{iso} |", file=sys.stderr)
 
     print(json.dumps({"paired": paired, "sf_dir": sf_dir,
-                      "reps": REPS, "cpus": cpus}))
+                      "reps": REPS, "cpus": cpus,
+                      "isolated_rows": sorted(isolated)}))
     spark.stop()
 
 
