@@ -48,10 +48,16 @@ TABLES = (
 )
 REPS = int(os.environ.get("SPARK_GRAFT_PAIR_REPS", "5"))
 # rows that build/read on-disk artifacts every rep — isolated in a
-# fresh subprocess session by default (see module docstring)
+# fresh subprocess session by default (see module docstring).
+# embedding_dedup_pipeline joined the set in round 14: its stream leg
+# writes batch files + streaming checkpoints per rep, and at the END
+# of the first r14 full run (~1,500 accumulated stages) its reps read
+# 36-82 s vs the 12-16 s its own leg pairing composes to — the same
+# accumulated-session smear class as the ivf row.
 ISOLATE_ROWS = tuple(
-    r for r in os.environ.get("SPARK_GRAFT_PAIR_ISOLATE",
-                              "similarity_ivf_topk").split(",") if r)
+    r for r in os.environ.get(
+        "SPARK_GRAFT_PAIR_ISOLATE",
+        "similarity_ivf_topk,embedding_dedup_pipeline").split(",") if r)
 # internal marker: set in the child so the isolated row runs in-session
 _CHILD_ENV = "_SPARK_GRAFT_PAIR_CHILD"
 
