@@ -433,6 +433,13 @@ def png_encoder(img: np.ndarray, color_type: int | None = None,
     if ch not in inferred:
         raise ValueError(f"unsupported channel count {ch}")
     ctype = inferred[ch] if color_type is None else int(color_type)
+    if ctype == 3:
+        # palette needs a PLTE chunk this encoder does not emit; the
+        # 1-channel count check alone would wave it through and
+        # produce an invalid file (round-14 review) — fail loud here
+        raise ValueError("png_encoder does not emit palette (color "
+                         "type 3) PNGs; encode gray (0) or build the "
+                         "PLTE fixture by hand as the tests do")
     if _PNG_CHANNELS.get(ctype) != ch:
         raise ValueError(f"color type {ctype} wants "
                          f"{_PNG_CHANNELS.get(ctype)} channels, got {ch}")

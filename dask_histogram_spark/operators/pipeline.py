@@ -53,13 +53,16 @@ def prepare_training_corpus(
     Output: (id, n_tokens, n_bpe_tokens, n_chars, digit_ratio) for
     every KEPT doc.
 
-    Scale shape: the quality gates and token accounting are
-    deterministic functions of the text, so they run BEFORE the dedup
-    shuffle (all copies of a text pass or fail together — the min-id
-    winner is unchanged) and the groupBy keys on ``xxhash64(text)``
-    (8-byte shuffle key, like :func:`~.dedup.dedup_exact`).  The
-    exchange therefore carries only (hash, id, 3 small ints) per
-    surviving row — the document text itself never shuffles.
+    Scale shape: the groupBy keys on ``xxhash64(text)`` (8-byte
+    shuffle key, like :func:`~.dedup.dedup_exact`) and the exchange
+    carries only (hash, id, 3 small ints) per row — the document text
+    itself never shuffles.  The cheap gates (null, length) prune
+    scan-side; the regex gates evaluate once in the stats projection
+    and select the winner inside the aggregate (see the in-body
+    comment), so gate-failing rows cross the exchange as ~44 B stat
+    rows — the price of running each text kernel exactly once instead
+    of twice (Catalyst would push raw-text predicates into the scan
+    and re-evaluate every regex there).
     """
     t = F.col(text_col)
     n = F.length(t).cast("double")
@@ -73,19 +76,18 @@ def prepare_training_corpus(
 
     # gate ORDER (round-14 leg pairing): only the cheap pushable gates
     # (null, length) run BEFORE the stats projection; the regex gates
-    # (digit_ratio, n_tokens) apply AFTER the dedup aggregate, on the
-    # winner's already-computed stat columns.  Filtering the raw text
-    # first reads nicer but Catalyst pushes those predicates into the
-    # scan, where they re-evaluate every regex a second time per row
-    # (the projection computes them again) — measured 0.217 -> 0.125 s
-    # at sf0.1 from this reorder alone.  Result-identical: every gate
-    # is a deterministic function of the text, a __k group holds one
-    # text, so the winner passes iff every copy does.  Scale
-    # trade-off: regex-failing rows now cross the exchange as ~44 B
-    # stat rows (the length gate still prunes the degenerate short
-    # tail scan-side), in return for running each text kernel exactly
-    # once — at 100 TB the duplicate regex pass over the full text
-    # dwarfs the extra small-row shuffle.
+    # (digit_ratio, n_tokens) are folded INTO the dedup aggregate as
+    # the min_by ordering's null-guard, evaluated on the projection's
+    # already-computed stat columns.  Filtering the raw text first
+    # reads nicer but Catalyst pushes those predicates into the scan,
+    # where they re-evaluate every regex a second time per row (the
+    # projection computes them again) — measured 0.217 -> 0.125 s at
+    # sf0.1 from this reorder alone.  Scale trade-off: regex-failing
+    # rows now cross the exchange as ~44 B stat rows (the length gate
+    # still prunes the degenerate short tail scan-side), in return
+    # for running each text kernel exactly once — at 100 TB the
+    # duplicate regex pass over the full text dwarfs the extra
+    # small-row shuffle.
     proj = df.where(
         t.isNotNull() & (F.length(t) >= min_chars)
     ).select(
@@ -97,26 +99,32 @@ def prepare_training_corpus(
             t, F.lit(BPE_SPLIT_PATTERN), 0)).alias("n_bpe_tokens"),
         digit_ratio.alias("digit_ratio"),
     )
+    gates = ((F.col("digit_ratio") <= max_digit_ratio)
+             & (F.col("n_tokens") >= min_tokens))
     # min_by on ONE struct keyed by id: the winner's stats travel
     # atomically with the winning id.  (Per-column min() would stitch a
     # chimera row from different documents if two distinct texts ever
     # collided on the 64-bit hash — with min_by a collision keeps one
-    # real document's stats intact.)
+    # real document's stats intact.)  The ordering is null for
+    # gate-FAILING rows and min_by ignores null orderings, so the
+    # winner is the min-id GATE-PASSING row — exactly the
+    # filter-before-groupBy semantics, including under a 64-bit hash
+    # collision pairing a failing doc with a passing one (a post-agg
+    # where on the winner's stats would drop the whole group there —
+    # round-14 review); an all-failing group yields a null winner,
+    # dropped below.
     return (
         proj.groupBy("__k")
         .agg(
             F.min_by(
                 F.struct(id_col, "n_chars", "n_tokens", "n_bpe_tokens",
                          "digit_ratio"),
-                F.col(id_col),
+                F.when(gates, F.col(id_col)),
             ).alias("__win"),
         )
+        .where(F.col("__win").isNotNull())
         .select(f"__win.{id_col}", "__win.n_chars", "__win.n_tokens",
                 "__win.n_bpe_tokens", "__win.digit_ratio")
-        .where(
-            (F.col("digit_ratio") <= max_digit_ratio)
-            & (F.col("n_tokens") >= min_tokens)
-        )
     )
 
 

@@ -840,13 +840,12 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     # counting them would spuriously refuse a mostly-null corpus near
     # the budget line — round-12 ADVICE).
     budget_known = scratch_budget(spark) is not None
-    n_rows = n_total = dim = None
+    n_rows = dim = None
     if planes == "auto" or budget_known:
-        # one memoized probe job: non-null count (band rows), total
-        # count (the pre-band repartition exchanges EVERY row — null
-        # rows still carry ~40 B of framing each, round-13 ADVICE),
+        # one memoized probe job: non-null count (the only rows that
+        # cross — nulls are filtered before the repartition below)
         # and the vector dimension
-        n_rows, n_total, dim = _embedding_probe(df, vec_col)
+        n_rows, _, dim = _embedding_probe(df, vec_col)
     planes, repetitions = _resolve_hyperplane_params(
         df, planes, repetitions, design_cos=design_cos, n_rows=n_rows)
     if dim is None:
@@ -870,10 +869,7 @@ def write_embedding_signature_table(df: DataFrame, table: str,
         check_shuffle_scratch(
             spark,
             int(n_rows) * (int(repetitions) + 1)
-            * (elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES)
-            # null-vector rows cross the pre-band repartition too
-            # (framing bytes only; the banded exchange excludes them)
-            + (int(n_total) - int(n_rows)) * _BAND_ROW_OVERHEAD_BYTES,
+            * (elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES),
             what=(f"write_embedding_signature_table's build shuffles "
                   f"(pre-band repartition + bucketing; n={n_rows:,}, "
                   f"dim={dim}, planes={planes}, "
@@ -887,9 +883,15 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     spark.sql(f"DROP TABLE IF EXISTS {table}__params")
     # spread the Python signature kernel across the cluster — the
     # corpus often arrives in a handful of scan partitions (same
-    # rationale as minhash_lsh_candidates' pre-fold repartition)
+    # rationale as minhash_lsh_candidates' pre-fold repartition).
+    # Null vectors are dropped BEFORE the repartition: the banded path
+    # excludes them anyway, so letting them cross the exchange would
+    # only ship dead framing bytes (a mostly-null corpus near the
+    # budget line would pay for rows that produce nothing — round-13
+    # ADVICE modeled that cost; round-14 removes it instead).
     nparts = max(spark.sparkContext.defaultParallelism * 2, 16)
-    banded, _ = _hyperplane_banded(df.repartition(nparts), vec_col,
+    nonnull = df.where(F.col(vec_col).isNotNull())
+    banded, _ = _hyperplane_banded(nonnull.repartition(nparts), vec_col,
                                    id_col, planes, seed, repetitions,
                                    method, dim=dim)
     banded = banded.select(
@@ -1008,9 +1010,10 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     from .sizing import check_shuffle_scratch, scratch_budget
 
     if scratch_budget(new_df.sparkSession) is not None:
-        # one memoized probe job (non-null count, total count for the
-        # null rows' repartition framing — round-13 ADVICE — and dim)
-        n_batch, n_all, bdim = _embedding_probe(new_df, vec_col)
+        # one memoized probe job (non-null count + dim; null rows are
+        # filtered before the repartition below, so they cost nothing
+        # and need no model term)
+        n_batch, _, bdim = _embedding_probe(new_df, vec_col)
         if n_batch and bdim is not None:
             elem = new_df.schema[vec_col].dataType.elementType
             elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
@@ -1018,8 +1021,7 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
             check_shuffle_scratch(
                 new_df.sparkSession,
                 n_batch * rows_per_vec
-                * (elem_bytes * int(bdim) + _BAND_ROW_OVERHEAD_BYTES)
-                + (n_all - n_batch) * _BAND_ROW_OVERHEAD_BYTES,
+                * (elem_bytes * int(bdim) + _BAND_ROW_OVERHEAD_BYTES),
                 what=(f"embedding_dedup_incremental's batch band "
                       f"shuffle (n_batch={n_batch:,}, dim={int(bdim)}, "
                       f"repetitions={repetitions}, probes={probes})"),
@@ -1032,11 +1034,18 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
                 ))
     # spread the batch before the Python signature kernel (the text
     # twin's repartition rationale: a nightly batch often lands as a
-    # file or two, capping the Arrow kernel at 1-2 tasks)
+    # file or two, capping the Arrow kernel at 1-2 tasks).  Nulls are
+    # dropped BEFORE the exchange — they band to nothing, and an
+    # all-null batch (a failed upstream embedding job) must cost zero
+    # shuffle instead of n_all x ~40 B of dead framing that the
+    # n_batch==0 preflight skip would otherwise wave through
+    # (round-14 review).  The output contract keeps them: the final
+    # left join re-attaches every new_df id with n_matched_seen=0.
     nparts = max(
         new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
     banded_new, _ = _hyperplane_banded(
-        new_df.repartition(nparts), vec_col, id_col, planes, seed,
+        new_df.where(F.col(vec_col).isNotNull()).repartition(nparts),
+        vec_col, id_col, planes, seed,
         repetitions, method, dim=dim, probes=probes)
     counts = None
     if banded_new is not None:
@@ -1176,9 +1185,11 @@ def _embedding_probe(df: DataFrame, vec_col: str):
         p = df.agg(
             F.count(F.when(F.col(vec_col).isNotNull(), F.lit(1)))
             .alias("n"),
-            # total rows too: null-vector rows carry no vector bytes
-            # but still cross any pre-band repartition at ~40 B of
-            # framing each (round-13 ADVICE)
+            # total rows ride along for free (same job) — consumers
+            # that care about the null fraction (diagnostics, future
+            # models) get it without a second probe; the current
+            # scratch models ignore it because every pre-band
+            # repartition filters nulls first
             F.count(F.lit(1)).alias("n_all"),
             F.first(F.when(F.col(vec_col).isNotNull(),
                            F.size(F.col(vec_col))), ignorenulls=True)

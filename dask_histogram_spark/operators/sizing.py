@@ -200,6 +200,12 @@ def check_shuffle_scratch(spark, est_bytes: int, *, what: str,
 
 _PROBE_MEMO: dict[tuple, tuple] = {}
 _PROBE_MEMO_MAX = 256
+# guards the memo dict + counter: parallel job submission from driver
+# threads is a normal Spark pattern, and an unguarded FIFO eviction
+# can raise "dictionary changed size during iteration" from inside a
+# preflight (round-14 review).  compute() runs OUTSIDE the lock — a
+# probe is a Spark job and must not serialize unrelated threads.
+_PROBE_LOCK = __import__("threading").Lock()
 # incremented on every MISS (actual probe job) — lets tests assert
 # "<= 1 probe per distinct input" without spying on Spark internals
 PROBE_COMPUTE_COUNT = 0
@@ -210,30 +216,40 @@ def memoized_probe(df, kind: tuple, compute):
     semantic plan, ``kind``) for the life of the session.  ``kind``
     distinguishes probe shapes over the same input (e.g. the text
     probe's (text_col,) vs the embedding probe's (vec_col,)).
-    Falls back to an unmemoized ``compute()`` when the semantic hash
-    is unavailable (never turns a working guard off)."""
+    The session component is ``applicationId`` (the repo's session-
+    cache convention) — an object address would be recyclable after a
+    stopped session is GC'd and could serve another session's stale
+    statistics (round-14 review).  Falls back to an unmemoized
+    ``compute()`` when the semantic hash is unavailable (never turns
+    a working guard off).  Two threads missing the same key may both
+    probe (benign duplicate job); the dict itself stays consistent."""
     global PROBE_COMPUTE_COUNT
     try:
-        key = (id(df.sparkSession), df.semanticHash(),
-               str(df.schema), tuple(kind))
+        key = (df.sparkSession.sparkContext.applicationId,
+               df.semanticHash(), str(df.schema), tuple(kind))
     except Exception:  # pragma: no cover - analysis-time failure
-        PROBE_COMPUTE_COUNT += 1
+        with _PROBE_LOCK:
+            PROBE_COMPUTE_COUNT += 1
         return compute()
-    hit = _PROBE_MEMO.get(key)
+    with _PROBE_LOCK:
+        hit = _PROBE_MEMO.get(key)
+        if hit is None:
+            PROBE_COMPUTE_COUNT += 1
     if hit is not None:
         return hit
-    PROBE_COMPUTE_COUNT += 1
     val = compute()
-    if len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
-        _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
-    _PROBE_MEMO[key] = val
+    with _PROBE_LOCK:
+        if len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
+            _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
+        _PROBE_MEMO[key] = val
     return val
 
 
 def clear_probe_memo() -> None:
     """Drop every memoized probe result — call after rewriting data
     in place under a path a guarded operator already probed."""
-    _PROBE_MEMO.clear()
+    with _PROBE_LOCK:
+        _PROBE_MEMO.clear()
 
 
 def agg_partitions(spark, est_groups: int, *,

@@ -163,7 +163,10 @@ def e_sink(spark, sf_dir):
     return q._q_pipeline(spark, sf_dir)
 
 
-O_SINK = f"SELECT p.*, 1 AS sink_ok FROM ({O_PREPARE}) p"
+# the COMMITTED row oracle, by reference — re-deriving it here would
+# let the leg twin drift from the gate if the row oracle ever changes
+# (round-14 review)
+O_SINK = q.ORACLES["pipeline_prepare_corpus"]
 
 
 # ---------------------------------------------------------------------------

@@ -525,6 +525,11 @@ def test_png_decoder_fails_loud(spark):
     short = _png_bytes(2, 2, 8, 2, b"\x00" + bytes(6))  # one row only
     with pytest.raises(ValueError, match="IDAT stream"):
         png_decoder(short)
+    # encoder-side fail-loud: palette (type 3) would need a PLTE
+    # chunk the encoder never emits — silent success would ship an
+    # invalid file (round-14 review)
+    with pytest.raises(ValueError, match="palette"):
+        png_encoder(np.zeros((2, 2), np.uint8), color_type=3)
 
 
 def test_png_roundtrip_all_filters(spark):
@@ -1119,14 +1124,18 @@ def test_guard_probes_memoized_per_input(spark, tables, tmp_path):
     sizing.clear_probe_memo()
 
 
-def test_embedding_preflights_count_null_row_repartition(spark, tables,
-                                                         tmp_path):
-    """Round-13 ADVICE: the writer/incremental embedding preflights'
-    pre-band repartition term must charge NULL-vector rows their ~40 B
-    of row framing — the repartition exchanges every row, not just the
-    banded (non-null) ones — so a mostly-null corpus near the budget
-    line is refused rather than dying mid-shuffle.  Budget sits
-    between the null-blind model and the corrected one."""
+def test_embedding_null_rows_never_cross_the_band_exchange(spark, tables,
+                                                           tmp_path):
+    """Round-14: null vectors are filtered BEFORE the writer's and the
+    incremental reader's pre-band repartition (they band to nothing,
+    so exchanging their ~40 B of framing was pure waste — round-13
+    ADVICE modeled that cost, round-14 removes it).  Pins: (a) a
+    mostly-null corpus passes at a budget sized for the NON-null
+    exchange only — a plan that still shuffled nulls would need the
+    extra framing headroom; (b) the output contract keeps null rows
+    at n_matched_seen=0; (c) an ALL-null batch runs at a 1 KiB budget
+    (zero band shuffle launches — the n_batch=0 preflight skip is
+    safe because nothing crosses)."""
     import pytest
     from unittest.mock import patch
 
@@ -1143,36 +1152,38 @@ def test_embedding_preflights_count_null_row_repartition(spark, tables,
     elem = emb.schema["embedding"].dataType.elementType
     elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
     row_bytes = elem_bytes * dim + _BAND_ROW_OVERHEAD_BYTES
-    nn = 200_000  # null pad whose framing bytes dominate the model
+    nn = 200_000  # null pad: framing would dominate IF it crossed
     nulls = (spark.range(nn)
              .select((F.col("id") + 10_000_000).alias("vec_id"),
                      F.lit(None).cast(emb.schema["embedding"].dataType)
                      .alias("embedding")))
     padded = emb.unionByName(nulls)
 
-    # writer, reps=1: null-blind model = n*(1+1)*row_bytes; corrected
-    # adds nn*overhead.  Budget (with the 2x safety) between the two.
+    # (a) writer: budget = non-null model + slack, FAR below what the
+    # null framing would add (nn * 40 B ~ 8 MB vs the ~0.3 MB model)
     reps = 1
-    nonnull_est = n * (reps + 1) * row_bytes
-    null_term = nn * _BAND_ROW_OVERHEAD_BYTES
-    budget = int(2 * (nonnull_est + null_term / 2))
+    budget = int(2 * n * (reps + 1) * row_bytes * 1.5)
+    sizing.clear_probe_memo()
     with patch.object(sizing, "scratch_budget", return_value=budget):
-        with pytest.raises(RuntimeError, match="pre-band repartition"):
-            write_embedding_signature_table(
-                padded, "null_repart_tbl", planes=8, repetitions=reps)
-    assert not spark.catalog.tableExists("null_repart_tbl__params")
-
-    # incremental reader, batch side: same correction.  Seen table is
-    # built OUTSIDE the tiny-budget patch from the non-null corpus.
-    write_embedding_signature_table(emb, "null_repart_seen", planes=8,
-                                    repetitions=1,
-                                    path=str(tmp_path / "seen"))
-    rows_per_vec = 1 * (1 + 0) + 1  # reps=1, probes=0, + repartition
-    nonnull_est = n * rows_per_vec * row_bytes
-    budget = int(2 * (nonnull_est + null_term / 2))
+        write_embedding_signature_table(
+            padded, "null_skip_tbl", planes=8, repetitions=reps,
+            path=str(tmp_path / "t"))  # must NOT raise
+    # (b) incremental over the padded batch at the same tight budget:
+    # runs, and every null row comes back n_matched_seen=0
+    rows_per_vec = 1 * (1 + 0) + 1
+    budget = int(2 * n * rows_per_vec * row_bytes * 1.5)
     with patch.object(sizing, "scratch_budget", return_value=budget):
-        with pytest.raises(RuntimeError, match="batch band shuffle"):
-            embedding_dedup_incremental(padded, "null_repart_seen")
+        out = embedding_dedup_incremental(padded, "null_skip_tbl",
+                                          threshold=0.999)
+        got = {r.vec_id: r.n_matched_seen for r in out.collect()}
+    assert len(got) == n + nn
+    assert all(got[10_000_000 + i] == 0 for i in range(0, nn, 50_000))
+    assert sum(1 for v in got.values() if v >= 1) == n  # self-twins
+    # (c) all-null batch: zero band shuffle, passes a 1 KiB budget
+    with patch.object(sizing, "scratch_budget", return_value=1024):
+        out = embedding_dedup_incremental(nulls, "null_skip_tbl")
+        assert out.where("n_matched_seen != 0").count() == 0
+        assert out.count() == nn
 
 
 def test_text_preflight_exact_fallback_catches_heavy_tail(spark):
