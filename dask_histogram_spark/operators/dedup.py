@@ -525,6 +525,70 @@ _PROBE_SAMPLE_FRACTION = 0.02
 _PROBE_EXACT_FALLBACK_ROWS = 5000
 
 
+def _text_probe(df: DataFrame, text_col: str) -> tuple[int, int, int, int]:
+    """Memoized text statistics for the band preflight and the
+    pre-fold partition sizing: (row count, sampled rows, sampled
+    non-null-text rows, sampled text bytes) — see
+    :func:`_text_band_preflight` for the sampling rationale.  One
+    probe job per distinct (session, plan, column); both consumers
+    share the same memo entry."""
+    from .sizing import memoized_probe
+
+    def _probe() -> tuple[int, int, int, int]:
+        smp = df.withColumn("__smp",
+                            F.rand(13) < F.lit(_PROBE_SAMPLE_FRACTION))
+        sampled_txt = F.when(F.col("__smp"), F.col(text_col))
+        s = smp.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.col("__smp").cast("long")).alias("s_all"),
+            F.count(sampled_txt).alias("s_txt"),
+            F.coalesce(F.sum(F.octet_length(sampled_txt)), F.lit(0))
+            .alias("s_chars")).first()
+        n_all = int(s["n_all"])
+        if not n_all:
+            return 0, 0, 0, 0
+        s_all, s_txt, s_chars = (int(s["s_all"] or 0), int(s["s_txt"]),
+                                 int(s["s_chars"]))
+        if s_all < _PROBE_EXACT_FALLBACK_ROWS:
+            # small/mid corpus (or pathological sample): exact probe.
+            # A few-hundred-row sample can miss rare giant documents
+            # in a heavy-tailed length distribution and understate
+            # total bytes (round-13 ADVICE), and below ~250k docs
+            # (5000 sampled rows at 2%) the exact agg is as cheap as
+            # the sampled one.
+            e = df.agg(
+                F.count(F.col(text_col)).alias("s_txt"),
+                F.coalesce(F.sum(F.octet_length(F.col(text_col))),
+                           F.lit(0)).alias("s_chars")).first()
+            s_all, s_txt, s_chars = (n_all, int(e["s_txt"]),
+                                     int(e["s_chars"]))
+        return n_all, s_all, s_txt, s_chars
+
+    # memoized per (session, semantic plan, column): chained pipelines
+    # pass one corpus through several guarded operators, and each probe
+    # re-executes the uncached upstream — one probe per distinct input
+    # per session is enough (round-13 VERDICT #4; statistics drift is
+    # within the guards' 2x safety factor)
+    return memoized_probe(df, ("text_band", text_col), _probe)
+
+
+def _probed_fold_parts(df: DataFrame, text_col: str) -> int:
+    """Pre-fold spread width for the text-side signature folds: the
+    byte-derived :func:`~.sizing.fold_partitions` count when the
+    memoized text probe is available (local mode — the scratch
+    preflight already paid for the probe), else the lazy
+    2 x defaultParallelism fallback (cluster mode keeps the
+    zero-eager-jobs contract)."""
+    from .sizing import fold_partitions, scratch_budget
+
+    spark = df.sparkSession
+    if scratch_budget(spark) is None:
+        return fold_partitions(spark, None)
+    n_all, s_all, s_txt, s_chars = _text_probe(df, text_col)
+    chars = n_all * s_chars // max(s_all, 1) if n_all else 0
+    return fold_partitions(spark, chars)
+
+
 def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
                          bands: int, hash_fn: str, *, join_sides: int,
                          carry_sig: bool, sig_gate: bool, what: str,
@@ -562,45 +626,9 @@ def _text_band_preflight(df: DataFrame, text_col: str, num_perm: int,
     ADVICE).  Like the embedding twin: callers composing over
     an expensive uncached upstream should ``persist()`` it first —
     the probe re-executes the upstream plan once."""
-    from .sizing import check_shuffle_scratch, memoized_probe
+    from .sizing import check_shuffle_scratch
 
-    def _probe() -> tuple[int, int, int, int]:
-        smp = df.withColumn("__smp",
-                            F.rand(13) < F.lit(_PROBE_SAMPLE_FRACTION))
-        sampled_txt = F.when(F.col("__smp"), F.col(text_col))
-        s = smp.agg(
-            F.count(F.lit(1)).alias("n_all"),
-            F.sum(F.col("__smp").cast("long")).alias("s_all"),
-            F.count(sampled_txt).alias("s_txt"),
-            F.coalesce(F.sum(F.octet_length(sampled_txt)), F.lit(0))
-            .alias("s_chars")).first()
-        n_all = int(s["n_all"])
-        if not n_all:
-            return 0, 0, 0, 0
-        s_all, s_txt, s_chars = (int(s["s_all"] or 0), int(s["s_txt"]),
-                                 int(s["s_chars"]))
-        if s_all < _PROBE_EXACT_FALLBACK_ROWS:
-            # small/mid corpus (or pathological sample): exact probe.
-            # A few-hundred-row sample can miss rare giant documents
-            # in a heavy-tailed length distribution and understate
-            # total bytes (round-13 ADVICE), and below ~250k docs
-            # (5000 sampled rows at 2%) the exact agg is as cheap as
-            # the sampled one.
-            e = df.agg(
-                F.count(F.col(text_col)).alias("s_txt"),
-                F.coalesce(F.sum(F.octet_length(F.col(text_col))),
-                           F.lit(0)).alias("s_chars")).first()
-            s_all, s_txt, s_chars = (n_all, int(e["s_txt"]),
-                                     int(e["s_chars"]))
-        return n_all, s_all, s_txt, s_chars
-
-    # memoized per (session, semantic plan, column): chained pipelines
-    # pass one corpus through several guarded operators, and each probe
-    # re-executes the uncached upstream — one probe per distinct input
-    # per session is enough (round-13 VERDICT #4; statistics drift is
-    # within the guards' 2x safety factor)
-    n_all, s_all, s_txt, s_chars = memoized_probe(
-        df, ("text_band", text_col), _probe)
+    n_all, s_all, s_txt, s_chars = _text_probe(df, text_col)
     if not n_all:
         return  # empty: no band shuffle will launch at all
     n_txt = n_all * s_txt // max(s_all, 1)
@@ -740,8 +768,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # small SF) and the fold is the expensive stage — without the spread
     # it runs on that handful of cores (measured 13.1 s vs 4.9 s at
     # sf0.1 for the stats twin).  At 100 TB input splits are already
-    # parallel and this exchange (ids + text, once) is noise.
-    nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    # parallel and this exchange (ids + text, once) is noise.  The
+    # count is byte-derived from the (memoized) text probe, not a
+    # fixed core multiple: 2 x cores over-splits a small corpus into
+    # scheduling-floor tasks (round-15: the sf0.1 fold reads 1.0 s at
+    # 64 parts vs 0.66 s at 8-32).
+    nparts = _probed_fold_parts(df, text_col)
     sigs = minhash_signatures(df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn)
     if persist:
@@ -927,8 +959,8 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
     # spread the signature fold across the cluster before the expensive
     # stage (same rationale as minhash_lsh_candidates' pre-fold
     # repartition: the corpus often arrives in a handful of scan
-    # partitions)
-    nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    # partitions; byte-derived count, see _probed_fold_parts)
+    nparts = _probed_fold_parts(df, text_col)
     sigs = minhash_signatures(df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn, method)
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
@@ -1077,7 +1109,7 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
                 "per shard (each run shuffles only its shard; the "
                 "seen table is read co-located either way)",
             ))
-    nparts = max(new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    nparts = _probed_fold_parts(new_df, text_col)
     sigs = minhash_signatures(new_df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn, method)
     banded_new = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
@@ -1155,7 +1187,7 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
     exactly once, so nothing needs to persist; the only other shuffle
     is the distinct over the generated pair set itself.
     """
-    nparts = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    nparts = _probed_fold_parts(df, text_col)
     sigs = minhash_signatures(df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn)
     banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn)
@@ -1710,7 +1742,8 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
                          pair_b: str = "id_b",
                          hashed: bool = True,
                          persist: bool = False,
-                         method: str = "auto") -> DataFrame:
+                         method: str = "auto",
+                         broadcast_pairs: bool = False) -> DataFrame:
     """Exact character-k-gram Jaccard computed ONLY on candidate pairs —
     the verification step between LSH candidate generation and
     clustering (candidates -> verify -> :func:`dedup_clusters`).
@@ -1745,6 +1778,17 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
     :func:`release_candidates_cache` once materialized).  NOTE: the
     ``pairs`` plan is consumed three times here (two involved-id scans
     + the pair join) — checkpoint/persist it first if it is expensive.
+
+    ``broadcast_pairs`` hints the pair set (and its distinct involved
+    ids) as the broadcast side of every join here.  A checkpointed
+    pair set is a stats-less LogicalRDD, so without the hint the
+    planner falls back to sort-merge and SHUFFLES the per-doc shingle
+    arrays — the heavy side — twice (round-15 plan audit: 2 exchanges
+    of the array projection + 2 SMJ sorts at sf0.1).  Candidates out
+    of a capped LSH are pair-id rows bounded far below the corpus
+    (<= C(max_bucket, 2) per bucket), exactly the "decide with small
+    rows, move big rows once" broadcast case; leave False only when
+    the candidate set can rival the corpus in size.
 
     Output: (pair_a, pair_b, jaccard) for pairs with jaccard >=
     ``threshold`` over distinct-shingle sets — same definition as
@@ -1781,6 +1825,8 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
         .unionByName(pairs.select(F.col(pair_b).alias(id_col)))
         .distinct()
     )
+    if broadcast_pairs:
+        needed = F.broadcast(needed)
     shingled = (
         docs.join(needed, id_col, "left_semi")
         .select(F.col(id_col), sh.alias("__sh"))
@@ -1796,8 +1842,16 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
                         F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    # broadcast_pairs: the first join builds its hash relation from
+    # the tiny pair set, so the a-side shingle arrays are probed in
+    # place (no exchange, no sort).  The second join's left side
+    # already carries __sha (too big to broadcast — it would collect
+    # every involved array to the driver), so it stays planner-chosen;
+    # its exchange is the one place the arrays legitimately move.
+    joined = (F.broadcast(pairs) if broadcast_pairs else pairs) \
+        .join(a, pair_a)
     out = (
-        pairs.join(a, pair_a).join(b, pair_b)
+        joined.join(b, pair_b)
         .select(pair_a, pair_b, F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -956,8 +956,12 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and would otherwise re-run the band join each time
     pruned = cands.localCheckpoint()
     release_candidates_cache(cands)  # signature cache served its turn
+    # broadcast_pairs: pruned is a checkpointed ~C(max_bucket,2)-bounded
+    # pair-id set (30k rows at sf0.1) with no stats — without the hint
+    # the planner sort-merges and shuffles the shingle arrays twice
+    # (round-15 plan audit)
     verified = jaccard_verify_pairs(pruned, corpus, k=8, threshold=0.5,
-                                    persist=True)
+                                    persist=True, broadcast_pairs=True)
     # dedup_clusters is eager (localCheckpoint-per-round), so by the
     # time it returns the verify join has fully run — release the
     # cached projections before handing the result back.
