@@ -974,7 +974,8 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
                                 planes: int = 16, seed: int = 23,
                                 repetitions: int = 1,
                                 method: str = "auto",
-                                probes: int = 0) -> DataFrame:
+                                probes: int = 0,
+                                base_counts: bool = False) -> DataFrame:
     """Cross-run embedding near-dup gate: for every vector of a new
     batch, how many seen vectors it near-duplicates (exact cosine >=
     ``threshold`` among hyperplane-LSH candidates) — the embedding
@@ -996,7 +997,20 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     table (whose size is corpus x repetitions x dim).  Candidates are
     a superset of the unprobed ones; the exact-cosine verify and the
     per-pair max-reduce keep counts duplicate-free.
+
+    ``base_counts=True`` (requires ``probes > 0``) additionally
+    returns ``n_matched_seen_base`` — the count the SAME call with
+    ``probes=0`` would have produced (pairs whose candidate arose
+    from a base ``__probe = 0`` signature; probed candidates are a
+    strict superset, and a pair's min ``__probe`` over its band rows
+    is 0 exactly when the base signatures collide on some rep).  A
+    caller that needs both the probed and the unprobed gate over one
+    batch then bands and joins ONCE instead of twice — the banding
+    kernel, the batch exchange and the seen-table candidate join are
+    all shared (guide §1.2: don't compute the same pass twice).
     """
+    if base_counts and not probes:
+        raise ValueError("base_counts=True requires probes > 0")
     dim = None
     if isinstance(seen_banded, str):
         seen_banded, (planes, seed, repetitions, dim) = (
@@ -1041,8 +1055,23 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
     # n_batch==0 preflight skip would otherwise wave through
     # (round-14 review).  The output contract keeps them: the final
     # left join re-attaches every new_df id with n_matched_seen=0.
-    nparts = max(
-        new_df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    # The spread width derives from the probed batch size when the
+    # probe already ran (local mode): a fixed 2 x cores slices a
+    # ~2 MB nightly batch into 125-row Python-worker handoffs
+    # (round-15: 1.31 s at 64 parts vs 0.54 s at 8 for the sf0.1
+    # batch); cluster mode (no probe) keeps the fixed fallback.
+    from .sizing import fold_partitions
+
+    probed_n = None
+    if scratch_budget(new_df.sparkSession) is not None:
+        probed_n, _, probed_dim = _embedding_probe(new_df, vec_col)
+        elem = new_df.schema[vec_col].dataType.elementType
+        elem_bytes = 4 if isinstance(elem, T.FloatType) else 8
+        est_bytes = probed_n * ((probed_dim or 0) * elem_bytes
+                                + _BAND_ROW_OVERHEAD_BYTES)
+    nparts = fold_partitions(
+        new_df.sparkSession, None if probed_n is None else est_bytes,
+        est_rows=probed_n, per_task_rows=512)
     banded_new, _ = _hyperplane_banded(
         new_df.where(F.col(vec_col).isNotNull()).repartition(nparts),
         vec_col, id_col, planes, seed,
@@ -1055,30 +1084,42 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
         nw = banded_new.select(
             F.col(id_col).alias("__new_id"),
             F.col(vec_col).alias("__new_vec"),
+            *([F.col("__probe")] if base_counts else []),
             F.col("__rep").alias("rep"), F.col("__sig").alias("sig"))
         pairs = (
             nw.join(seen, ["rep", "sig"])
             .select(
                 "__new_id", "__seen_id",
+                *([F.col("__probe")] if base_counts else []),
                 F.round(cosine_expr(F.col("__new_vec"),
                                     F.col("__seen_vec")), 6)
                 .alias("cos_sim"))
             # pair-constant across its band rows: max == the value
             .groupBy("__new_id", "__seen_id")
-            .agg(F.max("cos_sim").alias("cos_sim"))
+            .agg(F.max("cos_sim").alias("cos_sim"),
+                 # min __probe == 0 iff some BASE signature collided:
+                 # exactly the probes=0 candidate set
+                 *([F.min("__probe").alias("__minp")]
+                   if base_counts else []))
             .where(F.col("cos_sim") >= threshold)
         )
         counts = pairs.groupBy("__new_id").agg(
-            F.count(F.lit(1)).alias("n_matched_seen"))
+            F.count(F.lit(1)).alias("n_matched_seen"),
+            *([F.count(F.when(F.col("__minp") == 0, F.lit(1)))
+               .alias("n_matched_seen_base")] if base_counts else []))
     out = new_df.select(id_col)
+    base_cols = (["n_matched_seen_base"] if base_counts else [])
     if counts is not None:
         out = out.join(counts, F.col(id_col) == F.col("__new_id"), "left")
     else:
-        out = out.withColumn("n_matched_seen", F.lit(None).cast("long"))
+        for c in ["n_matched_seen", *base_cols]:
+            out = out.withColumn(c, F.lit(None).cast("long"))
     return out.select(
         id_col,
         F.coalesce(F.col("n_matched_seen"), F.lit(0).cast("long"))
         .alias("n_matched_seen"),
+        *[F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+          for c in base_cols],
     )
 
 

@@ -280,7 +280,9 @@ FOLD_TASK_BYTES = 64 << 20
 
 
 def fold_partitions(spark, est_bytes: int | None, *,
-                    per_task_bytes: int = FOLD_TASK_BYTES) -> int:
+                    per_task_bytes: int = FOLD_TASK_BYTES,
+                    est_rows: int | None = None,
+                    per_task_rows: int | None = None) -> int:
     """Partition count for the pre-fold spread of a compute-heavy
     projection (the ``df.repartition(n)`` before a signature fold or
     Arrow kernel, needed because a small-SF corpus arrives in a
@@ -291,13 +293,25 @@ def fold_partitions(spark, est_bytes: int | None, *,
     under-splits huge ones (guide §2: derive partitioning from input
     size, not a constant tuned for one scale).
 
+    ``est_rows``/``per_task_rows`` additionally cap the count for
+    row-cheap inputs: a 4k-row embedding batch is ~2 MB, so the byte
+    term says 1 chunk and the core floor says 32 — but 32 tasks of
+    125 rows each are pure Python-worker handoff (measured 0.79 s vs
+    0.54 s at 8 tasks for the sf0.1 nightly batch).  The cap never
+    *raises* the count above the core floor; it only stops tiny
+    inputs from being sliced thinner than ``per_task_rows`` rows per
+    task.
+
     ``est_bytes=None`` (no probe available — cluster mode keeps the
     zero-eager-jobs laziness contract) falls back to the previous
     fixed sizing of ``2 x defaultParallelism``."""
     p = int(spark.sparkContext.defaultParallelism)
     if est_bytes is None:
         return max(p * 2, 16)
-    return max(p, -(-int(est_bytes) // int(per_task_bytes)))
+    floor = p
+    if est_rows is not None and per_task_rows:
+        floor = min(floor, max(1, -(-int(est_rows) // int(per_task_rows))))
+    return max(floor, -(-int(est_bytes) // int(per_task_bytes)))
 
 
 def current_shuffle_partitions(spark) -> int:

@@ -2249,16 +2249,24 @@ def _q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str,
         F.col("doc_id").alias("vec_id"),
         F.col("cluster_id").alias("n"),
     )
-    # name-based call: planes/seed/repetitions/dim come from __params
-    inc = embedding_dedup_incremental(new, emb_tbl,
-                                      threshold=0.3)
-    # kind='probe': the same nightly batch MULTI-PROBED (probes=1 —
-    # each new vector also joins under its lowest-margin bit-flip
-    # signature) against the same persisted table; gates the flip
-    # ranking/string arithmetic cross-engine (the oracle reproduces
-    # the coalesce-to-infinity margin sort and the substr flip)
-    prb = embedding_dedup_incremental(new, emb_tbl,
-                                      threshold=0.3, probes=1)
+    # kind='incremental' + kind='probe' from ONE banded join
+    # (round-15, guide §1.2): the probe leg (probes=1 — each new
+    # vector also joins under its lowest-margin bit-flip signature,
+    # gating the flip ranking/string arithmetic cross-engine) emits a
+    # candidate superset of the unprobed leg, so base_counts=True
+    # returns both counts from a single banding + seen-table join —
+    # n_matched_seen_base is exactly what the probes=0 call produced
+    # (a pair's min __probe is 0 iff base signatures collide).  The
+    # counts table is ~|batch| rows of three longs — localCheckpoint
+    # materializes it once, since two union branches projecting
+    # different columns would otherwise re-run the banded join twice
+    # (no cross-branch CSE in Catalyst once pruning diverges them).
+    both = embedding_dedup_incremental(new, emb_tbl,
+                                       threshold=0.3, probes=1,
+                                       base_counts=True).localCheckpoint()
+    inc = both.select("vec_id", F.col("n_matched_seen_base")
+                      .alias("n_matched_seen"))
+    prb = both.select("vec_id", "n_matched_seen")
     # kind='stream' (round-10, closes round-9 VERDICT missing #1): the
     # SAME nightly batch replayed as an availableNow file stream
     # through streaming_embedding_candidates(seen_table=...) — the

@@ -2645,6 +2645,19 @@ def test_multiprobe_recovers_single_bit_miss(spark, tmp_path):
                       new, "mp_sigs", threshold=0.99, probes=1).collect()}
         assert base[100] == 0 and probed[100] == 1   # recovered miss
         assert base[101] == 1 and probed[101] == 1   # no double-count
+        # base_counts=True fuses both gates into ONE banded join
+        # (round-15): n_matched_seen must equal the probes=1 call's
+        # count and n_matched_seen_base the probes=0 call's — pinned
+        # on the discriminating pair above, where the two differ
+        fused = {r.vec_id: (r.n_matched_seen, r.n_matched_seen_base)
+                 for r in embedding_dedup_incremental(
+                     new, "mp_sigs", threshold=0.99, probes=1,
+                     base_counts=True).collect()}
+        assert fused == {vid: (probed[vid], base[vid])
+                         for vid in (100, 101)}
+        with pytest.raises(ValueError, match="requires probes"):
+            embedding_dedup_incremental(new, "mp_sigs",
+                                        base_counts=True)
     finally:
         spark.sql("DROP TABLE IF EXISTS mp_sigs")
         spark.sql("DROP TABLE IF EXISTS mp_sigs__params")
