@@ -194,14 +194,34 @@ def _centroid_literal(centroids: np.ndarray):
     """(C, dim) numpy centroids as a CONSTANT array-of-structs Column
     literal with precomputed norms — the broadcast-free way to ship a
     small model to every task (argmin/argmax over it is a narrow map)."""
-    cnorms = np.linalg.norm(centroids.astype(np.float64), axis=1)
+    cents = centroids.astype(np.float64)
+    cnorms = np.linalg.norm(cents, axis=1)
+    if np.isfinite(cents).all() and np.isfinite(cnorms).all():
+        # ONE py4j round-trip (F.expr over a SQL string) instead of
+        # C x (dim + 3) F.lit/struct/alias calls: plan CONSTRUCTION is
+        # the dominant cost of a small-index search (round-15: 0.28 s
+        # -> 1.4 ms per literal at C=4/dim=64, and three literals are
+        # built per similarity_ivf_topk invocation).  repr()
+        # round-trips doubles exactly and the JVM parses them with
+        # Double.parseDouble — the literal is value- and
+        # schema-identical to the F.lit form (differentially checked,
+        # incl. signed zero and 1e±300).  Non-finite matrices (which a
+        # SQL double literal cannot spell without a nullability-
+        # changing CAST) take the F.lit path below.
+        parts = []
+        for i in range(cents.shape[0]):
+            vec = ",".join(f"{float(x)!r}D" for x in cents[i])
+            parts.append(
+                f"named_struct('cid',{int(i)},'cvec',array({vec}),"
+                f"'cnorm',{float(cnorms[i])!r}D)")
+        return F.expr("array(" + ",".join(parts) + ")")
     return F.array(*[
         F.struct(
             F.lit(int(i)).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in centroids[i]]).alias("cvec"),
+            F.array(*[F.lit(float(x)) for x in cents[i]]).alias("cvec"),
             F.lit(float(cnorms[i])).alias("cnorm"),
         )
-        for i in range(centroids.shape[0])
+        for i in range(cents.shape[0])
     ])
 
 

@@ -3117,8 +3117,12 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    functools.partial(shutil.rmtree, tmp,
                                      ignore_errors=True))
     path, path_q = _IVF_INDEX_CACHE[key][0]
-    indexed = ivf_topk_indexed(path, queries, k=5, nprobe=2)
-    quant = ivf_topk_indexed(path_q, queries, k=5, nprobe=2)
+    # centroids=cents: both indexes were built from cents in this very
+    # session (the cache above), so the documented override skips two
+    # eager sidecar loads (parquet read + orderBy + collect) per
+    # invocation — identical probe math by construction (round-15)
+    indexed = ivf_topk_indexed(path, queries, cents, k=5, nprobe=2)
+    quant = ivf_topk_indexed(path_q, queries, cents, k=5, nprobe=2)
     return inline.withColumn("leg", F.lit("inline")).unionByName(
         indexed.withColumn("leg", F.lit("indexed"))).unionByName(
         quant.withColumn("leg", F.lit("quant")))
