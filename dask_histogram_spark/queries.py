@@ -2719,8 +2719,14 @@ def _stream_replay(spark: SparkSession, corpus: DataFrame,
     name = "dhs_replay_" + uuid.uuid4().hex[:8]
     try:
         corpus.repartition(6).write.mode("overwrite").parquet(d)
+        # 3 files/trigger -> TWO micro-batches: the replay rows gate
+        # batch-split-invariant contracts (coverage/count invariants,
+        # monotone update aggregation), so two batches exercise the
+        # cross-micro-batch property at one less availableNow commit +
+        # per-batch replan (~1.2 s each, round-6 ladder); the per-file
+        # 6-batch deep coverage lives in tests/test_streaming.py
         stream = spark.readStream.schema(corpus.schema).option(
-            "maxFilesPerTrigger", 2
+            "maxFilesPerTrigger", 3
         ).parquet(d)
         q = (
             build(stream)
@@ -3850,8 +3856,10 @@ def _q_streaming_histogram_replay(spark: SparkSession,
     name = "dhs_swh_" + uuid.uuid4().hex[:8]
     try:
         ev.repartition(6).write.mode("overwrite").parquet(d)
+        # two micro-batches, same rationale as _stream_replay: the max
+        # over update-mode emissions is batch-split-invariant
         stream = spark.readStream.schema(ev.schema).option(
-            "maxFilesPerTrigger", 2
+            "maxFilesPerTrigger", 3
         ).parquet(d)
         out = windowed_histogram(stream, "ts", ["value"], _WINDOWED_SPEC,
                                  window="1 day", watermark="60 days")

@@ -52,6 +52,16 @@ def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Spark 4's DataFrame-debugging call-site capture wraps EVERY
+        # PySpark Column/DataFrame API call in ~3 extra py4j round
+        # trips (conf.get + PySparkCurrentOrigin.set/clear) — measured
+        # ~0.7 ms per driver API call, which multiplies into seconds
+        # of pure plan-construction wall on expression-heavy operators
+        # (round-15: contamination_near_dup's band explode alone spent
+        # 2.2 s/build in py4j socket reads).  Debug-only feature;
+        # plans, results and error TYPES are unchanged — errors just
+        # lose the enriched call-site line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
