@@ -244,6 +244,66 @@ def _fnv1a32_shingles_np(s: str, k: int) -> np.ndarray:
     return np.array([h], dtype=np.uint64)
 
 
+def _fnv_shingles_flat(texts: list, k: int, bits: int) -> tuple:
+    """Batched twin of ``[_fnv1a{bits}_shingles_np(t, k) for t in
+    texts]`` — ONE utf-32 encode of the whole Arrow batch and ONE
+    slice-shifted fold over it (k contiguous passes, no per-window
+    gather), with the window hashes that would cross a document
+    boundary gathered out afterwards.  The per-document Python loop
+    was the kernel's dominant cost at realistic document sizes
+    (round-15: 0.32 s of per-doc overhead for 1.5 M shingles at
+    sf0.1); this form is one encode + k vectorized passes regardless
+    of batch size.
+
+    Returns ``(H, lens)`` with ``H[off[i] : off[i] + lens[i]]``
+    bit-identical (values AND order) to the per-doc kernel's output
+    for ``texts[i]`` — pinned by the differential test
+    ``test_fnv_batch_kernel_matches_per_doc``.  Documents shorter
+    than ``k`` (including empty) take the per-doc scalar fold, same
+    as before.  ``texts`` must be ``str`` (callers normalize None).
+    """
+    n = len(texts)
+    clens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    long_m = clens >= k
+    out_lens = np.where(long_m, clens - (k - 1), 1)
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(out_lens[:-1], out=off[1:])
+    per_doc = (_fnv1a32_shingles_np if bits == 32 else _fnv1a64_shingles_np)
+    out_dt = np.uint64 if bits == 32 else np.int64
+    H = np.empty(int(out_lens.sum()), dtype=out_dt)
+    if long_m.any():
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                           dtype=np.uint32)
+        if bits == 32:
+            work_dt = np.uint32
+            offset, prime = np.uint32(2166136261), np.uint32(16777619)
+        else:
+            cp = cp.astype(np.uint64)
+            work_dt = np.uint64
+            offset = np.uint64(14695981039346656037)
+            prime = np.uint64(1099511628211)
+        nw = len(cp) - k + 1
+        h = np.full(nw, offset, dtype=work_dt)
+        with np.errstate(over="ignore"):  # uintN wrap is the hash
+            for j in range(k):
+                h = (h ^ cp[j:j + nw]) * prime
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(clens[:-1], out=starts[1:])
+        lcounts = out_lens[long_m]
+        coff = np.zeros(len(lcounts), dtype=np.int64)
+        np.cumsum(lcounts[:-1], out=coff[1:])
+        ar = np.arange(int(lcounts.sum()), dtype=np.int64)
+        src = np.repeat(starts[long_m] - coff, lcounts) + ar
+        dst = np.repeat(off[long_m] - coff, lcounts) + ar
+        if bits == 32:
+            H[dst] = h[src].astype(np.uint64)
+        else:
+            H[dst] = h[src].view(np.int64)
+    for i in np.nonzero(~long_m)[0]:
+        H[off[i]] = per_doc(texts[i], k)[0]
+    return H, out_lens
+
+
 def agreement_gate(num_perm: int, jaccard: float = 0.9,
                    miss_rate: float = 1.1e-2) -> int:
     """Derive a MinHash component-agreement gate from theory, not
@@ -371,18 +431,38 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         M = np.uint64(_MERSENNE31)
         k = shingle_k
 
-        def perm_mins(arrs: list) -> pd.Series:
+        def perm_mins(H: "np.ndarray", lens: "np.ndarray") -> pd.Series:
             # every doc yields >= 1 shingle (greatest(..., 1)), so
-            # segments are never empty
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                               count=len(arrs))
-            H = np.concatenate(arrs).astype(np.uint64)
+            # segments are never empty.  The per-lane `% M` is a
+            # Mersenne-prime reduction (2^31 ≡ 1 mod M31, so
+            # x mod M31 folds as (x & M) + (x >> 31)) — shift/add/
+            # compare instead of a 64-bit divide per element per lane,
+            # exact for the < 2^62 + 2^31 intermediates here (two
+            # folds bound v by 2^31, one conditional subtract
+            # finishes; round-15: the divide was the fold's hot op).
             offsets = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
             sigs = np.empty((len(lens), len(An)), dtype=np.int64)
+            sh31 = np.uint64(31)
             Hm = H % M  # reduce once: (Hm * a + b) < 2^62 + 2^31, exact
+            # preallocated buffers + in-place ufuncs: the lane loop is
+            # memory-traffic-bound, and the expression form allocated
+            # ~6 temporaries per lane (round-15: 0.65 s -> 0.30 s at
+            # sf0.1, bit-identical)
+            v = np.empty_like(Hm)
+            t = np.empty_like(Hm)
+            mb = np.empty(len(Hm), dtype=bool)
             for j in range(len(An)):
-                v = (Hm * An[j] + Bn[j]) % M
+                np.multiply(Hm, An[j], out=v)
+                v += Bn[j]
+                np.right_shift(v, sh31, out=t)
+                v &= M
+                v += t                      # < 2^32
+                np.right_shift(v, sh31, out=t)
+                v &= M
+                v += t                      # <= 2^31
+                np.greater_equal(v, M, out=mb)
+                v[mb] -= M                  # == v % M, exactly
                 sigs[:, j] = np.minimum.reduceat(v, offsets).astype(np.int64)
             return pd.Series(list(sigs))
 
@@ -394,13 +474,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             # (The Column hash expression cannot feed a pandas_udf —
             # its nested aggregate lambda is not interpretable inside
             # the Arrow eval boundary — and shipping text once is no
-            # more shuffle than shipping the hash arrays.)
+            # more shuffle than shipping the hash arrays.)  The
+            # whole batch is shingled in ONE encode + k vectorized
+            # passes (_fnv_shingles_flat), not a per-doc loop.
             @F.pandas_udf(T.ArrayType(T.LongType()))
             def fold_text(texts: pd.Series) -> pd.Series:
                 if len(texts) == 0:
                     return pd.Series([], dtype=object)
-                return perm_mins(
-                    [_fnv1a32_shingles_np(t or "", k) for t in texts])
+                H, lens = _fnv_shingles_flat(
+                    [t or "" for t in texts], k, 32)
+                return perm_mins(H, lens)
 
             return df.select(F.col(id_col),
                              fold_text(F.col(text_col)).alias("sig"))
@@ -412,7 +495,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         def fold(hs: pd.Series) -> pd.Series:
             if len(hs) == 0:
                 return pd.Series([], dtype=object)
-            return perm_mins([np.asarray(a, dtype=np.int64) for a in hs])
+            arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            H = np.concatenate(arrs).astype(np.uint64)
+            return perm_mins(H, lens)
 
         return df.select(F.col(id_col), fold(hashes).alias("sig"))
 
@@ -1372,10 +1459,17 @@ def _jaccard_bincount(df: DataFrame, shingles: Column, id_col: str,
         ids = tt.column(id_col).to_numpy(zero_copy_only=False)
         # NULL text -> zero shingles (the doc can never pair), matching
         # the Column hash path where transform(null) yields a null
-        # array and the index join where explode(null) emits no rows
-        per_doc = [np.unique(_fnv1a64_shingles_np(t, k))
-                   if t is not None else np.zeros(0, dtype=np.int64)
-                   for t in tt.column(text_col).to_pylist()]
+        # array and the index join where explode(null) emits no rows.
+        # Batch kernel + per-doc segment unique (downstream np.unique
+        # over allh re-sorts globally, so only per-doc dedup matters).
+        tlist = tt.column(text_col).to_pylist()
+        Hf, flens = _fnv_shingles_flat(
+            [t if t is not None else "" for t in tlist], k, 64)
+        foffs = np.zeros(len(flens), dtype=np.int64)
+        np.cumsum(flens[:-1], out=foffs[1:])
+        per_doc = [np.unique(Hf[o:o + ln]) if t is not None
+                   else np.zeros(0, dtype=np.int64)
+                   for t, o, ln in zip(tlist, foffs, flens)]
         lens0 = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
                             count=len(per_doc))
         allh = (np.concatenate(per_doc) if per_doc
@@ -1799,10 +1893,19 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
     if hashed and method == "arrow":
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def sh_arrow(texts: pd.Series) -> pd.Series:
+            # batch kernel (one encode + k passes) instead of a
+            # per-doc hash loop; None stays None (a "" placeholder
+            # costs one dead hash and keeps the indexing flat)
+            tl = texts.tolist()
+            if not tl:
+                return pd.Series([], dtype=object)
+            H, lens = _fnv_shingles_flat(
+                [t if t is not None else "" for t in tl], k, 64)
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
             return pd.Series(
-                [np.unique(_fnv1a64_shingles_np(t, k)) if t is not None
-                 else None
-                 for t in texts])
+                [np.unique(H[o:o + ln]) if t is not None else None
+                 for t, o, ln in zip(tl, offs, lens)])
 
         sh = sh_arrow(F.col(text_col))
     elif method == "column":

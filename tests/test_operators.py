@@ -102,6 +102,42 @@ def test_minhash_arrow_column_identical(spark, tables):
         assert arrow == column
 
 
+def test_fnv_batch_kernel_matches_per_doc():
+    """The batched shingle kernel (one encode + k slice-shifted fold
+    passes over the whole Arrow batch, boundary windows gathered out)
+    must reproduce the per-document kernels bit-for-bit — values AND
+    window order — for both hash widths, across the short/empty/
+    unicode/astral-plane edge cases (utf-32 code points, uintN wrap)."""
+    import numpy as np
+
+    from dask_histogram_spark.operators.dedup import (
+        _fnv1a32_shingles_np,
+        _fnv1a64_shingles_np,
+        _fnv_shingles_flat,
+    )
+
+    texts = [
+        "", "a", "abcd", "abcde", "abcdef",   # around the k=5 boundary
+        "the quick brown fox jumps over the lazy dog",
+        "héllo wörld ünïcode ✓ é",
+        "𝄞 astral 𝄞 plane",                   # non-BMP code points
+        "\n\t  whitespace\r\n", "same same same same",
+        "x" * 200,
+    ]
+    for k in (2, 5, 8):
+        for bits, per_doc in ((32, _fnv1a32_shingles_np),
+                              (64, _fnv1a64_shingles_np)):
+            H, lens = _fnv_shingles_flat(texts, k, bits)
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            for i, t in enumerate(texts):
+                ref = per_doc(t, k)
+                seg = H[offs[i]:offs[i] + lens[i]]
+                assert len(seg) == len(ref), (k, bits, i)
+                assert (seg.astype(np.uint64)
+                        == ref.astype(np.uint64)).all(), (k, bits, i)
+
+
 def test_minhash_lsh_stats_matches_candidates(spark, docs_with_dups):
     """The single-shuffle stats operator must agree with the join-based
     candidate operator it profiles: n_pairs_capped == the distinct pair
