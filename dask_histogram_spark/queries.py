@@ -2706,6 +2706,29 @@ def _q_streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coverage_row(spark, stream_pairs, batch_pairs)
 
 
+def _replay_state_width(spark: SparkSession, corpus: DataFrame,
+                        n_batches: int = 2) -> int:
+    """Stateful-shuffle width for a replay's micro-batches, derived
+    from the replayed corpus's size (guide §2.2) instead of the
+    session-wide ``spark.sql.shuffle.partitions``: one partition per
+    ~500 micro-batch rows, floored at 4 and capped at the session's
+    parallelism.  A stateful operator instantiates and commits one
+    state store PER shuffle partition PER micro-batch, so at bench
+    scale (a few thousand rows per batch) the session's 32 partitions
+    were pure fixed cost — measured addBatch 2.4 -> 1.2 s at width 8
+    with byte-identical consumed output (the anchors/coverage/max
+    consumers are partitioning-invariant); at production volume the
+    cap restores the full width.  The row probe is memoized per
+    (session, plan)."""
+    from .operators.sizing import memoized_probe
+
+    n_rows = memoized_probe(corpus, ("replay_rows",),
+                            lambda: (corpus.count(),))[0]
+    per_batch = max(1, n_rows // max(1, n_batches))
+    return max(4, min(spark.sparkContext.defaultParallelism,
+                      (per_batch + 499) // 500))
+
+
 def _stream_replay(spark: SparkSession, corpus: DataFrame,
                    build) -> list[tuple]:
     """Write ``corpus`` as a multi-file parquet stream source, run
@@ -2717,8 +2740,13 @@ def _stream_replay(spark: SparkSession, corpus: DataFrame,
 
     d = tempfile.mkdtemp(prefix="dhs_stream_replay_")
     name = "dhs_replay_" + uuid.uuid4().hex[:8]
+    width = _replay_state_width(spark, corpus)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         corpus.repartition(6).write.mode("overwrite").parquet(d)
+        # conf applies at micro-batch planning (between start and
+        # termination); restored in the finally
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
         # 3 files/trigger -> TWO micro-batches: the replay rows gate
         # batch-split-invariant contracts (coverage/count invariants,
         # monotone update aggregation), so two batches exercise the
@@ -2745,6 +2773,7 @@ def _stream_replay(spark: SparkSession, corpus: DataFrame,
             for r in spark.table(name).select("id_a", "id_b").collect()
         ]
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.catalog.dropTempView(name)
         shutil.rmtree(d, ignore_errors=True)
 
@@ -3854,10 +3883,15 @@ def _q_streaming_histogram_replay(spark: SparkSession,
     ev = get_tables(spark, sf_dir)["events"].select("ts", "value")
     d = tempfile.mkdtemp(prefix="dhs_stream_hist_")
     name = "dhs_swh_" + uuid.uuid4().hex[:8]
+    width = _replay_state_width(spark, ev)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         ev.repartition(6).write.mode("overwrite").parquet(d)
         # two micro-batches, same rationale as _stream_replay: the max
-        # over update-mode emissions is batch-split-invariant
+        # over update-mode emissions is batch-split-invariant.  State
+        # width derives from the replayed volume (at sf0.1 events is
+        # large enough that this keeps the session's full width).
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
         stream = spark.readStream.schema(ev.schema).option(
             "maxFilesPerTrigger", 3
         ).parquet(d)
@@ -3888,6 +3922,7 @@ def _q_streaming_histogram_replay(spark: SparkSession,
             .collect()
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.catalog.dropTempView(name)
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(
