@@ -1104,6 +1104,10 @@ def write_signature_table(df: DataFrame, table: str, text_col: str = "text",
         # a killed session's metastore and block the next create
         pw = pw.option("path", f"{path}__params")
     pw.saveAsTable(f"{table}__params")
+    # a rewritten sidecar must not serve a stale memoized row
+    from .sizing import invalidate_params_memo
+
+    invalidate_params_memo(df.sparkSession, table)
 
 
 def load_signature_table(spark, table: str):
@@ -1115,25 +1119,32 @@ def load_signature_table(spark, table: str):
     Returns ``(banded DataFrame, (num_perm, bands, shingle_k, seed,
     hash_fn))`` — shared by :func:`dedup_incremental_lsh` and the
     streaming probe (streaming/dedup.py)."""
-    rows = spark.table(f"{table}__params").collect()
-    if not rows:
-        raise ValueError(
-            f"signature table {table!r} has an EMPTY __params "
-            "sidecar (an interrupted write left the table in an "
-            "unusable state) — rebuild it with write_signature_table."
-        )
-    p = rows[0]
-    stored = getattr(p, "formula", None)
-    if stored != _SIG_FORMULA:
-        raise ValueError(
-            f"signature table {table!r} was written with "
-            f"permutation formula {stored!r}; this reader computes "
-            f"{_SIG_FORMULA!r} — signatures from different formulas "
-            "never match (every doc would silently report as "
-            "fresh).  Rebuild the table with write_signature_table."
-        )
-    return spark.table(table), (p.num_perm, p.bands, p.shingle_k,
-                                p.seed, p.hash_fn)
+    from .sizing import memoized_params_row
+
+    def load():
+        rows = spark.table(f"{table}__params").collect()
+        if not rows:
+            raise ValueError(
+                f"signature table {table!r} has an EMPTY __params "
+                "sidecar (an interrupted write left the table in an "
+                "unusable state) — rebuild it with write_signature_table."
+            )
+        p = rows[0]
+        stored = getattr(p, "formula", None)
+        if stored != _SIG_FORMULA:
+            raise ValueError(
+                f"signature table {table!r} was written with "
+                f"permutation formula {stored!r}; this reader computes "
+                f"{_SIG_FORMULA!r} — signatures from different formulas "
+                "never match (every doc would silently report as "
+                "fresh).  Rebuild the table with write_signature_table."
+            )
+        return (p.num_perm, p.bands, p.shingle_k, p.seed, p.hash_fn)
+
+    # params memoized per (session, table); the table DataFrame itself
+    # is a lazy catalog lookup and stays fresh
+    params = memoized_params_row(spark, table, load)
+    return spark.table(table), params
 
 
 def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,

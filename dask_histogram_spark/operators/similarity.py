@@ -955,6 +955,10 @@ def write_embedding_signature_table(df: DataFrame, table: str,
     if path is not None:
         pw = pw.option("path", f"{path}__params")
     pw.saveAsTable(f"{table}__params")
+    # a rewritten sidecar must not serve a stale memoized row
+    from .sizing import invalidate_params_memo
+
+    invalidate_params_memo(df.sparkSession, table)
 
 
 def load_embedding_signature_table(spark, table: str):
@@ -966,25 +970,33 @@ def load_embedding_signature_table(spark, table: str):
     either would otherwise make every probing vector silently report
     as fresh.  Returns ``(banded DataFrame, (planes, seed,
     repetitions, dim))``."""
-    rows = spark.table(f"{table}__params").collect()
-    if not rows:
-        raise ValueError(
-            f"embedding signature table {table!r} has an EMPTY "
-            "__params sidecar (an interrupted write left the table "
-            "in an unusable state) — rebuild it with "
-            "write_embedding_signature_table."
-        )
-    p = rows[0]
-    stored = getattr(p, "formula", None)
-    if stored != _EMB_SIG_FORMULA:
-        raise ValueError(
-            f"embedding signature table {table!r} was written "
-            f"with formula {stored!r}; this reader computes "
-            f"{_EMB_SIG_FORMULA!r} — signatures from different "
-            "formulas never match (every vector would silently "
-            "report as fresh).  Rebuild the table with "
-            "write_embedding_signature_table.")
-    return spark.table(table), (p.planes, p.seed, p.repetitions, p.dim)
+    from .sizing import memoized_params_row
+
+    def load():
+        rows = spark.table(f"{table}__params").collect()
+        if not rows:
+            raise ValueError(
+                f"embedding signature table {table!r} has an EMPTY "
+                "__params sidecar (an interrupted write left the table "
+                "in an unusable state) — rebuild it with "
+                "write_embedding_signature_table."
+            )
+        p = rows[0]
+        stored = getattr(p, "formula", None)
+        if stored != _EMB_SIG_FORMULA:
+            raise ValueError(
+                f"embedding signature table {table!r} was written "
+                f"with formula {stored!r}; this reader computes "
+                f"{_EMB_SIG_FORMULA!r} — signatures from different "
+                "formulas never match (every vector would silently "
+                "report as fresh).  Rebuild the table with "
+                "write_embedding_signature_table.")
+        return (p.planes, p.seed, p.repetitions, p.dim)
+
+    # params memoized per (session, table); writers invalidate on
+    # rewrite, and the table DataFrame stays a fresh catalog lookup
+    params = memoized_params_row(spark, table, load)
+    return spark.table(table), params
 
 
 def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,

@@ -251,6 +251,40 @@ def clear_probe_memo() -> None:
     in place under a path a guarded operator already probed."""
     with _PROBE_LOCK:
         _PROBE_MEMO.clear()
+        _PARAMS_MEMO.clear()
+
+
+# __params sidecar rows, memoized per (session, table name): a sidecar
+# is one tiny parquet read, but it costs a full Spark job per operator
+# invocation (round-15: ~0.1 s per incremental-leg call, three legs
+# per dedup_incremental row).  The write_* builders invalidate their
+# own entry on rewrite, so the only staleness exposure is an external
+# writer rebuilding the same table name mid-session — the same
+# contract (and remedy: clear_probe_memo) as the plan-keyed probes.
+_PARAMS_MEMO: dict[tuple, object] = {}
+
+
+def memoized_params_row(spark, table: str, compute):
+    """Return ``compute()`` (a validated ``__params`` payload),
+    memoized per (applicationId, table).  Failures are not cached —
+    a loud empty-sidecar/drifted-formula raise must stay loud on
+    every call until the table is rebuilt."""
+    key = (spark.sparkContext.applicationId, table)
+    with _PROBE_LOCK:
+        hit = _PARAMS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    val = compute()
+    with _PROBE_LOCK:
+        _PARAMS_MEMO[key] = val
+    return val
+
+
+def invalidate_params_memo(spark, table: str) -> None:
+    """Drop one table's memoized ``__params`` row (writers call this
+    after rewriting the sidecar)."""
+    with _PROBE_LOCK:
+        _PARAMS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
 def agg_partitions(spark, est_groups: int, *,

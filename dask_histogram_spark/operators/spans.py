@@ -1017,6 +1017,10 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
     if path is not None:
         pw = pw.option("path", f"{path}__params")
     pw.saveAsTable(f"{table}__params")
+    # a rewritten sidecar must not serve a stale memoized row
+    from .sizing import invalidate_params_memo
+
+    invalidate_params_memo(df.sparkSession, table)
 
 
 def _load_span_params(spark, table: str):
@@ -1024,24 +1028,30 @@ def _load_span_params(spark, table: str):
     empty-sidecar and drifted-formula states; the formula string
     carries the granularity for non-word tables, and it must agree
     with the sidecar's granularity column)."""
-    rows = spark.table(f"{table}__params").collect()
-    if not rows:
-        raise ValueError(
-            f"span gram table {table!r} has an EMPTY __params sidecar "
-            "(an interrupted write left the table in an unusable "
-            "state) — rebuild it with write_span_gram_table.")
-    p = rows[0]
-    stored = getattr(p, "formula", None)
-    gran = getattr(p, "granularity", None) or "word"
-    if stored != _span_formula(gran):
-        raise ValueError(
-            f"span gram table {table!r} was written with hash formula "
-            f"{stored!r}; this reader computes "
-            f"{_span_formula(gran)!r} — counts from different "
-            "formulas never align (every batch span would silently "
-            "look fresh).  Rebuild the table with "
-            "write_span_gram_table.")
-    return p
+    from .sizing import memoized_params_row
+
+    def load():
+        rows = spark.table(f"{table}__params").collect()
+        if not rows:
+            raise ValueError(
+                f"span gram table {table!r} has an EMPTY __params sidecar "
+                "(an interrupted write left the table in an unusable "
+                "state) — rebuild it with write_span_gram_table.")
+        p = rows[0]
+        stored = getattr(p, "formula", None)
+        gran = getattr(p, "granularity", None) or "word"
+        if stored != _span_formula(gran):
+            raise ValueError(
+                f"span gram table {table!r} was written with hash formula "
+                f"{stored!r}; this reader computes "
+                f"{_span_formula(gran)!r} — counts from different "
+                "formulas never align (every batch span would silently "
+                "look fresh).  Rebuild the table with "
+                "write_span_gram_table.")
+        return p
+
+    # memoized per (session, table): writers invalidate on rewrite
+    return memoized_params_row(spark, table, load)
 
 
 def load_span_gram_table(spark, table: str):
@@ -1120,8 +1130,14 @@ def remove_duplicate_spans_incremental(
     smin = getattr(p, "min_id", None)
     if validate_ids and policy == "keep_first" and smin is not None:
         smax = int(p.max_id)
-        bb = new_df.agg(F.min(id_col).alias("lo"),
-                        F.max(id_col).alias("hi")).first()
+        # the batch's id bounds are a pure function of its plan —
+        # memoized like every other guard probe (round-13 #4 pattern)
+        from .sizing import memoized_probe
+
+        bb = memoized_probe(
+            new_df, ("id_range", id_col),
+            lambda: new_df.agg(F.min(id_col).alias("lo"),
+                               F.max(id_col).alias("hi")).first())
         if bb["lo"] is not None and not (int(bb["lo"]) > smax
                                          or int(bb["hi"]) < int(smin)):
             raise ValueError(

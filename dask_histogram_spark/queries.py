@@ -809,7 +809,11 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assert — `python -O` strips asserts, round-8 ADVICE) so a
     # future bigger sf fails LOUDLY here instead of hash-mismatching
     # the driver row.
-    max_seen = seen.agg(F.max("doc_id")).first()[0]
+    from .operators.sizing import memoized_probe
+
+    max_seen = memoized_probe(
+        seen, ("max_id", "doc_id"),
+        lambda: seen.agg(F.max("doc_id")).first())[0]
     if max_seen is None or max_seen >= 1_000_000_000:
         raise ValueError(
             f"dedup_incremental gate: seen doc_ids reach {max_seen}, "
