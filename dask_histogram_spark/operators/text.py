@@ -38,6 +38,24 @@ def _tokens(text: Column) -> Column:
 BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
+def _token_count_cols(text_col: str) -> dict[str, Column]:
+    """The :func:`token_counts` feature expressions, by output name —
+    shared with call sites that fold these into a WIDER single
+    projection (one pass over the text instead of a join of two)."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "avg_token_len": F.round(
+            (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 6),
+        "approx_subwords": F.ceil(n_chars / F.lit(4)),
+        "bpe_like_tokens": F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)),
+    }
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, n_chars, avg_token_len, approx_subwords,
@@ -49,27 +67,17 @@ def token_counts(df: DataFrame, text_col: str = "text",
     split every BPE tokenizer starts from, so it tracks real token
     budgets far better than chars/4 on code/punctuation-heavy text).
     """
-    toks = _tokens(F.col(text_col))
-    n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        F.round(
-            (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 6
-        ).alias("avg_token_len"),
-        F.ceil(n_chars / F.lit(4)).alias("approx_subwords"),
-        F.size(F.regexp_extract_all(
-            F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0
-        )).alias("bpe_like_tokens"),
-    )
+    cols = _token_count_cols(text_col)
+    order = ["n_tokens", "n_chars", "avg_token_len",
+             "approx_subwords", "bpe_like_tokens"]
+    return df.select(F.col(id_col),
+                     *[cols[k].alias(k) for k in order])
 
 
-def text_stats(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
-    """Quality-scoring features per document: length, punctuation /
-    digit / whitespace / uppercase ratios, English-stopword ratio."""
+def _text_stat_cols(text_col: str) -> dict[str, Column]:
+    """The :func:`text_stats` feature expressions, by output name —
+    shared with call sites that fold these into a WIDER single
+    projection (one pass over the text instead of a join of two)."""
     t = F.col(text_col)
     n = F.length(t).cast("double")
     toks = _tokens(t)
@@ -86,16 +94,25 @@ def text_stats(df: DataFrame, text_col: str = "text",
 
     en = list(STOPWORDS["en"])
     stop_hits = F.size(F.filter(toks, lambda w: w.isin(en)))
-    return df.select(
-        F.col(id_col),
-        F.length(t).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        char_ratio(r"[\x20-\x7E]").alias("non_ascii_ratio"),
-        char_ratio(r"[^0-9]").alias("digit_ratio"),
-        char_ratio(r"[^\.,;:!\?]").alias("punct_ratio"),
-        char_ratio(r"[^A-Z]").alias("upper_ratio"),
-        F.round(stop_hits / F.greatest(n_tok, F.lit(1.0)), 6).alias("stopword_ratio"),
-    )
+    return {
+        "n_chars": F.length(t),
+        "n_tokens": F.size(toks),
+        "non_ascii_ratio": char_ratio(r"[\x20-\x7E]"),
+        "digit_ratio": char_ratio(r"[^0-9]"),
+        "punct_ratio": char_ratio(r"[^\.,;:!\?]"),
+        "upper_ratio": char_ratio(r"[^A-Z]"),
+        "stopword_ratio": F.round(
+            stop_hits / F.greatest(n_tok, F.lit(1.0)), 6),
+    }
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features per document: length, punctuation /
+    digit / whitespace / uppercase ratios, English-stopword ratio."""
+    cols = _text_stat_cols(text_col)
+    return df.select(F.col(id_col),
+                     *[c.alias(k) for k, c in cols.items()])
 
 
 def quality_score(df: DataFrame, text_col: str = "text",

@@ -1093,15 +1093,25 @@ HAVING jaccard >= 0.3
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token_counts + text_stats in one gated row set: both are narrow
-    maps over the same scan, joined on the id (Catalyst collapses the
-    self-join of two projections of one cached table)."""
-    from .operators import text_stats, token_counts
+    """token_counts + text_stats in one gated row set, fused into ONE
+    narrow projection over one scan (round 15: the previous
+    join-of-two-projections form did NOT collapse — the plan carried a
+    real BroadcastHashJoin and tokenized every document twice; at
+    scale the join side is a full-corpus exchange).  doc_id is unique
+    and non-null (the oracle's flat SELECT relies on the same), so the
+    inner join on doc_id equals the single projection row-for-row."""
+    from .operators.text import _text_stat_cols, _token_count_cols
 
     d = get_tables(spark, sf_dir)["documents"]
-    extra = token_counts(d).select("doc_id", "avg_token_len",
-                                   "approx_subwords", "bpe_like_tokens")
-    return text_stats(d).join(extra, "doc_id")
+    stats = _text_stat_cols("text")
+    extra = _token_count_cols("text")
+    return d.select(
+        F.col("doc_id"),
+        *[c.alias(k) for k, c in stats.items()],
+        *[extra[k].alias(k) for k in ("avg_token_len",
+                                      "approx_subwords",
+                                      "bpe_like_tokens")],
+    )
 
 
 def _ratio_sql(drop_pattern: str) -> str:
