@@ -1281,9 +1281,17 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
     bucket keys) into per-bucket id lists; sizes, the Σ C(n, 2)
     arithmetic, and the capped pair generation (a ≤ C(max_bucket, 2)
     local expansion per bucket, empty for capped buckets) all derive
-    from that single grouped pass — the signature fold is consumed
-    exactly once, so nothing needs to persist; the only other shuffle
-    is the distinct over the generated pair set itself.
+    from that single grouped pass.  The grouped pass is
+    ``localCheckpoint``ed and consumed EAGERLY by both output
+    branches (the stats aggregate and the distinct-pair count):
+    Catalyst has no cross-branch CSE, so the earlier lazy
+    crossJoin-of-two-branches form re-ran the signature fold, the
+    band exchange and the bucket aggregation twice per invocation
+    (round-15 plan audit: two ArrowEvalPython + two bucket-key
+    Exchanges in one plan).  The checkpoint is released before
+    returning — the result is a single already-computed profile row,
+    so the operator is eager (like :func:`dedup_clusters`' small-graph
+    path) and leaves no cached blocks behind.
     """
     nparts = _probed_fold_parts(df, text_col)
     sigs = minhash_signatures(df.repartition(nparts), text_col, id_col,
@@ -1294,7 +1302,11 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
         .groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("__ids"))
         .select(F.size("__ids").alias("__n"), "__ids")
+        # eager: fold + band exchange + bucket agg run ONCE; both
+        # branches below read the checkpointed blocks (see docstring)
+        .localCheckpoint()
     )
+    ckpt = buckets  # release handle (buckets is re-bound below)
     pair_gen = F.filter(
         F.flatten(
             F.transform(
@@ -1330,7 +1342,14 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_pairs_capped"))
     )
-    return n_pairs.crossJoin(F.broadcast(bucket_stats))
+    try:
+        row = n_pairs.crossJoin(F.broadcast(bucket_stats)).collect()[0]
+    finally:
+        _release_local_checkpoint(ckpt)
+    return df.sparkSession.createDataFrame(
+        [row],
+        schema=("n_pairs_capped long, sum_bands long, n_buckets long, "
+                "max_bucket_size long, n_capped_buckets long"))
 
 
 # ---------------------------------------------------------------------------
