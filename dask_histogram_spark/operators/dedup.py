@@ -553,23 +553,24 @@ def _band_explode(sigs: DataFrame, id_col: str, num_perm: int, bands: int,
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
 
-    def band_key(b: int) -> Column:
-        joined = F.concat_ws(",", *[
-            F.col("sig")[b * r + j].cast("string") for j in range(r)
-        ])
-        return joined if hash_fn == "fnv1a32" else F.xxhash64(joined)
+    # ONE F.expr SQL string instead of ~bands*(r+3) Column-builder
+    # calls: every py4j round-trip at plan-build time is ~0.7 ms, and
+    # this explode was ~100 of them per invocation (round-15 driver
+    # profile).  The SQL resolves to the identical Catalyst tree
+    # (named_struct/concat_ws/xxhash64 are the same expressions the
+    # Column builders emit), pinned by the differential test.
+    def band_key(b: int) -> str:
+        parts = ", ".join(f"CAST(`sig`[{b * r + j}] AS STRING)"
+                          for j in range(r))
+        joined = f"concat_ws(',', {parts})"
+        return joined if hash_fn == "fnv1a32" else f"xxhash64({joined})"
 
+    arr = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {band_key(b)})"
+        for b in range(bands))
     return sigs.select(
         F.col(id_col), *[F.col(c) for c in keep],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"),
-                             band_key(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({arr}))").alias("bb"),
     ).select(id_col, *keep, "bb.band", "bb.bucket")
 
 

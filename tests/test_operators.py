@@ -138,6 +138,38 @@ def test_fnv_batch_kernel_matches_per_doc():
                         == ref.astype(np.uint64)).all(), (k, bits, i)
 
 
+def test_band_explode_sql_matches_column_form(spark, docs_with_dups):
+    """_band_explode's one-call F.expr SQL must emit the same rows and
+    schema as the Column-builder form it replaced (round 15 — the SQL
+    exists only to cut ~100 py4j round-trips per plan build), on BOTH
+    hash paths (raw fnv1a32 value strings and xxhash64 bucket keys)."""
+    from dask_histogram_spark.operators.dedup import (
+        _band_explode,
+        minhash_signatures,
+    )
+
+    df, _ = docs_with_dups
+    for hash_fn in ("fnv1a32", "xxhash64"):
+        sigs = minhash_signatures(df, "text", "doc_id", 32, 5, 17, hash_fn)
+        r = 4
+
+        def key(b):
+            joined = F.concat_ws(",", *[
+                F.col("sig")[b * r + j].cast("string") for j in range(r)])
+            return joined if hash_fn == "fnv1a32" else F.xxhash64(joined)
+
+        ref = sigs.select(
+            F.col("doc_id"),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"), key(b).alias("bucket"))
+                for b in range(8)])).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+        got = _band_explode(sigs, "doc_id", 32, 8, hash_fn)
+        assert got.schema == ref.schema, hash_fn
+        assert (got.orderBy("doc_id", "band").collect()
+                == ref.orderBy("doc_id", "band").collect()), hash_fn
+
+
 def test_minhash_lsh_stats_matches_candidates(spark, docs_with_dups):
     """The single-shuffle stats operator must agree with the join-based
     candidate operator it profiles: n_pairs_capped == the distinct pair
