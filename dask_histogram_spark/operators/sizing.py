@@ -254,29 +254,41 @@ def clear_probe_memo() -> None:
         _PARAMS_MEMO.clear()
 
 
-# __params sidecar rows, memoized per (session, table name): a sidecar
-# is one tiny parquet read, but it costs a full Spark job per operator
-# invocation (round-15: ~0.1 s per incremental-leg call, three legs
-# per dedup_incremental row).  The write_* builders invalidate their
-# own entry on rewrite, so the only staleness exposure is an external
-# writer rebuilding the same table name mid-session — the same
-# contract (and remedy: clear_probe_memo) as the plan-keyed probes.
-_PARAMS_MEMO: dict[tuple, object] = {}
+# __params sidecar rows, memoized per (session, table name, sidecar
+# file set): a sidecar is one tiny parquet read, but it costs a full
+# Spark job per operator invocation (round-15: ~0.1 s per
+# incremental-leg call, three legs per dedup_incremental row).  The
+# file-set token keeps a rewritten sidecar from serving a stale row
+# even when the rewrite bypassed the write_* builders (which also
+# invalidate their own entry): every parquet rewrite emits fresh
+# part-file names, so a changed sidecar always misses the memo and
+# re-runs the loud validation.  The token is a driver-side catalog
+# file listing — no Spark job.
+_PARAMS_MEMO: dict[tuple, tuple] = {}
 
 
 def memoized_params_row(spark, table: str, compute):
     """Return ``compute()`` (a validated ``__params`` payload),
-    memoized per (applicationId, table).  Failures are not cached —
-    a loud empty-sidecar/drifted-formula raise must stay loud on
-    every call until the table is rebuilt."""
+    memoized per (applicationId, table) and keyed on the sidecar's
+    current file set.  Failures are not cached — a loud empty-
+    sidecar/drifted-formula raise must stay loud on every call until
+    the table is rebuilt — and a rebuilt sidecar (new part files)
+    re-validates instead of serving the old row."""
+    try:
+        token = hash(tuple(sorted(
+            spark.table(f"{table}__params").inputFiles())))
+    except Exception:
+        # missing/unresolvable sidecar: let the loader raise its own
+        # loud, typed error (and never cache the attempt)
+        return compute()
     key = (spark.sparkContext.applicationId, table)
     with _PROBE_LOCK:
         hit = _PARAMS_MEMO.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == token:
+        return hit[1]
     val = compute()
     with _PROBE_LOCK:
-        _PARAMS_MEMO[key] = val
+        _PARAMS_MEMO[key] = (token, val)
     return val
 
 
