@@ -1961,8 +1961,18 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
     )
     if broadcast_pairs:
         needed = F.broadcast(needed)
+    # Spread the involved docs BEFORE the shingle projection: the
+    # corpus often arrives in a handful of scan/cache partitions (one
+    # parquet file = one partition at small SF), and the shingle UDF
+    # plus both downstream pair joins would inherit that width — the
+    # same starvation the signature fold's pre-fold repartition fixes
+    # (round-15: the sf0.1 shingle pass ran on 2 cores, 2.8 s vs 0.6 s
+    # spread).  Byte-derived width, so a 100 TB corpus (already
+    # parallel) pays one proportional exchange of the involved texts.
+    nparts = _probed_fold_parts(docs, text_col)
     shingled = (
         docs.join(needed, id_col, "left_semi")
+        .repartition(nparts)
         .select(F.col(id_col), sh.alias("__sh"))
     )
     if persist:

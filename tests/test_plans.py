@@ -375,6 +375,27 @@ def test_fused_candidate_plan_has_no_self_join(spark):
     assert "Join" in semi
 
 
+def test_verify_shingle_projection_runs_spread(spark):
+    """jaccard_verify_pairs must spread the involved docs before the
+    shingle UDF: the corpus often arrives in 1-2 scan/cache partitions
+    at small SF, and without the pre-UDF repartition the shingle pass
+    AND both pair joins inherit that width (round-15: 2.8 s on 2 cores
+    vs 0.6 s spread at sf0.1).  Pin the exchange between the semi-join
+    and the ArrowEvalPython node."""
+    from dask_histogram_spark.operators import jaccard_verify_pairs
+    from dask_histogram_spark.queries import get_tables
+
+    d = get_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long")
+    plan = _executed_plan(jaccard_verify_pairs(
+        pairs, d, k=8, threshold=0.5, broadcast_pairs=True))
+    ix_rr = plan.find("RoundRobinPartitioning")
+    ix_py = plan.find("ArrowEvalPython")
+    assert ix_rr != -1, plan[:1200]
+    assert ix_py != -1, plan[:1200]
+
+
 def test_embedding_pipeline_registry_entry_probes_persisted_table(
         spark, monkeypatch):
     """The registry's embedding_dedup_pipeline row must route its
