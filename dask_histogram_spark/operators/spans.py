@@ -205,6 +205,33 @@ def estimate_windows(df: DataFrame, n: int = 6,
         _probe)
 
 
+def _spread_kernel_input(df: DataFrame, text_col: str) -> DataFrame:
+    """Spread an UNDER-PARALLEL text DataFrame before an Arrow window
+    kernel: a small-SF corpus arrives in 1-2 scan/cache partitions,
+    and the window kernel (plus everything narrow downstream of it)
+    inherits that width — the same starvation the signature folds'
+    pre-fold repartition fixes (round-15: dedup_incremental's span
+    leg ran its kernel on 2 cores).  Unlike the fold (whose per-byte
+    cost dwarfs one text exchange at any scale), the window operators'
+    documented scale shape is ZERO-exchange — so this only
+    repartitions when the input's current width is below the session's
+    core count (starvation), never a corpus that is already
+    scan-parallel: a 100 TB input keeps its exchange-free plan
+    (plan-asserted in test_broadcast_removal_plan_has_no_exchange).
+    Byte-derived width via the memoized text probe."""
+    from .dedup import _probed_fold_parts
+
+    spark = df.sparkSession
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic logical plans
+        return df
+    nparts = _probed_fold_parts(df, text_col)
+    if cur >= min(nparts, int(spark.sparkContext.defaultParallelism)):
+        return df
+    return df.repartition(nparts)
+
+
 def _toks_col(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
@@ -523,6 +550,7 @@ def dup_span_stats(df: DataFrame, n: int = 6, min_df: int = 2,
     of word windows (docs with no non-blank lines contribute no row).
     """
     est = _resolve_est(df, n, text_col, est_windows, granularity)
+    df = _spread_kernel_input(df, text_col)
     w = span_windows(df, n, text_col, id_col, method, granularity)
     d = _dup_grams(w, id_col, min_df, est)
     j = w.join(d, "h", "left")
@@ -802,6 +830,10 @@ def remove_duplicate_spans(df: DataFrame, n: int = 6, min_df: int = 2,
         plan = "join"
     spark = df.sparkSession
     est = _resolve_est(df, n, text_col, est_windows, granularity)
+    # probe first (memo keys on the unspread plan), then spread: the
+    # window kernel, the rebuild scan, and the join plan all run at
+    # the spread width
+    df = _spread_kernel_input(df, text_col)
 
     arrays = None
     if plan in ("auto", "broadcast"):
@@ -979,12 +1011,11 @@ def write_span_gram_table(df: DataFrame, table: str, n: int = 6,
     _check_granularity(granularity)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}__params")
-    grams = (_dup_grams(span_windows(df, n, text_col, id_col, "arrow",
+    est = _resolve_est(df, n, text_col, est_windows, granularity)
+    grams = (_dup_grams(span_windows(_spread_kernel_input(df, text_col),
+                                     n, text_col, id_col, "arrow",
                                      granularity),
-                        id_col, min_df=1,
-                        est_windows=_resolve_est(df, n, text_col,
-                                                 est_windows,
-                                                 granularity))
+                        id_col, min_df=1, est_windows=est)
              .select("h", "df",
                      F.col("first.i").alias("first_i"),
                      F.col("first.p").alias("first_p")))
@@ -1152,6 +1183,9 @@ def remove_duplicate_spans_incremental(
                 "in range (the cheap check can only see bounds) — "
                 "pass validate_ids=False.")
 
+    # guards/probes above key on the unspread plan; spread once here
+    # so the batch gram kernel AND the rebuild scan run wide
+    new_df = _spread_kernel_input(new_df, text_col)
     b = _dup_grams(span_windows(new_df, n, text_col, id_col, "arrow",
                                 granularity),
                    id_col, min_df=1)
