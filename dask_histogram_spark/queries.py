@@ -2271,13 +2271,24 @@ def _q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str,
     # returns both counts from a single banding + seen-table join —
     # n_matched_seen_base is exactly what the probes=0 call produced
     # (a pair's min __probe is 0 iff base signatures collide).  The
-    # counts table is ~|batch| rows of three longs — localCheckpoint
-    # materializes it once, since two union branches projecting
-    # different columns would otherwise re-run the banded join twice
+    # counts table is ~|batch| rows of three longs and two union
+    # branches project different columns from it — materialize it once
     # (no cross-branch CSE in Catalyst once pruning diverges them).
+    # Small batches land it LOCALLY via one Arrow collect (the
+    # dedup_clusters small-graph posture): identical rows, and no
+    # pinned RDD outlives the invocation — the previous
+    # localCheckpoint leaked one checkpointed RDD per call (round-15
+    # leak audit).  A big batch keeps the distributed checkpoint.
     both = embedding_dedup_incremental(new, emb_tbl,
                                        threshold=0.3, probes=1,
-                                       base_counts=True).localCheckpoint()
+                                       base_counts=True)
+    from .operators.similarity import _embedding_probe
+
+    # memoized — the incremental gate's own guards already probed new
+    if _embedding_probe(new, "embedding")[1] <= 2_000_000:
+        both = spark.createDataFrame(both.toArrow())
+    else:
+        both = both.localCheckpoint()
     inc = both.select("vec_id", F.col("n_matched_seen_base")
                       .alias("n_matched_seen"))
     prb = both.select("vec_id", "n_matched_seen")
