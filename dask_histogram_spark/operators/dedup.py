@@ -1598,9 +1598,15 @@ def _jaccard_pairs_impl(df: DataFrame, shingles: Column, id_col: str,
         # bound on the shingle count that avoids materializing the
         # shingle arrays just to size them (e.g. length(text) for char
         # k-grams); an upper bound can only push auto toward the
-        # conservative distributed join.
+        # conservative distributed join.  Pure sizing statistic over
+        # the input plan -> memoized like every other guard probe
+        # (round-13 #4): repeated invocations pay the gate job once.
+        from .sizing import memoized_probe
+
         est = nnz_bound if nnz_bound is not None else F.size(shingles)
-        nnz = df.select(F.sum(est)).first()[0] or 0
+        nnz = memoized_probe(
+            df, ("jaccard_nnz", str(est)),
+            lambda: df.select(F.sum(est)).first()[0] or 0)
         strategy = "bincount" if nnz <= _BINCOUNT_MAX_NNZ else "index"
     if strategy == "bincount":
         return _jaccard_bincount(df, shingles, id_col, threshold, max_df,
