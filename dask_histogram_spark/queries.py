@@ -1103,6 +1103,12 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import _text_stat_cols, _token_count_cols
 
     d = get_tables(spark, sf_dir)["documents"]
+    # the projection is regex-heavy (6 regexp passes + splits per doc)
+    # and the sf0.1 corpus arrives in ONE scan/cache partition — spread
+    # it so the row isn't single-core (A/B: 0.70 -> 0.40 s median; at
+    # scale the scan is already split and the exchange is one text
+    # pass, dwarfed by the regex work it parallelizes)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     stats = _text_stat_cols("text")
     extra = _token_count_cols("text")
     return d.select(
@@ -1438,7 +1444,13 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import brute_force_topk
 
     emb = get_tables(spark, sf_dir)["embeddings"]
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    # the corpus side scores k x dim array arithmetic per row and the
+    # sf0.1 parquet is ONE scan partition — spread it so the scoring
+    # isn't single-core (A/B: 0.81 -> 0.55 s median; the queries side
+    # stays unspread, it is broadcast).  At scale the scan is already
+    # split and the operator remains shuffle-free on the big side.
+    big = emb.repartition(spark.sparkContext.defaultParallelism)
+    return brute_force_topk(big, emb.where(F.col("vec_id") < 8), k=5)
 
 
 _register(
