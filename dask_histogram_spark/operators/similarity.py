@@ -572,7 +572,20 @@ def ivf_topk_indexed(path: str, queries: DataFrame,
     else:
         q_assigned = _probe_queries(queries, _centroid_literal(centroids),
                                     nprobe, id_col, vec_col)
-    q_rows = q_assigned.collect()
+    # The assignment is a pure function of (queries plan, centroid
+    # matrix, nprobe) — NOT of the index path — so searching several
+    # layouts of one index build (base + quantized, the
+    # similarity_ivf_topk shape) or re-searching in a steady-state
+    # session reuses one collect instead of paying the probe job per
+    # call.  Same memo contract as every guard probe (immutable
+    # inputs; clear_probe_memo after an in-place rewrite).
+    from .sizing import memoized_probe
+
+    q_rows = memoized_probe(
+        queries,
+        ("ivf_assign", int(nprobe), id_col, vec_col,
+         centroids.shape, hash(centroids.tobytes())),
+        q_assigned.collect)
     probe_cids = sorted({r.cid for r in q_rows})
     q_local = spark.createDataFrame(q_rows, q_assigned.schema)
     index = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
