@@ -41,6 +41,15 @@ def get_spark(app: str = "dask-histogram-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # CollectLimit scales up serially (1 -> 4 -> 16 ... partitions
+        # per wave, spark.sql.limit.scaleUpFactor): the library's
+        # capped driver collects (span dup sets, bounded pair sets)
+        # are sized to SUCCEED, so the waves always escalate to a full
+        # scan — pure serialized latency (round-15: 1.48 s -> 1.12 s
+        # for the sf0.1 span dup-set collect).  Start the first wave
+        # at the session's width; a genuinely over-cap input pays at
+        # most one cluster-wide wave before the cap raises.
+        .config("spark.sql.limit.initialNumPartitions", str(max(cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet TIMESTAMP(NANOS) is read as long under this conf (we
         # convert back in _normalize_timestamps); TIMESTAMP(MICROS,
