@@ -882,16 +882,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         # narrow C(n,2) combination explode (<= C(max_bucket, 2) pairs
         # per bucket row).  Buckets of one doc emit nothing and are
         # dropped by the same size filter.
-        # repartition AFTER the size filter: the groupBy's shuffle
-        # output is small enough for AQE to coalesce to ~1 task, but
-        # the combination explode below is an up-to-C(max_bucket,2)x
-        # narrow blowup — spread the surviving buckets so it stays
-        # parallel without forcing width on the downstream pair set
+        # Explicit hash repartition ON the groupBy key: the agg reuses
+        # this exchange (same clustering), and AQE never coalesces a
+        # user-specified repartition — so the combination explode below
+        # (an up-to-C(max_bucket,2)x narrow blowup) runs at nparts in
+        # the agg's own reduce stage instead of needing a second
+        # round-robin exchange after the size filter (round-15: one
+        # exchange + one AQE stage fewer, same width; the old
+        # post-filter repartition read 1.3 s vs 1.1 s here at sf0.1).
         buckets = (
-            banded.groupBy("band", "bucket")
+            banded.repartition(nparts, "band", "bucket")
+            .groupBy("band", "bucket")
             .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
             .where(F.size("__ids").between(2, max_bucket))
-            .repartition(nparts)
         )
         combos = F.flatten(F.transform(
             F.sequence(F.lit(0), F.size("__ids") - 2),
@@ -2071,9 +2074,11 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     broadcast-sized transfer) the components are solved in one
     vectorized numpy min-label kernel on the driver and returned as a
     local DataFrame: zero iterative shuffles, identical labels.  The
-    count that picks the plan is a block-read over the already-
-    checkpointed edge list, not an extra evaluation.  Set
-    ``small_graph_edges=0`` to force the distributed path.
+    size probe IS the local collect — one limit-capped Arrow collect
+    decides the plan and already holds the edge list when it is small,
+    so the small-graph path evaluates the upstream plan exactly once
+    with no separate count job.  Set ``small_graph_edges=0`` to force
+    the distributed path.
 
     Above the threshold, the Spark-native iterative loop runs: min-label
     propagation WITH pointer doubling — each round (a) joins the
@@ -2098,15 +2103,23 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     e = pairs.select(F.col(id_a).cast("long").alias("a"),
                      F.col(id_b).cast("long").alias("b"))
     if small_graph_edges:
-        # size probe on the RAW pair projection (2 longs/row, cached so
-        # the count and the collect evaluate the upstream plan once) —
-        # the numpy kernel relaxes both edge directions itself, so the
-        # symmetrize + distinct shuffle is only needed on the
-        # distributed path
+        # size probe FUSED with the local collect: one limit-capped
+        # Arrow collect both decides the plan and (when small) already
+        # holds the complete edge list — the separate count + cached
+        # toPandas of the round-14 form evaluated the upstream plan
+        # once but paid an extra job and a cache round-trip per call
+        # (round-15: the probe+collect fuse saves ~1 job / ~0.2 s on
+        # every small-graph invocation).  The cap makes the decision
+        # identical to the old 2 * count <= small_graph_edges gate: the
+        # collect returns at most cap + 1 rows, so a big graph lands at
+        # cap + 1 and falls through without ever materializing more
+        # than the old count pass did.  The persist stays so the
+        # distributed fallback reuses whatever the probe scan cached
+        # instead of recomputing the (expensive) upstream plan.
+        cap = small_graph_edges // 2
         ep = e.persist()
-        n_pairs = ep.count()
-        if 2 * n_pairs <= small_graph_edges:
-            pdf = ep.toPandas()
+        pdf = ep.limit(cap + 1).toPandas()
+        if len(pdf) <= cap:
             ep.unpersist()
             nodes, lab = _min_label_numpy(pdf["a"].to_numpy(),
                                           pdf["b"].to_numpy())

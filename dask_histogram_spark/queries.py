@@ -955,9 +955,13 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_lsh_candidates(corpus, num_perm=32, bands=8,
                                    hash_fn="fnv1a32", max_bucket=20,
                                    min_sig_matches=10)
-    # checkpoint the (tiny, ~7k-row) pruned pair set: the verify step
+    # checkpoint the (tiny, ~30k-row) pruned pair set: the verify step
     # consumes it three times (two involved-id scans + the pair join)
-    # and would otherwise re-run the band join each time
+    # and would otherwise re-run the band join each time.  (Round-15
+    # A/B: landing it locally via a capped Arrow collect instead —
+    # the dedup_clusters posture — was measured NEUTRAL-to-worse here:
+    # same 20-job count, and the re-parallelized local relation made
+    # the verify joins ~1 s slower; the checkpoint stays.)
     pruned = cands.localCheckpoint()
     release_candidates_cache(cands)  # signature cache served its turn
     # broadcast_pairs: pruned is a checkpointed ~C(max_bucket,2)-bounded
