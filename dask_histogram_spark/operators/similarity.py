@@ -43,6 +43,52 @@ def _norm(a: Column) -> Column:
     )
 
 
+# --- SQL-text twins of the Column expression builders above ---------------
+#
+# Constructing the nested higher-order-function Columns costs a py4j
+# round-trip per F.* call (~0.7 ms each); an IVF search builds several
+# hundred of them per invocation, so plan CONSTRUCTION dominated the
+# similarity_ivf_topk row (round-15 cProfile: 1.45 s of socket reads,
+# 1,861 py4j commands per build).  Emitting the SAME expression as one
+# SQL string costs ONE round-trip per projection.  The SQL spells the
+# identical operation tree (`0.0D` keeps the fold seed a DOUBLE —
+# a bare `0.0` would parse as DECIMAL(1,1)); row-equality with the
+# Column form, including null / zero-vector / NaN rows, is pinned by
+# tests/test_operators.py::test_ivf_sql_exprs_match_column_forms.
+
+def _q(col: str) -> str:
+    """Backtick-quote a column name for SQL-text composition."""
+    return f"`{col}`"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+
+
+def _cast_double_sql(a: str) -> str:
+    return f"transform({a}, v -> CAST(v AS DOUBLE))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL text of :func:`cosine_expr` (same NULL-on-zero-magnitude
+    rule via nullif)."""
+    ad, bd = _cast_double_sql(a), _cast_double_sql(b)
+    return (f"{_dot_sql(ad, bd)} / "
+            f"nullif({_norm_sql(ad)} * {_norm_sql(bd)}, 0.0D)")
+
+
+def _cent_sims_sql(c: str) -> str:
+    """SQL text of :func:`_cent_sims` for a lambda/struct variable
+    ``c`` with fields cvec/cnorm (reads the row's __vd/__vnorm)."""
+    return (f"coalesce({_dot_sql('__vd', f'{c}.cvec')} / "
+            f"nullif(__vnorm * {c}.cnorm, 0.0D), -2.0D)")
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array columns (double math).
 
@@ -190,31 +236,42 @@ def _brute_force_topk_arrow(df: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def _centroid_literal_sql(centroids: np.ndarray) -> str | None:
+    """SQL text of the constant centroid array-of-structs, or None for
+    a non-finite matrix (which a SQL double literal cannot spell
+    without a nullability-changing CAST — those take the F.lit path).
+
+    ONE py4j round-trip (F.expr over a SQL string) instead of
+    C x (dim + 3) F.lit/struct/alias calls: plan CONSTRUCTION is
+    the dominant cost of a small-index search (round-15: 0.28 s
+    -> 1.4 ms per literal at C=4/dim=64, and three literals are
+    built per similarity_ivf_topk invocation).  repr()
+    round-trips doubles exactly and the JVM parses them with
+    Double.parseDouble — the literal is value- and
+    schema-identical to the F.lit form (differentially checked,
+    incl. signed zero and 1e±300)."""
+    cents = centroids.astype(np.float64)
+    cnorms = np.linalg.norm(cents, axis=1)
+    if not (np.isfinite(cents).all() and np.isfinite(cnorms).all()):
+        return None
+    parts = []
+    for i in range(cents.shape[0]):
+        vec = ",".join(f"{float(x)!r}D" for x in cents[i])
+        parts.append(
+            f"named_struct('cid',{int(i)},'cvec',array({vec}),"
+            f"'cnorm',{float(cnorms[i])!r}D)")
+    return "array(" + ",".join(parts) + ")"
+
+
 def _centroid_literal(centroids: np.ndarray):
     """(C, dim) numpy centroids as a CONSTANT array-of-structs Column
     literal with precomputed norms — the broadcast-free way to ship a
     small model to every task (argmin/argmax over it is a narrow map)."""
+    sql = _centroid_literal_sql(centroids)
+    if sql is not None:
+        return F.expr(sql)
     cents = centroids.astype(np.float64)
     cnorms = np.linalg.norm(cents, axis=1)
-    if np.isfinite(cents).all() and np.isfinite(cnorms).all():
-        # ONE py4j round-trip (F.expr over a SQL string) instead of
-        # C x (dim + 3) F.lit/struct/alias calls: plan CONSTRUCTION is
-        # the dominant cost of a small-index search (round-15: 0.28 s
-        # -> 1.4 ms per literal at C=4/dim=64, and three literals are
-        # built per similarity_ivf_topk invocation).  repr()
-        # round-trips doubles exactly and the JVM parses them with
-        # Double.parseDouble — the literal is value- and
-        # schema-identical to the F.lit form (differentially checked,
-        # incl. signed zero and 1e±300).  Non-finite matrices (which a
-        # SQL double literal cannot spell without a nullability-
-        # changing CAST) take the F.lit path below.
-        parts = []
-        for i in range(cents.shape[0]):
-            vec = ",".join(f"{float(x)!r}D" for x in cents[i])
-            parts.append(
-                f"named_struct('cid',{int(i)},'cvec',array({vec}),"
-                f"'cnorm',{float(cnorms[i])!r}D)")
-        return F.expr("array(" + ",".join(parts) + ")")
     return F.array(*[
         F.struct(
             F.lit(int(i)).alias("cid"),
@@ -237,16 +294,47 @@ def _cent_sims(cent_struct: Column) -> Column:
 
 def _with_vec_prep(src: DataFrame, id_col: str, out_id: str,
                    vec_col: str) -> DataFrame:
+    return src.selectExpr(
+        f"{_q(id_col)} AS {_q(out_id)}", _q(vec_col),
+        f"{_cast_double_sql(_q(vec_col))} AS __vd",
+    ).withColumn("__vnorm", F.expr(_norm_sql("__vd")))
+
+
+def _with_vec_prep_column(src: DataFrame, id_col: str, out_id: str,
+                          vec_col: str) -> DataFrame:
+    """Column-API reference form of :func:`_with_vec_prep` (kept for
+    the SQL-equivalence differential test)."""
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return src.select(
         F.col(id_col).alias(out_id), F.col(vec_col), vd.alias("__vd")
     ).withColumn("__vnorm", _norm(F.col("__vd")))
 
 
-def _assign_cid(df: DataFrame, cent_lit, id_col: str,
+def _assign_cid(df: DataFrame, centroids: np.ndarray, id_col: str,
                 vec_col: str) -> DataFrame:
     """(id, vec, cid): nearest centroid per vector — narrow map (argmax
-    over the centroid literal; ties break to the smallest cid)."""
+    over the centroid literal; ties break to the smallest cid).
+
+    Builds the whole argmax tree as ONE SQL expression (see the
+    _dot_sql block comment); a non-finite centroid matrix falls back
+    to the Column reference form."""
+    cent_sql = _centroid_literal_sql(centroids)
+    if cent_sql is None:
+        return _assign_cid_column(df, _centroid_literal(centroids),
+                                  id_col, vec_col)
+    best = (f"array_max(transform({cent_sql}, c -> named_struct("
+            f"'sim', {_cent_sims_sql('c')}, 'ncid', -c.cid)))")
+    return (
+        _with_vec_prep(df, id_col, id_col, vec_col)
+        .withColumn("cid", F.expr(f"CAST(-({best}.ncid) AS INT)"))
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def _assign_cid_column(df: DataFrame, cent_lit, id_col: str,
+                       vec_col: str) -> DataFrame:
+    """Column-API reference form of :func:`_assign_cid` (non-finite
+    centroid fallback + the SQL-equivalence differential test)."""
     best = F.array_max(
         F.transform(
             cent_lit,
@@ -255,16 +343,35 @@ def _assign_cid(df: DataFrame, cent_lit, id_col: str,
         )
     )
     return (
-        _with_vec_prep(df, id_col, id_col, vec_col)
+        _with_vec_prep_column(df, id_col, id_col, vec_col)
         .withColumn("cid", (-best["ncid"]).cast("int"))
         .select(id_col, vec_col, "cid")
     )
 
 
-def _probe_queries(queries: DataFrame, cent_lit, nprobe: int,
-                   id_col: str, vec_col: str) -> DataFrame:
+def _probe_queries(queries: DataFrame, centroids: np.ndarray,
+                   nprobe: int, id_col: str, vec_col: str) -> DataFrame:
     """(query_id, __qv, cid) — each query exploded to its nprobe
-    nearest buckets (same narrow map as assignment, sorted + sliced)."""
+    nearest buckets (same narrow map as assignment, sorted + sliced).
+    One-SQL-expression build, Column fallback for non-finite matrices
+    (see :func:`_assign_cid`)."""
+    cent_sql = _centroid_literal_sql(centroids)
+    if cent_sql is None:
+        return _probe_queries_column(queries, _centroid_literal(centroids),
+                                     nprobe, id_col, vec_col)
+    probes = (f"slice(array_sort(transform({cent_sql}, "
+              f"c -> named_struct('d', -({_cent_sims_sql('c')}), "
+              f"'cid', c.cid))), 1, {int(nprobe)})")
+    return (
+        _with_vec_prep(queries, id_col, "query_id", vec_col)
+        .select("query_id", F.col(vec_col).alias("__qv"),
+                F.explode(F.expr(f"{probes}.cid")).alias("cid"))
+    )
+
+
+def _probe_queries_column(queries: DataFrame, cent_lit, nprobe: int,
+                          id_col: str, vec_col: str) -> DataFrame:
+    """Column-API reference form of :func:`_probe_queries`."""
     probes = F.slice(
         F.array_sort(
             F.transform(
@@ -276,7 +383,7 @@ def _probe_queries(queries: DataFrame, cent_lit, nprobe: int,
         1, nprobe,
     )
     return (
-        _with_vec_prep(queries, id_col, "query_id", vec_col)
+        _with_vec_prep_column(queries, id_col, "query_id", vec_col)
         .select("query_id", F.col(vec_col).alias("__qv"),
                 F.explode(probes["cid"]).alias("cid"))
     )
@@ -375,19 +482,36 @@ def _probe_queries_arrow(queries: DataFrame, centroids: np.ndarray,
         .select("query_id", "__qv", F.explode("__probes").alias("cid")))
 
 
-def _score_and_rank(index: DataFrame, q_assigned: DataFrame, k: int,
-                    id_col: str, vec_col: str) -> DataFrame:
-    scored = (
+def _score_pairs(index: DataFrame, q_assigned: DataFrame,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) for every probed (query,
+    vector) pair — :func:`_score_and_rank` minus the ranking window,
+    so a caller searching SEVERAL layouts of one index (the
+    similarity_ivf_topk shape) can union the scored legs and pay ONE
+    rank exchange instead of one per leg (row-identical: row_number
+    partitioned by (leg, query_id) == per-leg row_number by query_id).
+    """
+    return (
         index.join(F.broadcast(q_assigned), on="cid")
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_expr(F.col("__qv"), F.col(vec_col)),
-                    6).alias("cos_sim"),
+            # one parsed SQL string — the round-tripping Column form
+            # (F.round(cosine_expr(...), 6)) cost ~70 ms of py4j per
+            # call (see the _dot_sql block comment)
+            F.expr(f"round({_cosine_sql('__qv', _q(vec_col))}, 6)")
+            .alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+
+
+def rank_topk(scored: DataFrame, k: int,
+              extra_partition_cols: tuple = ()) -> DataFrame:
+    """row_number-rank scored pairs (desc cos_sim, asc neighbor_id),
+    keep rank <= k.  ``extra_partition_cols`` prepend to the window
+    key (e.g. a leg tag when several scored legs were unioned)."""
+    w = Window.partitionBy(*extra_partition_cols, "query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
@@ -396,9 +520,36 @@ def _score_and_rank(index: DataFrame, q_assigned: DataFrame, k: int,
     )
 
 
+def _score_and_rank(index: DataFrame, q_assigned: DataFrame, k: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    return rank_topk(_score_pairs(index, q_assigned, id_col, vec_col), k)
+
+
+def _memoized_probe_rows(queries: DataFrame, q_assigned: DataFrame,
+                         centroids: np.ndarray, nprobe: int,
+                         id_col: str, vec_col: str):
+    """(rows, local DataFrame) of the probe assignment, collected ONCE
+    per (queries plan, centroid matrix, nprobe) — the assignment is a
+    pure function of those, NOT of any index path, so searching
+    several layouts of one index build (base + quantized, the
+    similarity_ivf_topk shape), the inline leg of the same search, or
+    a steady-state re-search all reuse one collect.  Same memo
+    contract as every guard probe (immutable inputs;
+    clear_probe_memo after an in-place rewrite)."""
+    from .sizing import memoized_probe
+
+    q_rows = memoized_probe(
+        queries,
+        ("ivf_assign", int(nprobe), id_col, vec_col,
+         centroids.shape, hash(centroids.tobytes())),
+        q_assigned.collect)
+    spark = queries.sparkSession
+    return q_rows, spark.createDataFrame(q_rows, q_assigned.schema)
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
              k: int = 5, nprobe: int = 2, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id", ranked: bool = True) -> DataFrame:
     """Approximate top-k via IVF bucketing.
 
     ``centroids`` is a (C, dim) numpy array (e.g. from a driver-side
@@ -416,11 +567,20 @@ def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,
         q_assigned = _probe_queries_arrow(queries, centroids, nprobe,
                                           id_col, vec_col)
     else:
-        cent_lit = _centroid_literal(centroids)
-        assigned = _assign_cid(df, cent_lit, id_col, vec_col)
-        q_assigned = _probe_queries(queries, cent_lit, nprobe,
+        assigned = _assign_cid(df, centroids, id_col, vec_col)
+        q_assigned = _probe_queries(queries, centroids, nprobe,
                                     id_col, vec_col)
-    return _score_and_rank(assigned, q_assigned, k, id_col, vec_col)
+    # the probe side is broadcast into the score join either way, so
+    # its size is driver-bound by construction — collect it through
+    # the SAME memo key as ivf_topk_indexed (a pure function of
+    # (queries plan, centroids, nprobe)): the inline and indexed legs
+    # of one search session share one probe evaluation, and repeat
+    # searches skip the probe job + broadcast build entirely
+    q_local = _memoized_probe_rows(queries, q_assigned, centroids,
+                                   nprobe, id_col, vec_col)[1]
+    if not ranked:
+        return _score_pairs(assigned, q_local, id_col, vec_col)
+    return _score_and_rank(assigned, q_local, k, id_col, vec_col)
 
 
 def _quantize_cols(vec_col: str, elem_type: str = "int",
@@ -494,8 +654,7 @@ def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
     if centroids.size > _CENTROID_LITERAL_MAX:
         assigned = _assign_cid_arrow(df, centroids, id_col, vec_col)
     else:
-        assigned = _assign_cid(df, _centroid_literal(centroids),
-                               id_col, vec_col)
+        assigned = _assign_cid(df, centroids, id_col, vec_col)
     if quantize:
         scale, _ = _quantize_cols(vec_col, elem_type="tinyint")
         # scale materialized in its own projection, then referenced by
@@ -534,6 +693,9 @@ def build_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
          for i in range(centroids.shape[0])],
         "cid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    # a rebuild at the same path must invalidate the memoized read
+    # plan (its cached file listing points at the replaced files)
+    _INDEX_READ_CACHE.pop((spark.sparkContext.applicationId, path), None)
 
 
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
@@ -543,11 +705,31 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
     return np.array([r.cvec for r in rows], dtype=np.float64)
 
 
+_INDEX_READ_CACHE: dict = {}
+
+
+def _index_read(spark, path: str) -> DataFrame:
+    """The index's base read plan, memoized per (session, path): the
+    parquet file listing is a driver-side py4j/listing cost per call
+    (~0.13 s at sf0.1) on a table that is immutable for the session
+    (:func:`build_ivf_index` invalidates the entry when it rewrites
+    the path).  A plan, not data — every action still scans parquet."""
+    key = (spark.sparkContext.applicationId, path)
+    df = _INDEX_READ_CACHE.get(key)
+    if df is None:
+        if len(_INDEX_READ_CACHE) > 64:
+            _INDEX_READ_CACHE.clear()
+        df = spark.read.parquet(path)
+        _INDEX_READ_CACHE[key] = df
+    return df
+
+
 def ivf_topk_indexed(path: str, queries: DataFrame,
                      centroids: np.ndarray | None = None,
                      k: int = 5, nprobe: int = 2,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     ranked: bool = True) -> DataFrame:
     """Search a persisted IVF index (:func:`build_ivf_index`).
 
     Probing uses the centroid matrix STORED with the index (pass
@@ -570,33 +752,23 @@ def ivf_topk_indexed(path: str, queries: DataFrame,
         q_assigned = _probe_queries_arrow(queries, centroids, nprobe,
                                           id_col, vec_col)
     else:
-        q_assigned = _probe_queries(queries, _centroid_literal(centroids),
-                                    nprobe, id_col, vec_col)
-    # The assignment is a pure function of (queries plan, centroid
-    # matrix, nprobe) — NOT of the index path — so searching several
-    # layouts of one index build (base + quantized, the
-    # similarity_ivf_topk shape) or re-searching in a steady-state
-    # session reuses one collect instead of paying the probe job per
-    # call.  Same memo contract as every guard probe (immutable
-    # inputs; clear_probe_memo after an in-place rewrite).
-    from .sizing import memoized_probe
-
-    q_rows = memoized_probe(
-        queries,
-        ("ivf_assign", int(nprobe), id_col, vec_col,
-         centroids.shape, hash(centroids.tobytes())),
-        q_assigned.collect)
+        q_assigned = _probe_queries(queries, centroids, nprobe,
+                                    id_col, vec_col)
+    q_rows, q_local = _memoized_probe_rows(queries, q_assigned,
+                                           centroids, nprobe,
+                                           id_col, vec_col)
     probe_cids = sorted({r.cid for r in q_rows})
-    q_local = spark.createDataFrame(q_rows, q_assigned.schema)
-    index = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
+    index = _index_read(spark, path).where(F.col("cid").isin(probe_cids))
     if {"qvec", "scale"} <= set(index.columns) and vec_col not in index.columns:
         # quantized layout (build_ivf_index(quantize=True)): dequantize
         # inside the scan projection — the pruned read ships 1-byte
         # components, the scoring math is unchanged
         index = index.withColumn(
             vec_col,
-            F.transform("qvec", lambda x: x.cast("double") * F.col("scale")),
+            F.expr(f"transform(qvec, x -> CAST(x AS DOUBLE) * scale)"),
         )
+    if not ranked:
+        return _score_pairs(index, q_local, id_col, vec_col)
     return _score_and_rank(index, q_local, k, id_col, vec_col)
 
 
@@ -1650,8 +1822,7 @@ def calibrate_nprobe(df: DataFrame, queries: DataFrame,
                 assigned = _assign_cid_arrow(df, centroids, id_col,
                                              vec_col)
             else:
-                assigned = _assign_cid(df, _centroid_literal(centroids),
-                                       id_col, vec_col)
+                assigned = _assign_cid(df, centroids, id_col, vec_col)
             assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         nprobe = max(1, int(start_nprobe))
         while True:
@@ -1670,8 +1841,7 @@ def calibrate_nprobe(df: DataFrame, queries: DataFrame,
                         q_sample, centroids, nprobe, q_id_col, q_vec_col)
                 else:
                     q_assigned = _probe_queries(
-                        q_sample, _centroid_literal(centroids), nprobe,
-                        q_id_col, q_vec_col)
+                        q_sample, centroids, nprobe, q_id_col, q_vec_col)
                 got = _score_and_rank(assigned, q_assigned, k, id_col,
                                       vec_col)
             hits = (got.select("query_id", "neighbor_id")

@@ -2555,6 +2555,55 @@ def test_ivf_indexed_matches_inline(spark, tables, tmp_path):
     assert m, plan[:1500]
 
 
+def test_ivf_sql_exprs_match_column_forms(spark):
+    """The one-SQL-string IVF expression builders (round-15 plan-build
+    optimization: 1,861 -> ~500 py4j round-trips per search build)
+    return exactly the Column-form rows — including the degenerate
+    vectors (zero, null, short, NaN) whose -2.0/NULL rules the SQL
+    must spell identically (0.0D double literals, nullif, coalesce)."""
+    from dask_histogram_spark.operators.similarity import (
+        _assign_cid, _assign_cid_column, _centroid_literal,
+        _cosine_sql, _probe_queries, _probe_queries_column, _q,
+        cosine_expr)
+
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(4, 8))
+    C[2] = 0.0  # zero centroid -> NULL denominator -> coalesce(-2.0)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(40)]
+    rows += [(100, [0.0] * 8), (101, None), (102, [1.0] * 3),
+             (103, [float("nan")] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(d):
+        return sorted(repr(r) for r in d.collect())
+
+    a_sql = _assign_cid(df, C, "vec_id", "embedding")
+    a_col = _assign_cid_column(df, _centroid_literal(C), "vec_id",
+                               "embedding")
+    assert a_sql.schema == a_col.schema
+    assert canon(a_sql) == canon(a_col)
+
+    p_sql = _probe_queries(df, C, 2, "vec_id", "embedding")
+    p_col = _probe_queries_column(df, _centroid_literal(C), 2, "vec_id",
+                                  "embedding")
+    assert p_sql.schema == p_col.schema
+    assert canon(p_sql) == canon(p_col)
+
+    # the scoring projection's SQL cosine == the Column cosine_expr
+    scored_base = (a_col.join(F.broadcast(p_col), on="cid")
+                   .where(F.col("query_id") != F.col("vec_id")))
+    s_sql = scored_base.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"round({_cosine_sql('__qv', _q('embedding'))}, 6)")
+        .alias("cos_sim"))
+    s_col = scored_base.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("__qv"), F.col("embedding")), 6)
+        .alias("cos_sim"))
+    assert s_sql.schema == s_col.schema
+    assert canon(s_sql) == canon(s_col)
+
+
 def test_ivf_arrow_centroid_kernel_matches_column(spark, tables,
                                                   tmp_path, monkeypatch):
     """The Arrow assignment/probe kernels (the C x dim plan-size fix —
