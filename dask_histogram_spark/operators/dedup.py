@@ -1221,22 +1221,25 @@ def dedup_incremental_lsh(new_df: DataFrame, seen_banded, /,
     seen = seen_banded.select(
         F.col(id_col).alias("__seen_id"), F.col("sig").alias("__seen_sig"),
         "band", "bucket")
-    pairs = (
+    if min_sig_matches is None:
+        min_sig_matches = agreement_gate(num_perm, jaccard=0.9)
+    # sig_matches is PAIR-constant across a pair's band rows (both
+    # full signatures ride every row), so gating each band row and
+    # counting DISTINCT seen ids equals the former two-step
+    # group-by-pair-then-count — and the distinct aggregate needs ONE
+    # exchange where the pair aggregate + count needed two (round-15,
+    # guide §2.4: the candidate pair set used to cross the wire
+    # twice per probe batch).
+    cands = (
         banded_new.join(seen, ["band", "bucket"])
         .select("__new_id", "__seen_id",
                 _sig_agreement("__new_sig", "__seen_sig")
                 .alias("sig_matches"))
-        # one row per (new, seen) pair — sig_matches is pair-constant
-        # across its band rows, so max == the value
-        .groupBy("__new_id", "__seen_id")
-        .agg(F.max("sig_matches").alias("sig_matches"))
     )
-    if min_sig_matches is None:
-        min_sig_matches = agreement_gate(num_perm, jaccard=0.9)
     if min_sig_matches > 0:
-        pairs = pairs.where(F.col("sig_matches") >= min_sig_matches)
-    counts = pairs.groupBy("__new_id").agg(
-        F.count(F.lit(1)).alias("n_matched_seen"))
+        cands = cands.where(F.col("sig_matches") >= min_sig_matches)
+    counts = cands.groupBy("__new_id").agg(
+        F.countDistinct("__seen_id").alias("n_matched_seen"))
     return (
         new_df.select(id_col)
         .join(counts, F.col(id_col) == F.col("__new_id"), "left")

@@ -1303,7 +1303,15 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
             F.col(vec_col).alias("__new_vec"),
             *([F.col("__probe")] if base_counts else []),
             F.col("__rep").alias("rep"), F.col("__sig").alias("sig"))
-        pairs = (
+        # cos_sim is PAIR-constant across a pair's band rows (same two
+        # vectors on every row), so gating each band row and counting
+        # DISTINCT seen ids equals the former group-by-pair-then-count
+        # — ONE exchange of the candidate rows instead of two
+        # (round-15, the dedup_incremental_lsh restructure's twin).
+        # base leg: a pair's min __probe == 0 iff SOME band row has
+        # __probe == 0, so countDistinct over the __probe = 0 rows'
+        # seen ids is exactly the probes=0 candidate count.
+        cands = (
             nw.join(seen, ["rep", "sig"])
             .select(
                 "__new_id", "__seen_id",
@@ -1311,18 +1319,12 @@ def embedding_dedup_incremental(new_df: DataFrame, seen_banded, /,
                 F.round(cosine_expr(F.col("__new_vec"),
                                     F.col("__seen_vec")), 6)
                 .alias("cos_sim"))
-            # pair-constant across its band rows: max == the value
-            .groupBy("__new_id", "__seen_id")
-            .agg(F.max("cos_sim").alias("cos_sim"),
-                 # min __probe == 0 iff some BASE signature collided:
-                 # exactly the probes=0 candidate set
-                 *([F.min("__probe").alias("__minp")]
-                   if base_counts else []))
             .where(F.col("cos_sim") >= threshold)
         )
-        counts = pairs.groupBy("__new_id").agg(
-            F.count(F.lit(1)).alias("n_matched_seen"),
-            *([F.count(F.when(F.col("__minp") == 0, F.lit(1)))
+        counts = cands.groupBy("__new_id").agg(
+            F.countDistinct("__seen_id").alias("n_matched_seen"),
+            *([F.countDistinct(F.when(F.col("__probe") == 0,
+                                      F.col("__seen_id")))
                .alias("n_matched_seen_base")] if base_counts else []))
     out = new_df.select(id_col)
     base_cols = (["n_matched_seen_base"] if base_counts else [])
