@@ -698,32 +698,49 @@ def _q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 5 == 0,
                F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)))
         .otherwise(F.col("text")))
-    # fused profile-and-clean (round-9): with_stats=True makes the
-    # dup_span_stats columns a free by-product of the removal scan's
-    # window probes — one window pass + one gram aggregate instead of
-    # the round-8 two-operator form's two of each
-    rc = remove_duplicate_spans(
-        planted, n=_SPAN_N, min_df=_SPAN_MIN_DF, policy="keep_first",
-        plan="auto", with_stats=True,
-    ).select(
-        "doc_id", "n_windows", "n_dup_windows", "n_removable_windows",
-        "dup_fraction",
-        F.col("n_removed_words").cast("long").alias("n_removed_words"),
-        F.md5("clean_text").alias("clean_md5"),
-    )
     lplanted = d.withColumn(
         "text",
         F.when(F.col("doc_id") % 3 == 0,
                F.concat(F.col("text"), F.lit("\n" + _LINE_FOOTER)))
         .otherwise(F.col("text")))
-    lr = remove_duplicate_spans(
-        lplanted, n=1, min_df=_SPAN_MIN_DF, policy="keep_first",
-        granularity="line",
-    ).select(
-        "doc_id",
-        F.col("n_removed_words").cast("long").alias("line_n_removed"),
-        F.md5("clean_text").alias("line_clean_md5"),
-    )
+
+    # fused profile-and-clean (round-9): with_stats=True makes the
+    # dup_span_stats columns a free by-product of the removal scan's
+    # window probes — one window pass + one gram aggregate instead of
+    # the round-8 two-operator form's two of each
+    def _word_leg():
+        return remove_duplicate_spans(
+            planted, n=_SPAN_N, min_df=_SPAN_MIN_DF, policy="keep_first",
+            plan="auto", with_stats=True,
+        ).select(
+            "doc_id", "n_windows", "n_dup_windows", "n_removable_windows",
+            "dup_fraction",
+            F.col("n_removed_words").cast("long").alias("n_removed_words"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+
+    def _line_leg():
+        return remove_duplicate_spans(
+            lplanted, n=1, min_df=_SPAN_MIN_DF, policy="keep_first",
+            granularity="line",
+        ).select(
+            "doc_id",
+            F.col("n_removed_words").cast("long").alias("line_n_removed"),
+            F.md5("clean_text").alias("line_clean_md5"),
+        )
+
+    # The two removal legs each collect their (batch-bounded) dup-gram
+    # set eagerly during construction, over DIFFERENT planted corpora —
+    # fully independent driver barriers.  Build them from two driver
+    # threads (guide §2.6: overlap independent jobs — the second leg's
+    # gram-aggregate tasks back-fill executors the first leg's collect
+    # tail leaves idle); each leg's plan is identical to the serial
+    # form, only the submission overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_rc, f_lr = pool.submit(_word_leg), pool.submit(_line_leg)
+        rc, lr = f_rc.result(), f_lr.result()
     return base.join(rc.join(lr, "doc_id"), "doc_id")
 
 
