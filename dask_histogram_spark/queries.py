@@ -844,31 +844,55 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" (rev2)")).alias("text"),
         )
     )
-    exact = dedup_incremental(new, seen)
     key = (spark.sparkContext.applicationId, sf_dir)
     sig_tbl = _session_table(
         _INC_SIG_CACHE, key, "dhs_seen_sigs",
         lambda tbl, path: write_signature_table(
             seen, tbl, num_perm=32, bands=8, hash_fn="fnv1a32",
             max_bucket=64, n_buckets=16, path=path))
-    # name-based call: parameters come from the stored __params sidecar
-    lsh = dedup_incremental_lsh(new, sig_tbl, min_sig_matches=24)
     span_tbl = _session_table(
         _INC_SPAN_CACHE, key, "dhs_seen_grams",
         lambda tbl, path: write_span_gram_table(
             seen, tbl, n=_SPAN_N, path=path))
-    spn = remove_duplicate_spans_incremental(
-        new, span_tbl, min_df=_SPAN_MIN_DF)
-    return exact.select(
-        F.lit("exact").alias("kind"), "doc_id",
-        F.col("n_copies").alias("n"),
-    ).unionByName(lsh.select(
-        F.lit("lsh").alias("kind"), "doc_id",
-        F.col("n_matched_seen").alias("n"),
-    )).unionByName(spn.select(
-        F.lit("span").alias("kind"), "doc_id",
-        F.col("n_removed_words").cast("long").alias("n"),
-    ))
+
+    def _span_leg():
+        return remove_duplicate_spans_incremental(
+            new, span_tbl, min_df=_SPAN_MIN_DF).select(
+            F.lit("span").alias("kind"), "doc_id",
+            F.col("n_removed_words").cast("long").alias("n"))
+
+    def _exact_lsh_legs():
+        exact = dedup_incremental(new, seen).select(
+            F.lit("exact").alias("kind"), "doc_id",
+            F.col("n_copies").alias("n"))
+        # name-based call: parameters come from the stored __params
+        # sidecar
+        lsh = dedup_incremental_lsh(new, sig_tbl, min_sig_matches=24)
+        both = exact.unionByName(lsh.select(
+            F.lit("lsh").alias("kind"), "doc_id",
+            F.col("n_matched_seen").alias("n")))
+        # land the (batch-bounded: <= 3 rows/batch doc) counts locally
+        # via one Arrow collect — the embedding row's posture — so this
+        # leg's execution OVERLAPS the span leg's eager dup-gram-set
+        # collect in the sibling thread below (guide §2.6); a big batch
+        # keeps the distributed plan (same 2M gate as the embedding
+        # row, fed by the memoized row probe)
+        if memoized_probe(new, ("nrows",),
+                          lambda: new.count()) <= 2_000_000:
+            return spark.createDataFrame(both.toArrow())
+        return both
+
+    # The span leg collects its dup-gram set eagerly during
+    # construction (~1/3 of this row's wall) while the exact+lsh legs
+    # used to wait for collect time — two independent barriers, now
+    # overlapped from two driver threads (the dedup_exact_stats
+    # pattern; each leg's plan is unchanged).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_el, f_spn = pool.submit(_exact_lsh_legs), pool.submit(_span_leg)
+        el, spn = f_el.result(), f_spn.result()
+    return el.unionByName(spn)
 
 
 # (dedup_incremental is registered AFTER the minhash oracle helpers
