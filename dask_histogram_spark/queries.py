@@ -2314,12 +2314,15 @@ def _q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str,
     )
 
     emb, emb_tbl, new = _emb_gate_inputs(spark, sf_dir)
-    pairs = embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
-    clusters = dedup_clusters(pairs).select(
-        F.lit("cluster").alias("kind"),
-        F.col("doc_id").alias("vec_id"),
-        F.col("cluster_id").alias("n"),
-    )
+
+    def _cluster_leg():
+        pairs = embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+        return dedup_clusters(pairs).select(
+            F.lit("cluster").alias("kind"),
+            F.col("doc_id").alias("vec_id"),
+            F.col("cluster_id").alias("n"),
+        )
+
     # kind='incremental' + kind='probe' from ONE banded join
     # (round-15, guide §1.2): the probe leg (probes=1 — each new
     # vector also joins under its lowest-margin bit-flip signature,
@@ -2336,16 +2339,26 @@ def _q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str,
     # pinned RDD outlives the invocation — the previous
     # localCheckpoint leaked one checkpointed RDD per call (round-15
     # leak audit).  A big batch keeps the distributed checkpoint.
-    both = embedding_dedup_incremental(new, emb_tbl,
-                                       threshold=0.3, probes=1,
-                                       base_counts=True)
-    from .operators.similarity import _embedding_probe
+    def _counts_leg():
+        both = embedding_dedup_incremental(new, emb_tbl,
+                                           threshold=0.3, probes=1,
+                                           base_counts=True)
+        from .operators.similarity import _embedding_probe
 
-    # memoized — the incremental gate's own guards already probed new
-    if _embedding_probe(new, "embedding")[1] <= 2_000_000:
-        both = spark.createDataFrame(both.toArrow())
-    else:
-        both = both.localCheckpoint()
+        # memoized — the incremental gate's guards already probed new
+        if _embedding_probe(new, "embedding")[1] <= 2_000_000:
+            return spark.createDataFrame(both.toArrow())
+        return both.localCheckpoint()
+
+    # cluster collect and the fused-counts collect are independent
+    # eager barriers — overlap them from two driver threads (guide
+    # §2.6, the dedup_incremental/dedup_exact_stats pattern; each
+    # leg's plan is unchanged)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cl, f_ct = pool.submit(_cluster_leg), pool.submit(_counts_leg)
+        clusters, both = f_cl.result(), f_ct.result()
     inc = both.select("vec_id", F.col("n_matched_seen_base")
                       .alias("n_matched_seen"))
     prb = both.select("vec_id", "n_matched_seen")
