@@ -335,7 +335,17 @@ def png_decoder(payload: bytes, width: int | None = None,
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG without PLTE chunk")
     ch = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    # keep the documented fail-loud contract's exception TYPES: a
+    # missing/empty IDAT would otherwise surface as zlib.error and a
+    # corrupt stream as a third-party exception seam callers catching
+    # ValueError/NotImplementedError would miss (round-14 ADVICE)
+    data = b"".join(idat)
+    if not data:
+        raise ValueError("PNG has no IDAT data")
+    try:
+        raw = zlib.decompress(data)
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT zlib stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError(
@@ -382,6 +392,13 @@ def png_decoder(payload: bytes, width: int | None = None,
     elif ctype == 2:
         rgb = px
     elif ctype == 3:
+        # validate, don't index-error: an out-of-range palette index
+        # must raise the documented ValueError, not numpy IndexError
+        # (round-14 ADVICE)
+        if int(px[:, :, 0].max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"palette index {int(px[:, :, 0].max())} out of range "
+                f"for a {len(plte)}-entry PLTE")
         rgb = plte[px[:, :, 0]]
     elif ctype == 4:
         rgb = np.repeat(px[:, :, :1], 3, axis=2)

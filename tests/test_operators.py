@@ -562,6 +562,7 @@ def test_png_decoder_fails_loud(spark):
     a garbage image (a silent mis-decode poisons every downstream
     feature of a 100 TB decode stage)."""
     import struct
+    import zlib
 
     from dask_histogram_spark.operators.multimodal import (
         png_decoder, png_encoder)
@@ -598,6 +599,28 @@ def test_png_decoder_fails_loud(spark):
     # invalid file (round-14 review)
     with pytest.raises(ValueError, match="palette"):
         png_encoder(np.zeros((2, 2), np.uint8), color_type=3)
+    # the documented contract must not leak third-party exception
+    # types (round-14 ADVICE): no/empty IDAT -> ValueError (was
+    # zlib.error), corrupt zlib stream -> ValueError, out-of-range
+    # palette index -> ValueError (was numpy IndexError)
+    ihdr_g = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    no_idat = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_g)
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="no IDAT"):
+        png_decoder(no_idat)
+    garbage = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_g)
+               + _png_chunk(b"IDAT", b"\x00not-zlib\xff")
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        png_decoder(garbage)
+    ihdr_p = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    # palette of ONE entry; the single pixel indexes entry 2
+    pal_png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_p)
+               + _png_chunk(b"PLTE", bytes((1, 2, 3)))
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00\x02"))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        png_decoder(pal_png)
 
 
 def test_png_roundtrip_all_filters(spark):

@@ -100,15 +100,28 @@ def test_indexed_ivf_scan_is_partition_pruned(plans):
 
 def test_pipeline_dedup_shuffles_hash_key_not_text(plans):
     """prepare_training_corpus must key its one shuffle on
-    xxhash64(text), never on the document text itself, with the quality
-    gates applied map-side (Filter below the Exchange)."""
+    xxhash64(text), never on the document text itself.  Since the
+    round-14 double-regex fix only the CHEAP gates (isnotnull +
+    length) run scan-side below the exchange; the regex gates live in
+    the min_by ordering's null guard, surfacing after the aggregate as
+    the __win isNotNull filter — pin that exact shape so a drifted
+    plan (regex back below the exchange = double evaluation, or no
+    scan-side pruning at all) fails here."""
+    import re
+
     plan = plans["pipeline_prepare_corpus"]
     shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert shuffles, plan[:500]
     for line in shuffles:
         assert "text" not in line, line
-    first_exchange = plan.find("Exchange hashpartitioning")
-    assert "Filter" in plan[first_exchange:], "gates not pushed before shuffle"
+    # scan-side Filter: the null/length gate only (cheap, prunes rows
+    # before the hash exchange) — the regex gates must NOT be there
+    assert re.search(r"isnotnull\(text#\d+\) AND \(length\(text#\d+\)",
+                     plan), plan[:2000]
+    assert "RLIKE" not in plan and "rlike" not in plan, \
+        "regex gates leaked into the physical plan as filters"
+    # post-aggregate null-winner filter (the min_by gate fold)
+    assert re.search(r"isnotnull\(__win#\d+\)", plan), plan[:2000]
 
 
 def test_incremental_bucketed_seen_join_has_no_seen_side_exchange(
