@@ -1880,7 +1880,8 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
                          hashed: bool = True,
                          persist: bool = False,
                          method: str = "auto",
-                         broadcast_pairs: bool = False) -> DataFrame:
+                         broadcast_pairs: bool = False,
+                         eager_persist: bool = True) -> DataFrame:
     """Exact character-k-gram Jaccard computed ONLY on candidate pairs —
     the verification step between LSH candidate generation and
     clustering (candidates -> verify -> :func:`dedup_clusters`).
@@ -1991,7 +1992,18 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
         from pyspark import StorageLevel
 
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-        shingled.count()  # eager: both join sides must hit the cache
+        # eager_persist (default): materialize the cache NOW so both
+        # pair-side joins read it — the safe posture when recomputing
+        # the shingle UDF is expensive (a 100 TB-scale involved set).
+        # eager_persist=False skips the serial materialization pass
+        # and lets the FIRST action fill the cache: the two join
+        # sides' map stages may then race-compute some partitions
+        # (bounded at 2x the projection), which a caller whose
+        # involved set is CANDIDATE-bounded (e.g. the capped-LSH
+        # pipeline) trades for one fewer serial barrier — measured
+        # 7.5 -> 5.9 s per pipeline cycle at sf0.1, identical rows.
+        if eager_persist:
+            shingled.count()
     a = shingled.select(F.col(id_col).alias(pair_a),
                         F.col("__sh").alias("__sha"))
     b = shingled.select(F.col(id_col).alias(pair_b),
