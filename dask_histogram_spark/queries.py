@@ -856,10 +856,18 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen, tbl, n=_SPAN_N, path=path))
 
     def _span_leg():
-        return remove_duplicate_spans_incremental(
+        spn = remove_duplicate_spans_incremental(
             new, span_tbl, min_df=_SPAN_MIN_DF).select(
             F.lit("span").alias("kind"), "doc_id",
             F.col("n_removed_words").cast("long").alias("n"))
+        # land the (1 row/batch-doc) counts locally like the sibling
+        # leg, so the rebuild scan ALSO runs inside this thread,
+        # overlapped with exact+lsh, instead of serializing after them
+        # at collect time
+        if memoized_probe(new, ("nrows",),
+                          lambda: new.count()) <= 2_000_000:
+            return spark.createDataFrame(spn.toArrow())
+        return spn
 
     def _exact_lsh_legs():
         exact = dedup_incremental(new, seen).select(
