@@ -966,18 +966,29 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
     """
     if method == "auto":
         method = "arrow"
+    from .sizing import memoized_probe
+
     if method == "arrow":
-        btexts = benchmark.select(F.col(text_col)).toArrow()
-        # NULL benchmark texts contribute no grams (explode(null) emits
-        # no rows in the Column twin)
-        bench_list = [
-            h for h in _word_gram_hash_batch(
-                btexts.column(text_col).to_pylist(), n)
-            if h is not None
-        ]
-        bench = np.unique(np.concatenate(bench_list)) if bench_list else \
-            np.zeros(0, dtype=np.uint64)
-        bc = train.sparkSession.sparkContext.broadcast(bench)
+        def _bench_bc():
+            btexts = benchmark.select(F.col(text_col)).toArrow()
+            # NULL benchmark texts contribute no grams (explode(null)
+            # emits no rows in the Column twin)
+            bench_list = [
+                h for h in _word_gram_hash_batch(
+                    btexts.column(text_col).to_pylist(), n)
+                if h is not None
+            ]
+            bench = (np.unique(np.concatenate(bench_list)) if bench_list
+                     else np.zeros(0, dtype=np.uint64))
+            return train.sparkSession.sparkContext.broadcast(bench)
+
+        # the benchmark gram set + its broadcast are a pure function of
+        # (benchmark plan, n) — eval suites are static within a session,
+        # so the per-invocation collect + hash + re-broadcast (~0.5 s)
+        # memoizes like every other guard probe (round-15; the
+        # clear_probe_memo contract covers in-place rewrites)
+        bc = memoized_probe(benchmark, ("contam_grams", int(n), text_col),
+                            _bench_bc)
 
         @F.pandas_udf("n_grams int, n_hits int")
         def gram_stats(texts: pd.Series) -> pd.DataFrame:
@@ -1012,11 +1023,18 @@ def contamination_check(train: DataFrame, benchmark: DataFrame,
             F.col(text_col).isNotNull(),
             F.transform(grams, lambda g: F.xxhash64(g)),
         )
-        bench = np.unique(
-            benchmark.select(F.explode(gram_hashes).alias("h"))
-            .toArrow().column("h").to_numpy(zero_copy_only=False)
-        )
-        bc = train.sparkSession.sparkContext.broadcast(bench)
+        def _bench_bc_col():
+            bench = np.unique(
+                benchmark.select(F.explode(gram_hashes).alias("h"))
+                .toArrow().column("h").to_numpy(zero_copy_only=False)
+            )
+            return train.sparkSession.sparkContext.broadcast(bench)
+
+        # same memo as the arrow path (kind-tagged separately: the
+        # column path hashes with xxhash64, not the FNV batch kernel)
+        bc = memoized_probe(benchmark,
+                            ("contam_grams_col", int(n), text_col),
+                            _bench_bc_col)
 
         @F.pandas_udf(T.IntegerType())
         def n_hits(hs: pd.Series) -> pd.Series:
@@ -1123,6 +1141,21 @@ def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
                 "__n", F.count(F.lit(1)).over(
                     Window.partitionBy("band", "bucket")))
             .where(F.col("__n") <= int(max_bench_bucket)).drop("__n"))
+    # the benchmark's banded rows are a pure function of (benchmark
+    # plan, minhash params) and broadcast-small by the operator's own
+    # premise — collect them ONCE per session (memoized like every
+    # guard probe) and broadcast the local relation: repeat scans skip
+    # the per-invocation benchmark minhash job + broadcast build
+    # (round-15; plan shape unchanged — still a broadcast hash join
+    # with no train-side exchange, plan-asserted)
+    from .sizing import memoized_probe
+
+    rows = memoized_probe(
+        benchmark,
+        ("contam_bband", int(num_perm), int(bands), int(shingle_k),
+         int(seed), hash_fn, max_bench_bucket, text_col, id_col),
+        bband.collect)
+    bband = train.sparkSession.createDataFrame(rows, bband.schema)
     tsigs = minhash_signatures(train, text_col, id_col, num_perm,
                                shingle_k, seed, hash_fn)
     tband = _band_explode(tsigs, id_col, num_perm, bands, hash_fn,
