@@ -1366,6 +1366,14 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
 # How many distinct shingles (index entries) the broadcast-bincount
 # strategy will hold per executor before "auto" falls back to the
 # distributed inverted-index join: 20M entries ~ 300 MB broadcast.
+# Above this much corpus text, jaccard_verify_pairs' "auto" persist
+# materializes the shingle cache eagerly (see the eager_persist
+# comment): the lazy form's bounded 2x race on the shingle UDF beats
+# the serial barrier only while the whole UDF pass is a few
+# task-seconds (sf0.1's ~4 MB: lazy −1.6 s/cycle; 1M-doc ~180 MB:
+# eager +3 s/cycle — round-15 A/Bs).
+_LAZY_VERIFY_MAX_CHARS = 32_000_000
+
 _BINCOUNT_MAX_NNZ = 20_000_000
 
 
@@ -1881,7 +1889,7 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
                          persist: bool = False,
                          method: str = "auto",
                          broadcast_pairs: bool = False,
-                         eager_persist: bool = True) -> DataFrame:
+                         eager_persist: bool | str = "auto") -> DataFrame:
     """Exact character-k-gram Jaccard computed ONLY on candidate pairs —
     the verification step between LSH candidate generation and
     clustering (candidates -> verify -> :func:`dedup_clusters`).
@@ -1992,17 +2000,30 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
         from pyspark import StorageLevel
 
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-        # eager_persist (default): materialize the cache NOW so both
-        # pair-side joins read it — the safe posture when recomputing
-        # the shingle UDF is expensive (a 100 TB-scale involved set).
-        # eager_persist=False skips the serial materialization pass
-        # and lets the FIRST action fill the cache: the two join
-        # sides' map stages may then race-compute some partitions
-        # (bounded at 2x the projection), which a caller whose
-        # involved set is CANDIDATE-bounded (e.g. the capped-LSH
-        # pipeline) trades for one fewer serial barrier — measured
-        # 7.5 -> 5.9 s per pipeline cycle at sf0.1, identical rows.
-        if eager_persist:
+        # eager=True materializes the cache NOW so both pair-side
+        # joins read it — the safe posture when recomputing the
+        # shingle UDF is expensive.  eager=False skips the serial
+        # materialization barrier and lets the FIRST action fill the
+        # cache: the two join sides' map stages may then race-compute
+        # some partitions (bounded at 2x the projection).  Which wins
+        # is a pure function of the UDF pass's size, so "auto"
+        # (default) decides from the memoized corpus text probe:
+        # measured at sf0.1 (~4 MB text) lazy saves 1.6 s/pipeline
+        # cycle, while at 1M synthetic docs (~180 MB) eager wins by
+        # ~3 s (the race recompute outgrows the barrier).  Probe-less
+        # sessions (cluster mode, zero-eager-jobs contract) stay
+        # eager — the safe default at real scale.
+        if eager_persist == "auto":
+            from .sizing import scratch_budget
+
+            eager = True
+            if scratch_budget(docs.sparkSession) is not None:
+                n_all, s_all, _s_txt, s_chars = _text_probe(docs, text_col)
+                chars = n_all * s_chars // max(s_all, 1) if n_all else 0
+                eager = chars > _LAZY_VERIFY_MAX_CHARS
+        else:
+            eager = bool(eager_persist)
+        if eager:
             shingled.count()
     a = shingled.select(F.col(id_col).alias(pair_a),
                         F.col("__sh").alias("__sha"))

@@ -1017,14 +1017,13 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-id set (30k rows at sf0.1) with no stats — without the hint
     # the planner sort-merges and shuffles the shingle arrays twice
     # (round-15 plan audit)
-    # eager_persist=False: the involved-doc set is candidate-bounded
-    # (capped LSH), so letting dedup_clusters' collect fill the shingle
-    # cache skips one serial materialization barrier (A/B: -1.6 s per
-    # cycle, identical rows; worst case is a bounded 2x race on the
-    # projection — see jaccard_verify_pairs)
+    # eager_persist="auto" (default): the probe-gated lazy persist
+    # skips one serial materialization barrier on small corpora (A/B:
+    # -1.6 s/cycle at sf0.1) and stays eager once the shingle pass is
+    # big enough for the bounded 2x race to cost more (1M-doc A/B:
+    # eager wins by ~3 s) — see jaccard_verify_pairs
     verified = jaccard_verify_pairs(pruned, corpus, k=8, threshold=0.5,
-                                    persist=True, broadcast_pairs=True,
-                                    eager_persist=False)
+                                    persist=True, broadcast_pairs=True)
     # dedup_clusters is eager (localCheckpoint-per-round), so by the
     # time it returns the verify join has fully run — release the
     # cached projections before handing the result back.
@@ -1832,10 +1831,8 @@ def _chain_leg_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
                                    min_sig_matches=10)
     pruned = cands.localCheckpoint()
     release_candidates_cache(cands)
-    # eager_persist=False: candidate-bounded involved set, same
-    # reasoning/A-B as the dedup_pipeline row
     verified = jaccard_verify_pairs(pruned, ex, k=8, threshold=0.5,
-                                    persist=True, eager_persist=False)
+                                    persist=True)
     clusters = dedup_clusters(verified)
     losers = clusters.where(F.col("cluster_id") != F.col("doc_id")) \
         .select("doc_id").localCheckpoint()

@@ -1819,6 +1819,31 @@ def test_jaccard_verify_pairs_matches_full_join(spark, docs_with_dups):
         assert full[pair] == j
 
 
+def test_verify_eager_persist_modes_identical(spark, docs_with_dups):
+    """eager_persist=True / False / "auto" are pure execution-strategy
+    choices (serial cache materialization vs a bounded race on the
+    first action vs the probe-gated pick) — all three must return the
+    identical verified pair set (round-15 #26)."""
+    from dask_histogram_spark.operators import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+        release_candidates_cache,
+    )
+
+    df, _ = docs_with_dups
+    cands = minhash_lsh_candidates(df, num_perm=32, bands=8,
+                                   persist=False).localCheckpoint()
+    outs = []
+    for mode in (True, False, "auto"):
+        v = jaccard_verify_pairs(cands, df, k=8, threshold=0.5,
+                                 persist=True, broadcast_pairs=True,
+                                 eager_persist=mode)
+        outs.append(sorted(map(tuple, v.collect())))
+        release_candidates_cache(v)
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0], "degenerate test: no verified pairs"
+
+
 def test_release_candidates_cache(spark, docs_with_dups):
     from dask_histogram_spark.operators import (
         minhash_lsh_candidates,
