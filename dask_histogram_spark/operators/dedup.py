@@ -1314,6 +1314,24 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
         .localCheckpoint()
     )
     ckpt = buckets  # release handle (buckets is re-bound below)
+    # Read the checkpointed bucket table at FEWER, larger partitions
+    # (guide §2.2): the agg ran at the fold's byte-derived width, but
+    # its output is at most n_docs x bands tiny rows consumed by two
+    # cheap branch scans — at sf0.1 the 2 x 32 near-empty read tasks
+    # were pure scheduling latency (interleaved A/B: 3.7-6.0 s ->
+    # 2.9-4.2 s per invocation at width 8, identical rows).  Width is
+    # probe-derived (~64k bucket rows per read task, floor 4) so a
+    # big corpus keeps the parallel read and the pair explode's
+    # C(max_bucket,2) blowup stays spread; probe-less (cluster)
+    # sessions keep the full width (zero-eager-jobs contract).
+    from .sizing import scratch_budget
+
+    if scratch_budget(df.sparkSession) is not None:
+        n_all, _s_all, _s_txt, _s_chars = _text_probe(df, text_col)
+        est_bucket_rows = max(int(n_all) * bands, 1)
+        read_width = max(4, min(nparts, -(-est_bucket_rows // 65536)))
+        if read_width < nparts:
+            buckets = buckets.coalesce(read_width)
     pair_gen = F.filter(
         F.flatten(
             F.transform(
