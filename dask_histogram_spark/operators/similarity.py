@@ -765,7 +765,7 @@ def ivf_topk_indexed(path: str, queries: DataFrame,
         # components, the scoring math is unchanged
         index = index.withColumn(
             vec_col,
-            F.expr(f"transform(qvec, x -> CAST(x AS DOUBLE) * scale)"),
+            F.expr("transform(qvec, x -> CAST(x AS DOUBLE) * scale)"),
         )
     if not ranked:
         return _score_pairs(index, q_local, id_col, vec_col)
