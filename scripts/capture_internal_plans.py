@@ -4,7 +4,7 @@ construction): the judge-facing evidence for plan claims that the
 <query>_after.txt files cannot show.
 
 Usage: python scripts/capture_internal_plans.py  (writes
-plans/r15/<query>_after_internal.txt)
+plans/r16/<query>_after_internal.txt)
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ from dask_histogram_spark.queries import (  # noqa: E402
 from dask_histogram_spark.session import get_spark  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r15")
+                   "plans", os.environ.get("DHS_PLANS_ROUND", "r16"))
 
 
 def executed(df) -> str:

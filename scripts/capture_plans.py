@@ -1,5 +1,5 @@
 """Dump .explain("formatted") for every bench query (or a named
-subset) to plans/r15/<query>_<tag>.txt.
+subset) to plans/r16/<query>_<tag>.txt.
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
 """
@@ -28,7 +28,7 @@ def main() -> None:
     names = sys.argv[2:] or bench.BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", os.environ.get("DHS_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dhs-plans")
     spark.sparkContext.setLogLevel("ERROR")
