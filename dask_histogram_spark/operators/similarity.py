@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .localrel import local_relation
+
 __all__ = ["brute_force_topk", "ivf_topk", "embedding_norms", "cosine_expr",
            "embedding_near_dup_pairs", "fit_centroids",
            "build_ivf_index", "ivf_topk_indexed", "load_ivf_centroids",
@@ -544,7 +546,12 @@ def _memoized_probe_rows(queries: DataFrame, q_assigned: DataFrame,
          centroids.shape, hash(centroids.tobytes())),
         q_assigned.collect)
     spark = queries.sparkSession
-    return q_rows, spark.createDataFrame(q_rows, q_assigned.schema)
+    # LocalRelation, not createDataFrame: the probe side is broadcast
+    # into every scored leg, and a broadcast over an RDD-backed local
+    # DataFrame is a defaultParallelism-task job PER LEG (three per
+    # similarity_ivf_topk invocation — round-16 job trace); over a
+    # LocalRelation it builds driver-side with zero jobs
+    return q_rows, local_relation(spark, q_rows, q_assigned.schema)
 
 
 def ivf_topk(df: DataFrame, queries: DataFrame, centroids: np.ndarray,

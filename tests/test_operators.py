@@ -3381,3 +3381,78 @@ def test_lm_score_hashed_model_matches_strings(spark):
         b = {r["doc_id"]: tuple(r[c] for c in cols)
              for r in lm_score(d, hashed_model=True, **kw).collect()}
         assert a == b, kw
+
+
+def test_local_relation_matches_create(spark):
+    """local_relation (the VALUES-literal LocalRelation used for the
+    broadcast-probe and locally-landed relations) must reproduce
+    spark.createDataFrame exactly: same schema, same values — including
+    NaN/±Inf/-0.0/1e±300 doubles, null elements/arrays, empty arrays,
+    and quotes/backslashes/newlines in strings — and its physical plan
+    must actually BE a LocalTableScan (the whole point: zero-job
+    broadcast builds and driver-local collects)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from dask_histogram_spark.operators.localrel import local_relation
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("w", T.ArrayType(T.IntegerType())),
+    ])
+    rows = [
+        (1, "plain", True, 1.5, [1.0, -0.0, 1e300], [1, 2]),
+        (2, "qu'ote\\back\nline", False, float("nan"), [None, 2.5], []),
+        (3, None, None, float("inf"), None, [None]),
+        (-4, "", True, float("-inf"), [1e-300], None),
+        (5, "x", False, -0.0, [float("nan"), float("inf")], [0]),
+    ]
+    lr = local_relation(spark, rows, schema)
+    cr = spark.createDataFrame(rows, schema)
+    assert "LocalTableScan" in lr._jdf.queryExecution().executedPlan().toString()
+    assert lr.schema == cr.schema
+
+    def norm(df):
+        out = []
+        for r in sorted(df.collect(), key=lambda r: r["i"]):
+            vals = []
+            for x in r:
+                if isinstance(x, float):
+                    # NaN compares unequal to itself; -0.0 == 0.0 — pin both
+                    vals.append(("nan" if math.isnan(x)
+                                 else (x, math.copysign(1.0, x))))
+                elif isinstance(x, list):
+                    vals.append(tuple(
+                        "nan" if isinstance(e, float) and math.isnan(e)
+                        else ((e, math.copysign(1.0, e))
+                              if isinstance(e, float) else e)
+                        for e in x))
+                else:
+                    vals.append(x)
+            out.append(tuple(vals))
+        return out
+
+    assert norm(lr) == norm(cr)
+    # non-nullable fields keep their non-nullability
+    nn = T.StructType([T.StructField("k", T.LongType(), False),
+                       T.StructField("s", T.StringType(), True)])
+    lr2 = local_relation(spark, [(1, "a"), (2, None)], nn)
+    assert lr2.schema == spark.createDataFrame([(1, "a"), (2, None)],
+                                               nn).schema
+    assert "LocalTableScan" in lr2._jdf.queryExecution() \
+        .executedPlan().toString()
+    # unsupported shapes fall back to createDataFrame (still correct):
+    # maps, and nested nullability DDL cannot spell
+    st = T.StructType([T.StructField(
+        "m", T.MapType(T.StringType(), T.LongType()))])
+    fb = local_relation(spark, [({"a": 1},)], st)
+    assert fb.collect()[0]["m"] == {"a": 1}
+    nc = T.StructType([T.StructField(
+        "v", T.ArrayType(T.DoubleType(), containsNull=False))])
+    fb2 = local_relation(spark, [([1.0],)], nc)
+    assert fb2.schema == nc and fb2.collect()[0]["v"] == [1.0]
