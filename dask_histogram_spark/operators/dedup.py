@@ -1371,10 +1371,12 @@ def minhash_lsh_stats(df: DataFrame, text_col: str = "text",
         row = n_pairs.crossJoin(F.broadcast(bucket_stats)).collect()[0]
     finally:
         _release_local_checkpoint(ckpt)
-    return df.sparkSession.createDataFrame(
-        [row],
-        schema=("n_pairs_capped long, sum_bands long, n_buckets long, "
-                "max_bucket_size long, n_capped_buckets long"))
+    from .localrel import local_relation
+
+    return local_relation(
+        df.sparkSession, [row],
+        ("n_pairs_capped long, sum_bands long, n_buckets long, "
+         "max_bucket_size long, n_capped_buckets long"))
 
 
 # ---------------------------------------------------------------------------
@@ -2177,6 +2179,19 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             ep.unpersist()
             nodes, lab = _min_label_numpy(pdf["a"].to_numpy(),
                                           pdf["b"].to_numpy())
+            # LocalRelation, not createDataFrame: the caller's collect
+            # of an RDD-backed local result is a defaultParallelism-
+            # task job per materialization; a LocalTableScan collects
+            # driver-side with zero jobs (see operators/localrel.py).
+            # Above the literal-row cap, keep the Arrow pandas vehicle
+            # (the parse would outgrow the job it avoids).
+            from .localrel import _MAX_LITERAL_ROWS, local_relation
+
+            if len(nodes) <= _MAX_LITERAL_ROWS:
+                return local_relation(
+                    pairs.sparkSession,
+                    list(zip(nodes.tolist(), nodes[lab].tolist())),
+                    "doc_id long, cluster_id long")
             out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[lab]})
             return pairs.sparkSession.createDataFrame(
                 out, schema="doc_id long, cluster_id long")

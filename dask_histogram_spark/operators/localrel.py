@@ -35,6 +35,14 @@ __all__ = ["local_relation"]
 # beyond this much rendered SQL the parse itself stops being cheap
 # relative to the parallelize job the literal form avoids
 _MAX_SQL_BYTES = 4 << 20
+# row cap for the literal form: the ANTLR parse + per-cell fold of a
+# VALUES list is driver-side work that grows linearly with rows
+# (~45 µs/row measured), while the job it avoids is ~constant —
+# measured at sf0.1, the 5-7.5k-row dedup_incremental leg landings
+# LOST ~0.5 s/invocation as literals (two concurrent driver-thread
+# parses) while ≤2.5k-row relations win; 4096 keeps the literal form
+# for the relations where it pays
+_MAX_LITERAL_ROWS = 4096
 
 
 def _render_scalar(v, dt) -> str:
@@ -85,13 +93,19 @@ def _ddl_exact(dt) -> bool:
 
 
 def local_relation(spark, rows, schema) -> DataFrame:
-    """``rows`` (sequence of Rows/tuples) + ``schema`` (StructType) as
-    a LocalRelation-backed DataFrame, or the plain
+    """``rows`` (sequence of Rows/tuples) + ``schema`` (StructType or
+    DDL string) as a LocalRelation-backed DataFrame, or the plain
     ``spark.createDataFrame`` fallback when the rows cannot be spelled
     as an exact VALUES literal.  Values and schema (incl. nullability)
     are identical either way; only the physical vehicle differs
     (LocalTableScan vs Scan ExistingRDD)."""
-    if not isinstance(schema, T.StructType) or not len(rows):
+    if isinstance(schema, str):
+        try:
+            schema = T.StructType.fromDDL(schema)
+        except Exception:
+            return spark.createDataFrame(rows, schema)
+    if (not isinstance(schema, T.StructType) or not len(rows)
+            or len(rows) > _MAX_LITERAL_ROWS):
         return spark.createDataFrame(rows, schema)
     fields = schema.fields
     try:

@@ -1155,7 +1155,12 @@ def contamination_near_dup(train: DataFrame, benchmark: DataFrame,
         ("contam_bband", int(num_perm), int(bands), int(shingle_k),
          int(seed), hash_fn, max_bench_bucket, text_col, id_col),
         bband.collect)
-    bband = train.sparkSession.createDataFrame(rows, bband.schema)
+    # LocalRelation, not createDataFrame: the broadcast build over an
+    # RDD-backed local relation is a defaultParallelism-task job per
+    # tier; over a LocalTableScan it builds driver-side with no job
+    from .localrel import local_relation
+
+    bband = local_relation(train.sparkSession, rows, bband.schema)
     tsigs = minhash_signatures(train, text_col, id_col, num_perm,
                                shingle_k, seed, hash_fn)
     tband = _band_explode(tsigs, id_col, num_perm, bands, hash_fn,

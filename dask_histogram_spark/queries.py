@@ -85,6 +85,24 @@ def get_tables(spark: SparkSession, sf_dir: str) -> dict:
 # registry plumbing
 # ---------------------------------------------------------------------------
 
+def _land_local(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Land a batch-bounded DataFrame locally via one Arrow collect and
+    rebuild it as a true LocalRelation (operators/localrel.py): every
+    later materialization — the bench collect, a broadcast build —
+    is then driver-side instead of a defaultParallelism-task job over
+    a parallelized RDD.  Rows past localrel._MAX_LITERAL_ROWS keep the
+    round-15 Arrow createDataFrame vehicle (the literal's render+parse
+    would outgrow the job it avoids — measured LOSING ~0.5 s at the
+    5-7.5k-row dedup_incremental landings)."""
+    from .operators.localrel import _MAX_LITERAL_ROWS, local_relation
+
+    tbl = df.toArrow()
+    if tbl.num_rows > _MAX_LITERAL_ROWS:
+        return spark.createDataFrame(tbl)
+    rows = list(zip(*[c.to_pylist() for c in tbl.columns]))
+    return local_relation(spark, rows, df.schema)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -866,7 +884,7 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at collect time
         if memoized_probe(new, ("nrows",),
                           lambda: new.count()) <= 2_000_000:
-            return spark.createDataFrame(spn.toArrow())
+            return _land_local(spark, spn)
         return spn
 
     def _exact_lsh_legs():
@@ -887,7 +905,7 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row, fed by the memoized row probe)
         if memoized_probe(new, ("nrows",),
                           lambda: new.count()) <= 2_000_000:
-            return spark.createDataFrame(both.toArrow())
+            return _land_local(spark, both)
         return both
 
     # The span leg collects its dup-gram set eagerly during
@@ -1989,8 +2007,10 @@ def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tokens").cast("long").alias("total_tokens"),
         F.col("total_bpe_tokens").cast("long").alias("total_bpe_tokens"),
         F.col("total_chars").cast("long").alias("total_chars"))
-    chain = spark.createDataFrame(
-        _chain_leg_rows(spark, sf_dir),
+    from .operators.localrel import local_relation
+
+    chain = local_relation(
+        spark, _chain_leg_rows(spark, sf_dir),
         "kind string, stage string, n_docs long, metric long, "
         "total_tokens long, total_bpe_tokens long, total_chars long")
     return corpus_row.unionByName(chain)
@@ -2360,7 +2380,7 @@ def _q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str,
 
         # memoized — the incremental gate's guards already probed new
         if _embedding_probe(new, "embedding")[1] <= 2_000_000:
-            return spark.createDataFrame(both.toArrow())
+            return _land_local(spark, both)
         return both.localCheckpoint()
 
     # cluster collect and the fused-counts collect are independent
@@ -2465,7 +2485,10 @@ def _embedding_stream_leg(spark: SparkSession, new: DataFrame,
     for a, b in pairs_s:
         if a < _EMB_OFF:  # probe rows anchor on a SEEN id
             got.setdefault(int(b), set()).add(int(a))
-    counts = spark.createDataFrame(
+    from .operators.localrel import local_relation
+
+    counts = local_relation(
+        spark,
         [(v, len(s)) for v, s in got.items()] or [(-1, 0)],
         "vec_id long, n long")
     return (new.select("vec_id").join(counts, "vec_id", "left")
@@ -2926,7 +2949,10 @@ def _coverage_row(spark: SparkSession, stream_pairs: list[tuple],
     for a, b in stream_pairs:
         parent[find(a)] = find(b)
     uncovered = sum(1 for a, b in batch_pairs if find(a) != find(b))
-    return spark.createDataFrame(
+    from .operators.localrel import local_relation
+
+    return local_relation(
+        spark,
         [(len(batch_pairs), uncovered)],
         "n_batch_pairs bigint, n_uncovered bigint",
     )
@@ -2956,7 +2982,10 @@ def _q_streaming_dedup_exact_replay(spark: SparkSession,
         ),
     )
     hashes = [b for _, b in winners]
-    return spark.createDataFrame(
+    from .operators.localrel import local_relation
+
+    return local_relation(
+        spark,
         [(len(winners), len(set(hashes)))],
         "n_winners bigint, n_distinct_hashes bigint",
     )
@@ -3082,8 +3111,11 @@ def _q_streaming_probe_replay(spark: SparkSession,
     n_primary = sum(batch.values())
     n_check = sum(1 for d, n in batch.items()
                   if len(got.get(d, ())) != n)
-    return spark.createDataFrame(
-        [(n_primary, n_check)], "n_primary bigint, n_check bigint")
+    from .operators.localrel import local_relation
+
+    return local_relation(
+        spark, [(n_primary, n_check)],
+        "n_primary bigint, n_check bigint")
 
 
 def _q_streaming_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4066,8 +4098,11 @@ def _q_streaming_histogram_replay(spark: SparkSession,
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.catalog.dropTempView(name)
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "win_start_s long, win_end_s long, bin_0 long, value double"
+    from .operators.localrel import local_relation
+
+    return local_relation(
+        spark, rows,
+        "win_start_s long, win_end_s long, bin_0 long, value double"
     )
 
 

@@ -460,7 +460,11 @@ class AggHistogram:
                 [T.StructField(c, T.LongType()) for c in bins]
                 + [T.StructField("__operand", T.DoubleType())]
             )
-            lit_df = F.broadcast(spark.createDataFrame(rows, schema))
+            # LocalRelation (zero-job broadcast build) — falls back to
+            # createDataFrame for shapes it cannot spell exactly
+            from .operators.localrel import local_relation
+
+            lit_df = F.broadcast(local_relation(spark, rows, schema))
             joined = self.df.join(lit_df, on=bins, how="left")
             sel = [F.col(c) for c in bins]
             rhs = F.col("__operand")
