@@ -20,6 +20,16 @@ floor-bound entry 25-40%).  The protocol is: never conclude a
 regression from ONE run's delta; re-run first, and only investigate a
 slowdown that survives the re-run AND moves a specific query's all
 three reps.
+
+Round 16 makes the bench SELF-DEFENDING (the r14/r15 verdicts' open
+item: two rounds in a row were recorded on a loaded host): timing only
+starts after host CPU pressure decays below 0.2 (bounded wait, logged
+under "gate.psi_admission"), and a row whose max/median rep spread
+exceeds 1.5x is re-timed up to twice with every attempt kept under
+"gate.spread_retries" — the artifact carries its own admissibility
+evidence instead of needing a hand-regenerated baseline.
+SPARK_GRAFT_BENCH_COLD=1 additionally clears the probe/plan memos
+before every timed rep (the memo-fence audit mode).
 """
 
 from __future__ import annotations
@@ -107,10 +117,54 @@ def _cpu_pressure_avg10() -> float | None:
         return None
 
 
+# --- self-defending measurement gates (round-16, carried from the
+# round-14/15 verdicts: BENCH_r14 was recorded at PSI 1.17 and BENCH_r15
+# at 0.71, so cross-round comparisons needed hand-regenerated baselines.
+# The bench now defends itself and writes the evidence into the
+# artifact) -----------------------------------------------------------
+#
+# Admission: refuse to START timing until host CPU pressure has decayed
+# below _PSI_THRESHOLD, waiting in 15 s steps up to _PSI_WAIT_MAX_S
+# (PSI avg10 half-lives in ~10 s, so a just-finished foreign burst
+# clears quickly; a persistently loaded host is recorded as
+# admitted=false rather than blocking the driver forever).
+# Per-row spread: a row whose max/median exceeds _SPREAD_RATIO_MAX is
+# re-timed (fresh reps, same warm state) up to _SPREAD_RETRIES times;
+# every attempt — including discarded ones — is kept in the artifact
+# under gate.spread_retries, and the attempt with the lowest ratio is
+# the one recorded (a true regression moves every attempt; a scheduler
+# hiccup moves one).  Methodology change is additive: same timed
+# action, same reps, same median — only re-armed when the spread gate
+# trips, with the full audit trail retained.
+_PSI_THRESHOLD = 0.2
+_PSI_WAIT_MAX_S = 300.0
+_SPREAD_RATIO_MAX = 1.5
+_SPREAD_RETRIES = 2
+
+
+def _psi_admission() -> dict:
+    import time as _t
+
+    attempts: list = []
+    waited = 0.0
+    while True:
+        psi = _cpu_pressure_avg10()
+        attempts.append(psi)
+        ok = psi is None or psi <= _PSI_THRESHOLD
+        if ok or waited >= _PSI_WAIT_MAX_S:
+            return {"threshold": _PSI_THRESHOLD,
+                    "attempts": attempts,
+                    "waited_s": round(waited, 1),
+                    "admitted": bool(ok)}
+        _t.sleep(15.0)
+        waited += 15.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    admission = _psi_admission()  # wait out foreign load BEFORE timing
     pressure_start = _cpu_pressure_avg10()
     spark = get_spark("dhs-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -138,25 +192,55 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    def time_one(fn):
-        fn(spark, sf_dir).collect()
+    spread_retries: dict[str, list[dict]] = {}
+
+    # SPARK_GRAFT_BENCH_COLD=1: clear the probe/plan memos before every
+    # timed rep, so each rep pays the probes and collects an actual
+    # cold invocation would (the memo-fence audit mode — session-built
+    # artifacts like signature tables / the IVF index stay, see
+    # queries.clear_bench_memos).  Default off: the steady-state
+    # protocol in force since round 5.
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+
+    def timed_runs(fn) -> list[float]:
+        from dask_histogram_spark.queries import clear_bench_memos
+
         runs = []
         for _ in range(reps):
+            if cold:
+                clear_bench_memos()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(round(time.perf_counter() - t0, 4))
         runs.sort()
+        return runs
+
+    def time_one(name, fn):
+        fn(spark, sf_dir).collect()  # per-query warmup
+        best = None
+        for _ in range(_SPREAD_RETRIES + 1):
+            runs = timed_runs(fn)
+            med = runs[len(runs) // 2]
+            ratio = runs[-1] / max(med, 1e-9)
+            if best is None or ratio < best[1]:
+                best = (runs, ratio)
+            if ratio <= _SPREAD_RATIO_MAX:
+                break
+            # over-spread attempt: keep it on the record and re-arm
+            spread_retries.setdefault(name, []).append(
+                {"runs": runs, "ratio": round(ratio, 2)})
+        runs = best[0]
         return runs[len(runs) // 2], runs
 
     for name in BENCH_QUERIES:
         timings[name], spreads[name] = time_one(
-            BENCH_VARIANTS.get(name, QUERIES[name]))
+            name, BENCH_VARIANTS.get(name, QUERIES[name]))
 
     # fixed-cost legs (streaming replays) timed OUTSIDE the headline
     # total so the trend line stays like-for-like across rounds
     extras: dict[str, float] = {}
     for name, fn in BENCH_EXTRAS.items():
-        extras[name], spreads[name] = time_one(fn)
+        extras[name], spreads[name] = time_one(name, fn)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -168,7 +252,13 @@ def main() -> None:
                 "queries": timings,
                 "extras": extras,
                 "spread": spreads,
+                "gate": {
+                    "psi_admission": admission,
+                    "spread_ratio_max": _SPREAD_RATIO_MAX,
+                    "spread_retries": spread_retries,
+                },
                 "reps": reps,
+                "cold": cold,
                 "sf": sf,
                 "cpus": cpus,
                 "host": {"cpu_pressure_avg10_start": pressure_start,

@@ -103,6 +103,33 @@ def _land_local(spark: SparkSession, df: DataFrame) -> DataFrame:
     return local_relation(spark, rows, df.schema)
 
 
+def clear_bench_memos() -> None:
+    """Cold-invocation support for the bench/minibench
+    ``SPARK_GRAFT_BENCH_COLD=1`` mode (round-16 memo fence): drop every
+    memoized probe STATISTIC and derived-artifact ROW — the sizing
+    probe memo holds them all (text/embedding probes, ``__params``
+    sidecar rows, the IVF probe assignment, the contamination
+    benchmark band rows) — plus the IVF index read-plan cache, so a
+    timed rep pays every probe/collect an actual cold invocation
+    would.  Session-scoped built ARTIFACTS stay: the persisted
+    signature/gram tables and the on-disk IVF index are
+    explicitly-static reference-side artifacts a production deployment
+    amortizes across runs (and the driver's cold-JVM bench pays their
+    builds in the untimed warmup rep either way).
+
+    The memo-surface rule this fences (round-15 verdict item #1):
+    session-level memoization is allowed for (a) sizing/guard
+    statistics and (b) artifacts derived from an explicitly-static
+    REFERENCE side (a built index's read plan/probe assignment, a
+    static benchmark suite's gram set) — never for anything derived
+    from the corpus side of a query."""
+    from .operators.similarity import _INDEX_READ_CACHE
+    from .operators.sizing import clear_probe_memo
+
+    clear_probe_memo()
+    _INDEX_READ_CACHE.clear()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 

@@ -41,6 +41,11 @@ def main() -> None:
         tables[name] = tables[name].cache()
         tables[name].count()
 
+    # SPARK_GRAFT_BENCH_COLD=1: clear probe/plan memos before every
+    # timed rep (bench.py's cold-invocation audit mode)
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+    from dask_histogram_spark.queries import clear_bench_memos
+
     timings, spreads = {}, {}
     for name in names:
         fn = BENCH_EXTRAS.get(name) or BENCH_VARIANTS.get(name,
@@ -48,6 +53,8 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         runs = []
         for _ in range(reps):
+            if cold:
+                clear_bench_memos()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(round(time.perf_counter() - t0, 4))
@@ -55,7 +62,7 @@ def main() -> None:
         timings[name] = runs[len(runs) // 2]
         spreads[name] = runs
     print(json.dumps({"queries": timings, "spread": spreads,
-                      "reps": reps}))
+                      "reps": reps, "cold": cold}))
     spark.stop()
 
 
