@@ -784,10 +784,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     ``min_sig_matches`` requires at least that many of the num_perm
     signature components to agree — the two-tier verification gate:
     component agreement is the unbiased MinHash estimate of shingle
-    jaccard, costs one num_perm-long zip per pair off the cached
-    signatures (vs shipping full shingle sets to an exact verifier),
-    and is exactly reproducible in SQL.  The surviving pairs carry a
-    ``sig_matches`` column.
+    jaccard, costs one num_perm-long zip per pair (vs shipping full
+    shingle sets to an exact verifier), and is exactly reproducible in
+    SQL.  The surviving pairs carry a ``sig_matches`` column.
+
+    Gated + ``"fused"`` together take a SINGLE-PASS plan (round 16):
+    the signature is denormalized into each band row (the
+    write_signature_table trade), the skew cap filters via a window
+    count before any bucket array materializes, and the agreement
+    gate runs inside the combination explode — one corpus pass, two
+    exchanges, no signature cache, no gate joins (``persist`` is
+    irrelevant there: nothing needs caching, no release handle is
+    attached).  Identical pairs/columns to the two-pass form
+    (differentially tested).
 
     Cache lifetime: the persisted projection stays cached until
     released — repeated calls in a long-lived session would otherwise
@@ -831,11 +840,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # stays lazy with zero eager jobs, exactly as before the guard.
     from .sizing import scratch_budget
 
+    single_pass = strategy == "fused" and min_sig_matches is not None
     if scratch_budget(df.sparkSession) is not None:
         _text_band_preflight(
             df, text_col, num_perm, bands, hash_fn,
             join_sides=1 if strategy == "fused" else 2,
-            carry_sig=False, sig_gate=min_sig_matches is not None,
+            # the single-pass gated plan denormalizes the signature
+            # into the band rows (write_signature_table's trade)
+            # instead of shipping it twice through the gate joins
+            carry_sig=single_pass,
+            sig_gate=min_sig_matches is not None and not single_pass,
             what=(f"minhash_lsh_candidates' band shuffle "
                   f"(num_perm={num_perm}, bands={bands}, "
                   f"strategy={strategy!r})"),
@@ -864,6 +878,68 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     nparts = _probed_fold_parts(df, text_col)
     sigs = minhash_signatures(df.repartition(nparts), text_col, id_col,
                               num_perm, shingle_k, seed, hash_fn)
+    if single_pass:
+        # SINGLE-PASS gated fused plan (round-16): the signature rides
+        # each band row (write_signature_table's denormalization) so
+        # the agreement gate runs inside the bucket explode — the
+        # signature projection then has exactly ONE consumer, which
+        # removes the whole persist+count barrier AND both gate joins
+        # (their broadcast builds were one cluster job each per
+        # invocation).  The skew cap moves BEFORE the bucket arrays
+        # materialize: a window count over the same (band, bucket)
+        # exchange filters over-cap buckets row-wise, so the transient
+        # per-bucket array is bounded at max_bucket x (8 + 8*num_perm)
+        # bytes even for a pathological mega-bucket (the old
+        # filter-after-collect_list form would have materialized the
+        # whole mega-bucket's signatures in one aggregation buffer).
+        # The gate also fires BEFORE the pair-key exchange, so only
+        # gate-passing co-occurrences cross the wire (§2.3).  Trade:
+        # the band exchange carries bands x num_perm x 8 B per doc vs
+        # the old path's cached-projection reads + two 8 B/component
+        # gate shipments — measured at sf0.1 AND the 1M-doc blowup
+        # (flat-or-better both) — in exchange for dropping a
+        # corpus-sized MEMORY_AND_DISK cache from the operator.
+        from pyspark.sql import Window
+
+        banded = _band_explode(sigs, id_col, num_perm, bands, hash_fn,
+                               keep=("sig",))
+        w = Window.partitionBy("band", "bucket")
+        capped = (
+            banded.repartition(nparts, "band", "bucket")
+            .withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n").between(2, max_bucket))
+        )
+        members = capped.groupBy("band", "bucket").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                        F.col("sig").alias("s")))
+            ).alias("__m"))
+        combos = F.flatten(F.transform(
+            F.sequence(F.lit(0), F.size("__m") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("__m"), i + 2, F.size("__m")),
+                lambda y: F.struct(
+                    F.col("__m")[i]["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    _sig_agreement(F.col("__m")[i]["s"], y["s"])
+                    .alias("sm"),
+                ),
+            ),
+        ))
+        return (
+            members.select(F.explode(combos).alias("__p"))
+            # strict <: drops (x, x) self-pairs from duplicated ids,
+            # same as the two-pass fused form; the agreement gate is
+            # pair-constant, so filtering per co-occurrence keeps
+            # exactly the pairs (and n_bands counts) the former
+            # post-aggregation gate joins kept
+            .where((F.col("__p.id_a") < F.col("__p.id_b"))
+                   & (F.col("__p.sm") >= min_sig_matches))
+            .groupBy(F.col("__p.id_a").alias("id_a"),
+                     F.col("__p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands"),
+                 F.max("__p.sm").alias("sig_matches"))
+        )
     if persist:
         from pyspark import StorageLevel
 
@@ -950,15 +1026,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     else:  # pragma: no cover - validated up top
         raise AssertionError(f"unreachable strategy: {strategy!r}")
     if min_sig_matches is not None:
-        sa = sigs.select(F.col(id_col).alias("id_a"),
-                         F.col("sig").alias("__sa"))
-        sb = sigs.select(F.col(id_col).alias("id_b"),
-                         F.col("sig").alias("__sb"))
+        # ONE shared (id, sig) relation for both gate joins instead of
+        # two differently-aliased projections: the two build sides are
+        # then canonically identical, so the second join reuses the
+        # first's broadcast/shuffle exchange (ReusedExchange) instead
+        # of re-scanning the signature cache and building a second
+        # hash relation per invocation (round-16 plan audit: two
+        # BroadcastQueryStages, no reuse).
+        s_rel = sigs.select(F.col(id_col).alias("__gid"),
+                            F.col("sig").alias("__gsig"))
+        p1 = (pairs.join(s_rel, F.col("id_a") == F.col("__gid"))
+              .withColumnRenamed("__gsig", "__sa").drop("__gid"))
         pairs = (
-            pairs.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("sig_matches", _sig_agreement("__sa", "__sb"))
+            p1.join(s_rel, F.col("id_b") == s_rel["__gid"])
+            .withColumn("sig_matches", _sig_agreement("__sa", "__gsig"))
             .where(F.col("sig_matches") >= min_sig_matches)
-            .drop("__sa", "__sb")
+            .drop("__sa", "__gsig", "__gid")
         )
     if persist:
         pairs._dhs_persisted = sigs  # release handle (see docstring)
@@ -1995,9 +2078,12 @@ def jaccard_verify_pairs(pairs: DataFrame, docs: DataFrame,
     else:
         raise ValueError(
             f"unknown verify method: {method!r} (arrow requires hashed)")
+    # one scan of the (often checkpointed) pair set instead of a
+    # two-scan union: explode([a, b]) emits the same id multiset, the
+    # distinct is unchanged, and the involved-id pass costs one map
+    # stage instead of two (round-16, guide §2.4)
     needed = (
-        pairs.select(F.col(pair_a).alias(id_col))
-        .unionByName(pairs.select(F.col(pair_b).alias(id_col)))
+        pairs.select(F.explode(F.array(pair_a, pair_b)).alias(id_col))
         .distinct()
     )
     if broadcast_pairs:

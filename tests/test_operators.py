@@ -3456,3 +3456,28 @@ def test_local_relation_matches_create(spark):
         "v", T.ArrayType(T.DoubleType(), containsNull=False))])
     fb2 = local_relation(spark, [([1.0],)], nc)
     assert fb2.schema == nc and fb2.collect()[0]["v"] == [1.0]
+
+
+def test_single_pass_gated_candidates_match_semijoin(spark, tables):
+    """The gated fused path is now a SINGLE-PASS plan (sig denormalized
+    into the band rows, window-count cap before the bucket arrays,
+    agreement gate inside the combination explode): its full row set —
+    including n_bands and sig_matches — must equal the two-pass
+    semijoin strategy's, and the plan must contain no join and no
+    cached signature projection."""
+    d = tables["documents"].select("doc_id", "text")
+    corpus = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    kw = dict(num_perm=32, bands=8, hash_fn="fnv1a32", max_bucket=20,
+              min_sig_matches=10)
+    fused = minhash_lsh_candidates(corpus, **kw)
+    assert fused.columns == ["id_a", "id_b", "n_bands", "sig_matches"]
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1200]
+    assert "InMemoryRelation" not in plan, plan[:1200]
+    from dask_histogram_spark.operators import release_candidates_cache
+
+    a = {tuple(r) for r in fused.collect()}
+    semi = minhash_lsh_candidates(corpus, strategy="semijoin", **kw)
+    b = {tuple(r) for r in semi.collect()}
+    release_candidates_cache(semi)
+    assert a and a == b
