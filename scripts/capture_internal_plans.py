@@ -97,6 +97,39 @@ def main() -> None:
     release_candidates_cache(cands)
     release_candidates_cache(ver)
 
+    # minhash_lsh_stats is fully eager (one fused collect inside the
+    # operator); spy on DataFrame.collect to capture the REAL executed
+    # plan of that collect (closes the round-15 verdict's evidence gap
+    # — the _after.txt file only shows the returned LocalTableScan)
+    # patch the CLASSIC DataFrame class — pyspark.sql.DataFrame is an
+    # ABC in Spark 4 and instances dispatch to the subclass's method
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from dask_histogram_spark.operators import minhash_lsh_stats
+
+    _orig_collect = _DF.collect
+    stats_plans: list[str] = []
+
+    def _spy_collect(self):
+        out = _orig_collect(self)
+        try:
+            stats_plans.append(
+                self._jdf.queryExecution().executedPlan().toString())
+        except Exception:
+            pass
+        return out
+
+    _DF.collect = _spy_collect
+    try:
+        minhash_lsh_stats(_dup_corpus(spark, sf_dir), num_perm=32,
+                          bands=8, hash_fn="fnv1a32", max_bucket=64)
+    finally:
+        _DF.collect = _orig_collect
+    sections["minhash_lsh_stats"] = [
+        ("fused stats+distinct-pair collect (both branches over the "
+         "checkpointed bucket table)", p) for p in stats_plans
+    ]
+
     emb, emb_tbl, enew = _emb_gate_inputs(spark, sf_dir)
     epairs = embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
     eboth = embedding_dedup_incremental(enew, emb_tbl, threshold=0.3,
